@@ -1,0 +1,162 @@
+"""Route/settings model — the analog of logport's SQLite config tables.
+
+Reference semantics mirrored (NOT copied; see /root/reference):
+- `watches` table rows pin (filepath → brokers, topic, product_code,
+  log_type, hostname): src/Database.cc:65-77, include/Watch.h:57-77.
+  Here a RouteSpec pins (route_key → sink table, product_code, log_type,
+  hostname); route_key plays the role of the watched filepath, the sink
+  table plays the role of the Kafka topic.
+- empty product_code / log_type ⇒ the envelope key is omitted entirely
+  (src/Watch.cc:406-410 adds fields only if non-empty).
+- a default/catch-all route mirrors logport's settings-precedence defaults
+  (src/LogPort.cc:961-1048: env > setting > hardcoded `logport_logs`).
+- scheme→producer_type detection (http(s)→HTTP else KAFKA) mirrors
+  src/Watch.cc:122-134 + src/UrlList.cc:35-63 (scheme consistency check).
+
+These constants are shared by datagen, the pure-Python oracle, and the Spark
+pipeline so all three agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+DEFAULT_ROUTE_KEY = "__default__"
+
+CATEGORIES = ["news", "shop", "blog", "docs", "forum", "misc"]
+TLDS = ["com", "org", "net", "io", "de", "fr", "shop"]
+LANGS = ["en", "de", "fr", "es", "zh", "ja", "pt", "ru"]
+LOCALES = {
+    "en": "en_US",
+    "de": "de_DE",
+    "fr": "fr_FR",
+    "es": "es_ES",
+    "zh": "zh_CN",
+    "ja": "ja_JP",
+    "pt": "pt_BR",
+    "ru": "ru_RU",
+}
+# one lang value in documents has no locale row (left-join null exercise)
+UNMATCHED_LANG = "xx"
+
+HOT_DOMAIN = "hot.example.com"
+# one domain in pages has no domain_tld row (left-join null exercise)
+UNMATCHED_DOMAIN = "unknown.example.xyz"
+
+N_DOMAINS = 50  # besides HOT_DOMAIN and UNMATCHED_DOMAIN
+
+
+def domain_name(i: int) -> str:
+    return f"d{i:02d}.site{i % 9}.{TLDS[i % len(TLDS)]}"
+
+
+def domain_tld_rows() -> list[dict]:
+    """Enrichment lookup #1 (watches-table analog). ~50 domains."""
+    rows = [{"domain": HOT_DOMAIN, "tld": "com", "category": "news"}]
+    for i in range(N_DOMAINS):
+        rows.append(
+            {
+                "domain": domain_name(i),
+                "tld": TLDS[i % len(TLDS)],
+                "category": CATEGORIES[i % len(CATEGORIES)],
+            }
+        )
+    return rows
+
+
+def lang_locale_rows() -> list[dict]:
+    """Enrichment lookup #2 (settings-table analog)."""
+    return [{"lang": k, "locale": v} for k, v in LOCALES.items()]
+
+
+@dataclass(frozen=True)
+class RouteSpec:
+    """One routing rule: route_key → sink (logport: filepath → topic)."""
+
+    id: int
+    route_key: str  # category value, or DEFAULT_ROUTE_KEY
+    sink: str  # sink table name (topic analog)
+    producer_type: str = "KAFKA"
+    brokers: str = "kafka://localhost:9092"
+    product_code: str = ""  # empty ⇒ `prd` omitted from envelope
+    log_type: str = ""  # empty ⇒ `log_type` omitted from envelope
+    hostname: str = ""
+
+
+ROUTES: list[RouteSpec] = [
+    RouteSpec(1, "news", "sink_news", "KAFKA", "kafka://k1:9092", "prd4096", "system", "h1.internal"),
+    RouteSpec(2, "shop", "sink_shop", "KAFKA", "kafka://k1:9092", "prd4097", "app", "h2.internal"),
+    # empty product_code AND log_type: envelope omits both keys
+    RouteSpec(3, "blog", "sink_blog", "HTTP", "https://collector:8080/logs", "", "", "h3.internal"),
+    RouteSpec(4, "docs", "sink_docs", "KAFKA", "kafka://k2:9092", "prd4099", "system", "h4.internal"),
+    RouteSpec(5, "forum", "sink_forum", "HTTP", "http://collector:8080/logs", "prd4100", "access", "h5.internal"),
+    RouteSpec(6, "misc", "sink_misc", "KAFKA", "kafka://k2:9092", "prd4101", "system", "h6.internal"),
+    # catch-all (unmatched domain / null category) — settings-default analog
+    RouteSpec(7, DEFAULT_ROUTE_KEY, "sink_default", "KAFKA", "kafka://k1:9092", "prd4095", "unknown", "h0.internal"),
+]
+
+SINKS = [r.sink for r in ROUTES]
+
+
+def routes_rows() -> list[dict]:
+    return [
+        {
+            "id": r.id,
+            "route_key": r.route_key,
+            "sink": r.sink,
+            "producer_type": r.producer_type,
+            "brokers": r.brokers,
+            "product_code": r.product_code,
+            "log_type": r.log_type,
+            "hostname": r.hostname,
+        }
+        for r in ROUTES
+    ]
+
+
+def routes_by_key() -> dict[str, RouteSpec]:
+    return {r.route_key: r for r in ROUTES}
+
+
+def validate_scheme_consistency(brokers_csv: str) -> str:
+    """All broker URL schemes must match; scheme selects the producer type.
+
+    Mirrors src/UrlList.cc:35-63 (throw on mixed schemes) and
+    src/Watch.cc:122-134 (http/https → HTTP else KAFKA).
+    """
+    schemes = set()
+    for url in brokers_csv.split(","):
+        url = url.strip()
+        scheme = url.split("://", 1)[0].lower() if "://" in url else "kafka"
+        schemes.add(scheme)
+    if len(schemes) > 1:
+        raise ValueError(f"mixed broker URL schemes: {sorted(schemes)}")
+    scheme = schemes.pop()
+    return "HTTP" if scheme in ("http", "https") else "KAFKA"
+
+
+@dataclass
+class Settings:
+    """key→value settings with env > setting > default precedence
+    (src/LogPort.cc:961-1048)."""
+
+    values: dict[str, str] = field(default_factory=dict)
+    defaults: dict[str, str] = field(
+        default_factory=lambda: {
+            "default.sink": "sink_default",
+            "default.brokers": "kafka://localhost:9092",
+            "salt.buckets": "16",
+            "ledger.buckets": "64",
+        }
+    )
+
+    def get(self, key: str, env: dict[str, str] | None = None) -> str | None:
+        import os
+
+        env = env if env is not None else dict(os.environ)
+        env_key = "LOGPORT_SPARK_" + key.upper().replace(".", "_")
+        if env_key in env:
+            return env[env_key]
+        if key in self.values:
+            return self.values[key]
+        return self.defaults.get(key)

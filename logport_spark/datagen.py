@@ -1,0 +1,229 @@
+"""Deterministic synthetic `pages` table (the BASELINE.json input_hint shape).
+
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+No external data: every row is a pure function of (seed=42, doc_id), so the
+table is identical regardless of how many partitions generate it, which
+machine runs it, or whether the local (pandas) or distributed (mapInPandas)
+generator is used. The embedded line corpus exercises every branch of the
+reference's parse path (Watch::filterLogLine, src/Watch.cc:377-426):
+unstructured lines, escape-heavy lines, canonical JSON objects/arrays,
+malformed JSON (parse-failure branch), empty lines (dropped), and a
+hot-domain skew knob (~30% of rows on one domain) to exercise salted
+repartitioning.
+
+JSON lines are generated ALREADY in canonical sorted-compact form so that
+`json.loads → json.dumps(sort_keys, compact)` is the identity — this is what
+makes the envelope byte-level oracle expressible in ANSI SQL (the oracle can
+embed the raw line where the engine re-serializes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta
+
+import numpy as np
+
+from .config import (
+    HOT_DOMAIN,
+    LANGS,
+    N_DOMAINS,
+    UNMATCHED_DOMAIN,
+    UNMATCHED_LANG,
+    domain_name,
+    domain_tld_rows,
+    lang_locale_rows,
+    routes_rows,
+)
+
+SEED = 42
+BASE_TS = datetime(2024, 8, 1, 0, 0, 0)  # naive UTC; session TZ is UTC
+
+DATA_DIR = os.environ.get("LOGPORT_SPARK_DATA_DIR", "/root/repo/data")
+
+# docs per scale factor (sf0.1 ≈ 2M routed records at ~20 lines/doc)
+SF_DOCS = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu request response cache miss hit worker queue retry flush "
+    "commit rollback shard replica leader follower region zone bucket object"
+).split()
+
+METHODS = ["GET", "POST", "PUT", "DELETE", "HEAD"]
+LEVELS = ["info", "warn", "error", "debug", "trace"]
+
+# distinct per-language marker tokens → language-ID heuristic is testable
+LANG_MARKERS = {
+    "en": ["the", "and"],
+    "de": ["der", "und"],
+    "fr": ["les", "dans"],
+    "es": ["los", "pero"],
+    "zh": ["shi", "bu"],
+    "ja": ["desu", "wa"],
+    "pt": ["nao", "uma"],
+    "ru": ["eto", "kak"],
+}
+
+ESCAPE_LINES = [
+    'path "C:\\tmp\\x" end',
+    "tab\there and\ttab",
+    'quote "q" back\\slash mix',
+    "trailing space and \"quoted\" \\ done",
+]
+
+BAD_JSON_LINES = ['{"level":"info",', "[1,2", '{"a":}', "{broken", "[}"]
+
+_canon = lambda obj: json.dumps(obj, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+
+
+def _gen_doc(doc_id: int) -> dict:
+    """One deterministic page row. Pure function of doc_id."""
+    rng = np.random.default_rng([SEED, int(doc_id)])
+    r = rng.random()
+    if r < 0.30:
+        domain = HOT_DOMAIN  # hot-domain skew knob
+    elif r < 0.32:
+        domain = UNMATCHED_DOMAIN
+    else:
+        domain = domain_name(int(rng.integers(0, N_DOMAINS)))
+    lang = UNMATCHED_LANG if rng.random() < 0.02 else LANGS[int(rng.integers(0, len(LANGS)))]
+    url = f"https://{domain}/p/{doc_id}"
+    warc_ts = BASE_TS + timedelta(
+        seconds=int(rng.integers(0, 30 * 86400)), microseconds=int(rng.integers(0, 1_000_000))
+    )
+    markers = LANG_MARKERS.get(lang, [])
+    n_lines = int(rng.integers(1, 41))
+    lines: list[str] = []
+    for _ in range(n_lines):
+        p = rng.random()
+        if p < 0.10:
+            lines.append("")  # empty → dropped by the pipeline (P2)
+        elif p < 0.15:
+            lines.append(ESCAPE_LINES[int(rng.integers(0, len(ESCAPE_LINES)))])
+        elif p < 0.35:
+            obj = {
+                "level": LEVELS[int(rng.integers(0, len(LEVELS)))],
+                "msg": WORDS[int(rng.integers(0, len(WORDS)))],
+                "code": int(rng.integers(0, 100)),
+            }
+            if rng.random() < 0.3:
+                obj["ctx"] = {"attempt": int(rng.integers(0, 5)), "src": WORDS[int(rng.integers(0, len(WORDS)))]}
+            lines.append(_canon(obj))
+        elif p < 0.40:
+            lines.append(_canon([int(rng.integers(0, 1000)), WORDS[int(rng.integers(0, len(WORDS)))], {"k": int(rng.integers(0, 50))}]))
+        elif p < 0.45:
+            lines.append(BAD_JSON_LINES[int(rng.integers(0, len(BAD_JSON_LINES)))])
+        elif p < 0.455:
+            # scrub-hook trigger (reference src/Watch.cc:381-396, commented hook)
+            lines.append(_canon({"card_number": "4111111111111111", "msg": "payment"}))
+        else:
+            toks = [
+                METHODS[int(rng.integers(0, len(METHODS)))],
+                f"/{WORDS[int(rng.integers(0, len(WORDS)))]}/{int(rng.integers(0, 10000))}",
+                str(int(rng.integers(100, 600))),
+                str(int(rng.integers(0, 1 << 20))),
+            ]
+            for _ in range(int(rng.integers(0, 6))):
+                toks.append(WORDS[int(rng.integers(0, len(WORDS)))])
+            if markers:
+                for _ in range(int(rng.integers(1, 4))):
+                    toks.append(markers[int(rng.integers(0, len(markers)))])
+            lines.append(" ".join(toks))
+    text = "\n".join(lines)
+    html = (
+        b"<!DOCTYPE html><html><head><title>" + url.encode() + b"</title></head><body><pre>"
+        + text.encode("utf-8")
+        + (b"\xff\xfe" if doc_id % 97 == 0 else b"")  # occasional invalid-utf8 html
+        + b"</pre></body></html>"
+    )
+    return {"url": url, "warc_ts": warc_ts, "html": html, "text": text, "lang": lang}
+
+
+def gen_docs(doc_ids) -> list[dict]:
+    return [_gen_doc(i) for i in doc_ids]
+
+
+PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def gen_pages_spark(spark, n_docs: int, partitions: int | None = None):
+    """Distributed deterministic generator (scales to any n_docs)."""
+    import pandas as pd
+
+    partitions = partitions or max(8, n_docs // 25_000)
+
+    def batches(it):
+        for pdf in it:
+            rows = gen_docs(pdf["id"].tolist())
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_docs, numPartitions=partitions).mapInPandas(batches, PAGES_DDL)
+
+
+def pages_path(sf: str) -> str:
+    return os.path.join(DATA_DIR, f"pages_sf{sf}")
+
+
+def sf_of_dir(sf_dir: str) -> str:
+    """Map a driver testdata dir like /root/testdata/sf0.01 → '0.01'."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else "0.01"
+
+
+def ensure_pages(sf: str, spark=None) -> str:
+    """Generate (once) and return the parquet path for scale factor `sf`."""
+    path = pages_path(sf)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    n = SF_DOCS.get(sf, 10_000)
+    os.makedirs(DATA_DIR, exist_ok=True)
+    if spark is not None:
+        gen_pages_spark(spark, n).write.mode("overwrite").parquet(path)
+    else:
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        pdf = pd.DataFrame(gen_docs(range(n)))
+        schema = pa.schema(
+            [
+                ("url", pa.string()),
+                ("warc_ts", pa.timestamp("us")),
+                ("html", pa.binary()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), os.path.join(path, "part-0.parquet"))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+def ensure_lookups() -> dict[str, str]:
+    """Write the small lookup/config tables once; return name→path."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(DATA_DIR, exist_ok=True)
+    out = {}
+    for name, rows in (
+        ("domain_tld", domain_tld_rows()),
+        ("lang_locale", lang_locale_rows()),
+        ("routes", routes_rows()),
+    ):
+        path = os.path.join(DATA_DIR, f"{name}")
+        out[name] = path
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+                os.path.join(path, "part-0.parquet"),
+            )
+            open(os.path.join(path, "_SUCCESS"), "w").close()
+    return out

@@ -1,0 +1,61 @@
+"""Pipeline assembly: scan → parse → enrich → route → aggregate.
+
+This is the Spark re-expression of logport's tail→envelope→produce loop
+(SURVEY.md §3.1): the `vector<Watch>` routing table becomes broadcast-joined
+config DataFrames, the fork-per-watch process model becomes task
+parallelism, and the per-sink Kafka topics become per-sink table partitions.
+
+The DAG is shuffle-minimal by construction:
+  scan(pages, html pruned) → explode+filter (narrow) → broadcast joins
+  (narrow) → envelope UDF (narrow) → ONE shuffle (the salted repartition
+  before the fan-out write) → per-sink metrics (partial agg map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import parse as P
+from ..operators import enrich as E
+from ..operators import route as R
+
+
+def parsed_routed(spark: SparkSession, pages: DataFrame, scrub_enabled: bool = False) -> DataFrame:
+    """Full parse→enrich→route DataFrame (no write). Columns: ROUTED_COLS + line."""
+    lookups = E.load_lookups(spark)
+    lines = P.explode_lines(pages)
+    lines = P.scrub(lines, enabled=scrub_enabled)
+    lines = E.with_domain(lines)
+    lines = E.enrich(lines, lookups)
+    lines = R.resolve_route(lines, lookups["routes"])
+    return P.with_envelope(
+        lines,
+        host_col=F.col("route_hostname"),
+        source_col=F.col("url"),
+        prd_col=F.col("route_prd"),
+        log_type_col=F.col("route_log_type"),
+    )
+
+
+def sink_metrics(routed: DataFrame) -> DataFrame:
+    """A1/A2: per-sink rows routed, bytes shipped (+1/record newline,
+    src/KafkaProducer.cc:101-108), parse failures."""
+    return routed.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("rows_routed"),
+        F.sum(F.col("record_bytes") + F.lit(1)).alias("bytes_shipped"),
+        F.sum(F.col("parse_fail").cast("long")).alias("parse_failures"),
+    )
+
+
+def run_batch(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Execute the fan-out write and return the per-sink metrics DataFrame."""
+    routed = parsed_routed(spark, pages)
+    R.write_routed(routed, out_dir, salt_buckets=salt_buckets)
+    written = spark.read.parquet(out_dir)
+    return sink_metrics(written)

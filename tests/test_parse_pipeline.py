@@ -1,0 +1,78 @@
+"""End-to-end parse→enrich→route vs the pure-Python oracle.
+
+Gates (BASELINE.json input_hint / north_rule):
+- byte-identical extracted record per (url, line_no)
+- per-sink aggregate counts equal to the oracle
+- empty lines dropped; parse-failure branch counted
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logport_spark.plans.pipeline import parsed_routed, sink_metrics
+
+
+def _spark_records(spark, pages_small):
+    routed = parsed_routed(spark, pages_small)
+    return routed
+
+
+def test_byte_identical_records(spark, pages_small, oracle_small):
+    routed = _spark_records(spark, pages_small)
+    got = {
+        (r["url"], r["line_no"]): r["record"]
+        for r in routed.select("url", "line_no", "record").collect()
+    }
+    want = {(r["url"], r["line_no"]): r["record"] for r in oracle_small["records"]}
+    assert len(got) == len(want)
+    mismatches = [(k, got[k], want[k]) for k in want if got.get(k) != want[k]]
+    assert not mismatches, f"first mismatch: {mismatches[0]}"
+
+
+def test_routing_and_enrichment(spark, pages_small, oracle_small):
+    routed = _spark_records(spark, pages_small)
+    got = {
+        (r["url"], r["line_no"]): (r["sink"], r["domain"], r["tld"], r["category"], r["locale"])
+        for r in routed.select("url", "line_no", "sink", "domain", "tld", "category", "locale").collect()
+    }
+    for r in oracle_small["records"]:
+        k = (r["url"], r["line_no"])
+        assert got[k] == (r["sink"], r["domain"], r["tld"], r["category"], r["locale"]), k
+
+
+def test_per_sink_metrics(spark, pages_small, oracle_small):
+    routed = _spark_records(spark, pages_small)
+    got = {
+        r["sink"]: (r["rows_routed"], r["bytes_shipped"], r["parse_failures"])
+        for r in sink_metrics(routed).collect()
+    }
+    want = {
+        s: (m["rows_routed"], m["bytes_shipped"], m["parse_failures"])
+        for s, m in oracle_small["metrics"].items()
+    }
+    assert got == want
+
+
+def test_empty_lines_dropped(spark, pages_small):
+    routed = _spark_records(spark, pages_small)
+    assert routed.filter(F.length("line") == 0).count() == 0
+
+
+def test_scrub_hook(spark, pages_small):
+    from logport_spark.operators.parse import SCRUB_TOMBSTONE
+    from logport_spark.plans.pipeline import parsed_routed
+
+    routed = parsed_routed(spark, pages_small, scrub_enabled=True)
+    bad = routed.filter(
+        F.col("line").contains('"card_number":"') & ~F.col("line").contains("XXX")
+    )
+    assert bad.count() == 0
+    assert routed.filter(F.col("line") == SCRUB_TOMBSTONE).count() > 0
+
+
+def test_html_never_read(spark, pages_small):
+    """Column pruning: the binary html column must not reach the scan."""
+    routed = _spark_records(spark, pages_small)
+    plan = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "html" not in plan

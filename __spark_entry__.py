@@ -72,6 +72,146 @@ def _lp_sink_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink_metrics(parsed_routed(spark, _pages(spark, sf_dir)))
 
 
+def _lp_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter channel: parse-failure rows (K2/S3 analog)."""
+    from logport_spark.operators.route import quarantine
+    from logport_spark.plans.pipeline import parsed_routed
+
+    q = quarantine(parsed_routed(spark, _pages(spark, sf_dir)))
+    return q.select("url", "line_no", "raw", "reason")
+
+
+def _lp_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume scan: pages whose crc32 bucket is not yet committed (L1/L2)."""
+    from logport_spark.plans import ledger as L
+
+    sf = datagen.sf_of_dir(sf_dir)
+    datagen.ensure_fixtures(sf)
+    pages = _pages(spark, sf_dir).select("url")
+    led = spark.read.parquet(f"{DATA}/ledger_fixture")
+    done = led.filter(F.col("status") == "committed").select("bucket").distinct()
+    return L.with_bucket(pages, datagen.N_LEDGER_BUCKETS).join(
+        F.broadcast(done), "bucket", "left_anti"
+    ).select("url", "bucket")
+
+
+def _lp_replay_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 replay: dead-letter lines union live lines through the same
+    parse→enrich→route→envelope path."""
+    from logport_spark.operators import enrich as E
+    from logport_spark.operators import parse as P
+    from logport_spark.operators import route as R
+    from logport_spark.plans.ledger import replay_quarantine
+
+    sf = datagen.sf_of_dir(sf_dir)
+    datagen.ensure_fixtures(sf)
+    dl = spark.read.parquet(f"{DATA}/deadletter")
+    live = P.explode_lines(_pages(spark, sf_dir))
+    lines = replay_quarantine(spark, dl, live)
+    lookups = E.load_lookups(spark)
+    df = R.resolve_route(E.enrich(E.with_domain(lines), lookups), lookups["routes"])
+    df = P.with_envelope(df, F.col("route_hostname"), F.col("url"),
+                         F.col("route_prd"), F.col("route_log_type"))
+    return df.select("url", "line_no", "record", "parse_fail", "sink")
+
+
+def _lp_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 URL decomposition via the JVM parse_url built-in."""
+    pages = _pages(spark, sf_dir).select("url")
+    return pages.select(
+        "url",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("scheme"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+    )
+
+
+def _q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-heavy: customer ⋈ orders ⋈ lineitem, agg, top-10 (sort+limit)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("o_orderdate") < "1995-03-15") & (F.col("l_shipdate") > "1995-03-15"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: rank orders per customer, keep top 3."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def _cust_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no large (>300k) order."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 300000
+    )
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _nations_with_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: nations having at least one customer."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return n.join(c, F.col("n_nationkey") == F.col("c_nationkey"), "left_semi").select(
+        "n_nationkey", "n_name"
+    )
+
+
+def _cust_minus_supp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customer nations minus rich-supplier (>8k acctbal) nations."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") > 8000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.distinct().exceptAll(s.distinct())
+
+
+def _rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP over (returnflag, linestatus)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-style sessionization via windows: 30-min-gap sessions/user."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -102,7 +242,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_enrich": _lp_enrich,
         "lp_envelope": _lp_envelope,
         "lp_sink_metrics": _lp_sink_metrics,
+        "lp_quarantine": _lp_quarantine,
+        "lp_resume_anti_join": _lp_resume_anti_join,
+        "lp_replay_union": _lp_replay_union,
+        "lp_url_parse": _lp_url_parse,
         "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_unshipped": _q3_top_unshipped,
+        "top3_orders_per_cust": _top3_orders_per_cust,
+        "cust_without_orders": _cust_without_orders,
+        "nations_with_customers": _nations_with_customers,
+        "cust_minus_supp_nations": _cust_minus_supp_nations,
+        "rollup_pricing": _rollup_pricing,
+        "sessionize_events": _sessionize_events,
         "events_hourly": _events_hourly,
     }
 
@@ -190,6 +341,107 @@ def oracle_sql() -> dict[str, str]:
                    sum(strlen({_ENVELOPE_EXPR}) + 1) AS bytes_shipped,
                    sum(CASE WHEN {_PARSE_FAIL_EXPR} THEN 1 ELSE 0 END) AS parse_failures
             FROM enriched GROUP BY sink
+        """,
+        "lp_quarantine": _LINES_CTE + f"""
+            SELECT url, line_no, line AS raw,
+                   'json_parse_failure' AS reason
+            FROM lines WHERE {_PARSE_FAIL_EXPR}
+        """,
+        "lp_resume_anti_join": f"""
+            SELECT b.url, b.bucket
+            FROM read_parquet('{DATA}/url_buckets_sf0.01/*.parquet') b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('{DATA}/ledger_fixture/*.parquet') lg
+              WHERE lg.status = 'committed' AND lg.bucket = b.bucket
+            )
+        """,
+        "lp_replay_union": f"""
+            WITH split AS (
+              SELECT url, warc_ts, lang, string_split(text, chr(10)) AS parts
+              FROM {_PAGES}
+            ), numbered AS (
+              SELECT url, warc_ts, lang,
+                     unnest(generate_series(1, len(parts))) AS line_no,
+                     unnest(parts) AS line
+              FROM split
+            ), live AS (
+              SELECT url, warc_ts, lang, CAST(line_no AS INT) AS line_no, line
+              FROM numbered WHERE length(line) > 0
+            ), lines AS (
+              SELECT url, warc_ts, lang, CAST(line_no AS INT) AS line_no,
+                     raw AS line
+              FROM read_parquet('{DATA}/deadletter/*.parquet')
+              UNION ALL
+              SELECT url, warc_ts, lang, line_no, line FROM live
+            )
+            {_ENRICHED_CTE}
+            SELECT url, line_no, {_ENVELOPE_EXPR} AS record,
+                   ({_PARSE_FAIL_EXPR}) AS parse_fail, sink
+            FROM enriched
+        """,
+        "lp_url_parse": f"""
+            SELECT url,
+                   split_part(url, '://', 1) AS scheme,
+                   split_part(split_part(url, '://', 2), '/', 1) AS host,
+                   regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+            FROM {_PAGES}
+        """,
+        "q3_top_unshipped": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "top3_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "cust_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+        """,
+        "nations_with_customers": """
+            SELECT n_nationkey, n_name FROM nation n
+            WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+        """,
+        "cust_minus_supp_nations": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+            WHERE s_acctbal > 8000
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "sessionize_events": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT user_id,
+                   sum(CASE WHEN prev IS NULL
+                            OR date_diff('second', prev, ts) > 1800
+                       THEN 1 ELSE 0 END) AS n_sessions,
+                   count(*) AS n_events
+            FROM x GROUP BY user_id
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

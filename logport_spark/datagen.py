@@ -204,6 +204,95 @@ def ensure_pages(sf: str, spark=None) -> str:
     return path
 
 
+N_LEDGER_BUCKETS = 64
+FIXTURE_COMMITTED = list(range(32))  # ledger fixture: buckets 0..31 committed
+
+DEADLETTER_LINES = [
+    '{"level":"error",',          # parse-fail again on replay
+    "[1,2",                        # parse-fail again
+    "plain retry line one",        # succeeds on replay
+    '{"a":1,"b":"ok"}',           # succeeds (canonical json)
+    "{broken",
+]
+
+
+def deadletter_rows() -> list[dict]:
+    """Synthetic dead-letter fixture: prior-run undelivered lines (S3 analog).
+
+    Deterministic; urls use a /dl/ path so (url, line_no) never collides with
+    live pages. Domains cover matched (hot), lookup-matched, and unmatched
+    (default-route) cases."""
+    doms = [HOT_DOMAIN, domain_name(0), domain_name(7), UNMATCHED_DOMAIN]
+    rows = []
+    for i in range(40):
+        rows.append(
+            {
+                "url": f"https://{doms[i % len(doms)]}/dl/{i}",
+                "warc_ts": BASE_TS + timedelta(seconds=i, microseconds=i * 137),
+                "lang": LANGS[i % len(LANGS)],
+                "line_no": 1 + (i % 3),
+                "raw": DEADLETTER_LINES[i % len(DEADLETTER_LINES)],
+                "reason": "json_parse_failure",
+            }
+        )
+    return rows
+
+
+def _write_fixture(path: str, pdf, schema=None) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+
+def ensure_fixtures(sf: str) -> dict[str, str]:
+    """Ledger/resume fixtures for the driver contract, all pure-Python:
+
+    - url_buckets_sf{sf}: (url, bucket) with bucket = crc32(url) % 64 —
+      bit-identical to the engine's JVM crc32 bucket (plans/ledger.py), so
+      the DuckDB oracle can join instead of hashing.
+    - ledger_fixture: a half-committed ledger (buckets 0..31).
+    - deadletter: prior-run undelivered lines for replay-union.
+    """
+    import zlib
+
+    import pandas as pd
+    import pyarrow as pa
+
+    out = {}
+    ub = os.path.join(DATA_DIR, f"url_buckets_sf{sf}")
+    out["url_buckets"] = ub
+    if not os.path.exists(os.path.join(ub, "_SUCCESS")):
+        n = SF_DOCS.get(sf, 10_000)
+        urls = [d["url"] for d in gen_docs(range(n))]
+        _write_fixture(ub, pd.DataFrame({
+            "url": urls,
+            "bucket": [zlib.crc32(u.encode()) % N_LEDGER_BUCKETS for u in urls],
+        }))
+    lf = os.path.join(DATA_DIR, "ledger_fixture")
+    out["ledger_fixture"] = lf
+    if not os.path.exists(os.path.join(lf, "_SUCCESS")):
+        _write_fixture(lf, pd.DataFrame({
+            "run_id": ["fixture"] * len(FIXTURE_COMMITTED),
+            "bucket": FIXTURE_COMMITTED,
+            "status": ["committed"] * len(FIXTURE_COMMITTED),
+        }))
+    dl = os.path.join(DATA_DIR, "deadletter")
+    out["deadletter"] = dl
+    if not os.path.exists(os.path.join(dl, "_SUCCESS")):
+        pdf = pd.DataFrame(deadletter_rows())
+        schema = pa.schema([
+            ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+            ("lang", pa.string()), ("line_no", pa.int32()),
+            ("raw", pa.string()), ("reason", pa.string()),
+        ])
+        _write_fixture(dl, pdf, schema)
+    return out
+
+
 def ensure_lookups() -> dict[str, str]:
     """Write the small lookup/config tables once; return name→path."""
     import pandas as pd

@@ -73,7 +73,13 @@ def write_routed(df: DataFrame, out_dir: str, salt_buckets: int = 16, extra_part
 
 
 def quarantine(df: DataFrame) -> DataFrame:
-    """Dead-letter channel: lines that hit the parse-failure branch."""
+    """Dead-letter channel: lines that hit the parse-failure branch.
+
+    Keeps (url, warc_ts, lang) so the rows can re-enter the parse path on
+    replay (ledger.replay_quarantine), mirroring the reference's undelivered
+    file whose lines are re-produced through the same envelope path."""
     return df.filter(F.col("parse_fail")).select(
-        "url", "line_no", F.col("line").alias("raw"), F.lit("json_parse_failure").alias("reason")
+        "url", "warc_ts", "lang", "line_no",
+        F.col("line").alias("raw"),
+        F.lit("json_parse_failure").alias("reason"),
     )

@@ -1,0 +1,156 @@
+"""Checkpoint ledger + resume: logport's offset ledger, re-designed for Spark.
+
+Reference semantics re-expressed (NOT ported):
+- L1/L2 offset save/load (src/Watch.cc:180-200, src/InotifyWatcher.cc:467-507):
+  logport persists one byte offset per watched file and resumes from it. Here
+  the unit of progress is a *bucket* — `pmod(xxhash64(url), n_buckets)` — and
+  the ledger is a parquet/Iceberg table with one row per (run_id, bucket)
+  holding the per-bucket aggregate counts and a `committed` status.
+- L4 at-least-once → exactly-once: logport can duplicate on crash (produce
+  then die before offset save). We upgrade to exactly-once routed-row
+  equality via the *ledger-last* protocol: (1) write sink partitions
+  idempotently (dynamic partition overwrite keyed on bucket — a re-run of an
+  uncommitted bucket replaces, never appends), (2) append the ledger rows
+  only after the sink write succeeds. Crash between (1) and (2) ⇒ the bucket
+  is rewritten on resume with identical content (deterministic pipeline), so
+  the final table equals a fresh run's — the pytest gate.
+- S3 dead-letter replay (src/InotifyWatcher.cc:208-247): parse failures land
+  in a quarantine table; `replay` unions them back through the same parse
+  path at the start of the next run (the reference's rename-to-temp
+  idempotence trick is subsumed by the sink-overwrite semantics).
+
+Scale notes: the ledger is O(n_buckets) rows per run — thousands, not
+billions; the anti-join against it is a broadcast join. Buckets double as
+the salt for the fan-out write (hash of url ⇒ hot domains spread uniformly
+across buckets), so resume granularity and skew-defusal share one shuffle.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import route as R
+from .pipeline import parsed_routed
+
+DEFAULT_BUCKETS = 64
+
+LEDGER_SCHEMA = (
+    "run_id string, bucket int, rows_routed long, bytes_shipped long, "
+    "parse_failures long, status string, commit_seq long"
+)
+
+
+def bucket_col(url_col: str = "url", n_buckets: int = DEFAULT_BUCKETS):
+    """Deterministic progress/salt bucket from the url.
+
+    CRC32 (JVM built-in, matches Python zlib.crc32 bit-for-bit) rather than
+    xxhash64 so the pure-Python oracle and fixtures can reproduce bucket
+    assignment without a JVM — uniformity is ample for progress tracking and
+    hot-domain salting at any n_buckets."""
+    return F.pmod(F.crc32(F.col(url_col).cast("binary")), F.lit(n_buckets)).cast("int")
+
+
+def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    return df.withColumn("bucket", bucket_col(n_buckets=n_buckets))
+
+
+def ledger_path(out_dir: str) -> str:
+    return out_dir.rstrip("/") + "/_ledger"
+
+
+def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
+    try:
+        return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path(out_dir))
+    except Exception:
+        return spark.createDataFrame([], LEDGER_SCHEMA)
+
+
+def committed_buckets(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Distinct committed bucket ids (small — broadcast into the anti-join)."""
+    return (
+        read_ledger(spark, out_dir)
+        .filter(F.col("status") == "committed")
+        .select("bucket")
+        .distinct()
+    )
+
+
+def remaining_pages(
+    spark: SparkSession, pages: DataFrame, out_dir: str, n_buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """Resume scan: pages whose bucket is NOT yet committed (left anti join)."""
+    done = committed_buckets(spark, out_dir)
+    return with_bucket(pages, n_buckets).join(F.broadcast(done), "bucket", "left_anti")
+
+
+def _write_sinks(routed: DataFrame, out_dir: str) -> None:
+    """Idempotent fan-out write: dynamic overwrite of (bucket, sink) dirs.
+
+    Requires spark.sql.sources.partitionOverwriteMode=dynamic (session.py):
+    only partitions present in `routed` are replaced — committed buckets from
+    earlier runs are untouched, uncommitted buckets are replaced not appended.
+    """
+    cols = [c for c in R.ROUTED_COLS if c not in ("sink",)] + ["bucket", "sink"]
+    (
+        routed.select(*[c for c in cols if c in routed.columns])
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket", "sink")
+        .parquet(out_dir + "/sinks")
+    )
+
+
+def run_with_ledger(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    only_buckets: list[int] | None = None,
+) -> DataFrame:
+    """One (possibly partial) run: process un-committed buckets, write sinks,
+    then append ledger rows (ledger-last). `only_buckets` simulates a crash
+    after committing a subset. Returns the per-bucket ledger rows written."""
+    todo = remaining_pages(spark, pages, out_dir, n_buckets)
+    if only_buckets is not None:
+        todo = todo.filter(F.col("bucket").isin(only_buckets))
+    routed = parsed_routed(spark, todo.drop("bucket"))
+    routed = with_bucket(routed, n_buckets)
+    _write_sinks(routed, out_dir)
+    # ledger rows: per-bucket aggregates (metrics + lineage in one row)
+    stats = routed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rows_routed"),
+        F.sum(F.col("record_bytes") + F.lit(1)).alias("bytes_shipped"),
+        F.sum(F.col("parse_fail").cast("long")).alias("parse_failures"),
+    )
+    seq = int(time.time() * 1000)
+    ledger_rows = stats.select(
+        F.lit(run_id).alias("run_id"),
+        "bucket",
+        "rows_routed",
+        "bytes_shipped",
+        "parse_failures",
+        F.lit("committed").alias("status"),
+        F.lit(seq).alias("commit_seq"),
+    )
+    ledger_rows.coalesce(1).write.mode("append").parquet(ledger_path(out_dir))
+    return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path(out_dir)).filter(
+        F.col("run_id") == run_id
+    )
+
+
+def read_routed(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All routed records committed so far (the union of sink partitions)."""
+    return spark.read.parquet(out_dir + "/sinks")
+
+
+def replay_quarantine(
+    spark: SparkSession, quarantined: DataFrame, live_lines: DataFrame
+) -> DataFrame:
+    """S3 dead-letter replay: undelivered lines re-enter the parse path ahead
+    of live data — a unionByName; downstream stages are shared verbatim."""
+    q = quarantined.select("url", "warc_ts", "lang", "line_no", F.col("raw").alias("line"))
+    return q.unionByName(live_lines.select("url", "warc_ts", "lang", "line_no", "line"))

@@ -1,0 +1,96 @@
+"""Exactly-once routed-row equality across crash + resume (north_rule gate).
+
+The reference is at-least-once (SURVEY.md §2.4 L4: crash between produce and
+offset save duplicates). Our ledger-last protocol upgrades that: a partial
+run (simulated crash — only a subset of buckets committed) followed by a
+resume must produce a sink table exactly equal to a single fresh run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logport_spark.plans import ledger as L
+
+
+KEY_COLS = ["url", "line_no", "record", "sink"]
+
+
+@pytest.fixture(scope="module")
+def fresh_routed(spark, pages_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fresh"))
+    L.run_with_ledger(spark, pages_small, out, run_id="full", n_buckets=16)
+    return L.read_routed(spark, out).select(*KEY_COLS).cache()
+
+
+def test_resume_equals_fresh(spark, pages_small, fresh_routed, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("resumed"))
+    # crash after committing buckets 0..5 only
+    L.run_with_ledger(spark, pages_small, out, run_id="r1", n_buckets=16,
+                      only_buckets=list(range(6)))
+    n_partial = L.read_routed(spark, out).count()
+    assert 0 < n_partial < fresh_routed.count()
+    # resume: processes exactly the un-committed buckets
+    L.run_with_ledger(spark, pages_small, out, run_id="r2", n_buckets=16)
+    resumed = L.read_routed(spark, out).select(*KEY_COLS)
+    assert resumed.exceptAll(fresh_routed).count() == 0
+    assert fresh_routed.exceptAll(resumed).count() == 0
+
+
+def test_rerun_is_idempotent(spark, pages_small, fresh_routed, tmp_path_factory):
+    """A second full run over a fully-committed ledger adds nothing."""
+    out = str(tmp_path_factory.mktemp("idem"))
+    L.run_with_ledger(spark, pages_small, out, run_id="a", n_buckets=16)
+    n1 = L.read_routed(spark, out).count()
+    L.run_with_ledger(spark, pages_small, out, run_id="b", n_buckets=16)
+    assert L.read_routed(spark, out).count() == n1
+    # ledger records zero new work for run b
+    lg = L.read_ledger(spark, out)
+    assert lg.filter(F.col("run_id") == "b").count() == 0
+
+
+def test_ledger_metrics_match_sink_metrics(spark, pages_small, tmp_path_factory):
+    """Per-bucket ledger aggregates roll up to the per-sink oracle counts."""
+    from logport_spark.plans.pipeline import parsed_routed, sink_metrics
+
+    out = str(tmp_path_factory.mktemp("metrics"))
+    L.run_with_ledger(spark, pages_small, out, run_id="m", n_buckets=16)
+    lg = L.read_ledger(spark, out)
+    totals = lg.agg(
+        F.sum("rows_routed").alias("r"), F.sum("bytes_shipped").alias("b"),
+        F.sum("parse_failures").alias("f"),
+    ).collect()[0]
+    direct = (
+        sink_metrics(parsed_routed(spark, pages_small))
+        .agg(F.sum("rows_routed"), F.sum("bytes_shipped"), F.sum("parse_failures"))
+        .collect()[0]
+    )
+    assert (totals["r"], totals["b"], totals["f"]) == tuple(direct)
+
+
+def test_quarantine_replay(spark, pages_small):
+    """Dead-letter lines re-enter the parse path and fail identically —
+    the reference's replay loop reaches a stable undelivered set."""
+    from logport_spark.operators import enrich as E
+    from logport_spark.operators import parse as P
+    from logport_spark.operators import route as R
+    from logport_spark.plans.pipeline import parsed_routed
+
+    routed = parsed_routed(spark, pages_small)
+    q = R.quarantine(routed)
+    n_q = q.count()
+    assert n_q > 0
+    live = P.explode_lines(pages_small).limit(0)  # replay-only run
+    replayed = L.replay_quarantine(spark, q, live)
+    lookups = E.load_lookups(spark)
+    df = E.enrich(E.with_domain(replayed), lookups)
+    df = R.resolve_route(df, lookups["routes"])
+    df = P.with_envelope(df, F.col("route_hostname"), F.col("url"),
+                         F.col("route_prd"), F.col("route_log_type"))
+    assert df.count() == n_q
+    assert df.filter(~F.col("parse_fail")).count() == 0  # all fail again
+    # byte-identical envelopes vs the first pass
+    first = routed.filter(F.col("parse_fail")).select("url", "line_no", "record")
+    again = df.select("url", "line_no", "record")
+    assert again.exceptAll(first).count() == 0

@@ -226,6 +226,103 @@ def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- training-data pipeline ops --
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.textstats import quality
+
+    return quality(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir).select("doc_id", "lang", "text")).drop("text")
+
+
+def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
+
+
+def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def _dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir))
+
+
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.dedup import simhash_pairs, simhash_signatures
+
+    return simhash_pairs(simhash_signatures(_docs(spark, sf_dir)), max_hamming=3)
+
+
+def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.similarity import embedding_near_pairs
+
+    return embedding_near_pairs(_emb(spark, sf_dir), threshold=0.44)
+
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.multimodal import binary_meta
+
+    return binary_meta(_pages(spark, sf_dir))
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.multimodal import extract_features
+
+    return extract_features(_pages(spark, sf_dir), fake_decode=True)
+
+
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -255,6 +352,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": _rollup_pricing,
         "sessionize_events": _sessionize_events,
         "events_hourly": _events_hourly,
+        "text_quality": _text_quality,
+        "lang_id": _lang_id,
+        "token_stats": _token_stats,
+        "doc_fingerprint": _doc_fingerprint,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_pairs": _dedup_ngram_pairs,
+        "dedup_minhash_pairs": _dedup_minhash_pairs,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_pairs": _dedup_simhash_pairs,
+        "dedup_embedding_pairs": _dedup_embedding_pairs,
+        "ann_topk": _ann_topk,
+        "ann_lsh_topk": _ann_lsh_topk,  # no oracle: LSH recall tested in pytest
+        "mm_binary_meta": _mm_binary_meta,
+        "mm_features": _mm_features,  # no oracle: fake-decode plumbing check
     }
 
 
@@ -313,6 +424,119 @@ _ENVELOPE_EXPR = """
 """
 
 _PARSE_FAIL_EXPR = "substr(line, 1, 1) IN ('{', '[') AND NOT json_valid(line)"
+
+
+# --------------------------- training-data oracle SQL builders (DuckDB) ----
+
+def _sql_in(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _lang_id_sql() -> str:
+    from logport_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n          ".join(
+        f"len(list_filter(string_split(text,' '), t -> t IN ({_sql_in(LANG_MARKERS[l])}))) AS s_{l}"
+        for l in langs
+    )
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN g = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = g THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+        WITH s AS (
+          SELECT doc_id, lang,
+          {scores}
+          FROM documents
+        ), m AS (SELECT doc_id, lang, {g} AS g, * EXCLUDE (doc_id, lang) FROM s)
+        SELECT doc_id, lang, {case} AS pred_lang, g AS marker_hits FROM m
+    """
+
+
+def _quality_sql() -> str:
+    from logport_spark.operators.textstats import STOPWORDS
+
+    return f"""
+        WITH base AS (
+          SELECT doc_id, length(text) AS q_chars,
+                 len(string_split(text,' ')) AS q_tokens,
+                 len(list_filter(string_split(text,' '),
+                     t -> t IN ({_sql_in(STOPWORDS)}))) AS n_stop,
+                 length(text) - length(regexp_replace(text,'[a-zA-Z]','','g')) AS n_alpha
+          FROM documents
+        ), r AS (
+          SELECT doc_id, q_chars, q_tokens,
+                 n_stop * 1.0 / greatest(q_tokens, 1) AS sr,
+                 n_alpha * 1.0 / greatest(q_chars, 1) AS ar,
+                 least(q_tokens / 100.0, 1.0) AS ls
+          FROM base)
+        SELECT doc_id, q_chars, q_tokens, round(sr, 4) AS stop_ratio,
+               round(ar, 4) AS alpha_ratio,
+               round(0.4 * least(sr * 5, 1.0) + 0.3 * ar + 0.3 * ls, 4) AS quality_score
+        FROM r
+    """
+
+
+_SHINGLE3_CTE = """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS sh
+       FROM t, unnest(range(1, greatest(len(toks)-2,0)+1)) AS r(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+"""
+
+_JACCARD_PAIRS_SQL = _SHINGLE3_CTE + """
+SELECT d1, d2, round(common * 1.0 / (s1.n + s2.n - common), 4) AS jaccard
+FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE common * 1.0 / (s1.n + s2.n - common) >= 0.8
+"""
+
+_SIMHASH_CTE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+h AS (SELECT doc_id, md5(t) AS h FROM tok),
+bits AS (SELECT doc_id, h, unnest(range(0, 60)) AS j FROM h),
+v AS (SELECT doc_id, j,
+        sum(CASE WHEN (strpos('0123456789abcdef', substr(h, CAST(j//4 AS INT)+1, 1)) - 1)
+                      & (1 << CAST(j % 4 AS INT)) > 0
+                 THEN 1 ELSE -1 END) AS s
+      FROM bits GROUP BY 1, 2),
+sig AS (SELECT doc_id,
+          CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                        ELSE 0 END) AS BIGINT) AS simhash
+        FROM v GROUP BY 1)
+"""
+
+_EMB_NORM_CTE = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+n AS (SELECT vec_id,
+        sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      FROM e)
+"""
+
+_DOT64 = (
+    "list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    "FOR i IN range(1, 65)])"
+)
+
+
+def _mm_meta_sql() -> str:
+    from logport_spark.operators.multimodal import MAGIC
+
+    cases = " ".join(
+        f"WHEN substr(hex(html), 1, {len(m) * 2}) = '{m.hex().upper()}' THEN '{name}'"
+        for m, name in MAGIC.items()
+    )
+    return f"""
+        SELECT url, octet_length(html) AS byte_len,
+               substr(hex(html), 1, 16) AS magic_hex,
+               CASE {cases} ELSE 'bin' END AS sniffed_type,
+               NOT contains(hex(html), 'FFFE') AS is_utf8
+        FROM {_PAGES}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -460,4 +684,68 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "text_quality": _quality_sql(),
+        "lang_id": _lang_id_sql(),
+        "token_stats": r"""
+            SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                       AS bpe_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, text,
+                    [array_to_string(toks[i:i+4],' ')
+                     FOR i IN range(1, greatest(len(toks)-4,0)+1)] AS sh
+                  FROM t)
+            SELECT doc_id,
+                   coalesce(list_min(list_transform(sh, x -> md5(x))), md5(text))
+                       AS fingerprint,
+                   len(sh) AS n_shingles
+            FROM s
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_pairs": _JACCARD_PAIRS_SQL,
+        # MinHash+LSH must reproduce the exact high-threshold pair set —
+        # same oracle as the exact-Jaccard op (LSH adds no false negatives
+        # at J≥0.9 with 16 bands × 4 rows; verified in pytest)
+        "dedup_minhash_pairs": _JACCARD_PAIRS_SQL,
+        "dedup_simhash": _SIMHASH_CTE + "SELECT doc_id, simhash FROM sig",
+        "dedup_simhash_pairs": _SIMHASH_CTE + """
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "dedup_embedding_pairs": _EMB_NORM_CTE + f"""
+            , p AS (
+              SELECT a.vec_id AS d1, b.vec_id AS d2,
+                     {_DOT64.format(a='a.embedding', b='b.embedding')} AS dot
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT d1, d2, round(dot / (n1.nm * n2.nm), 4) AS cos
+            FROM p JOIN n n1 ON n1.vec_id = d1 JOIN n n2 ON n2.vec_id = d2
+            WHERE dot / (n1.nm * n2.nm) >= 0.44
+        """,
+        "ann_topk": _EMB_NORM_CTE + f"""
+            , q AS (SELECT vec_id AS query_id, embedding AS qe FROM e
+                    WHERE vec_id IN ({', '.join(str(i) for i in ANN_QUERY_IDS)})),
+            sc AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     {_DOT64.format(a='qe', b='e.embedding')}
+                       / (nq.nm * ne.nm) AS cos
+              FROM q JOIN e ON e.vec_id != q.query_id
+              JOIN n nq ON nq.vec_id = q.query_id
+              JOIN n ne ON ne.vec_id = e.vec_id)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM sc)
+            WHERE rank <= 10
+        """,
+        "mm_binary_meta": _mm_meta_sql(),
     }

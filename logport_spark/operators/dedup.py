@@ -1,0 +1,198 @@
+"""Deduplication family for training-data pipelines.
+
+Five strategies, each idiomatic Spark (DataFrame ops; zero Python in the hot
+path except none at all — everything is JVM expressions):
+
+- exact:        md5(text) hash-groupBy — one shuffle on the hash.
+- n-gram Jaccard: exact all-pairs similarity via shingle-explode self-join.
+  Correctness baseline; the self-join blows up on common shingles at scale,
+  which is exactly what MinHash+LSH fixes.
+- MinHash+LSH:  k=64 xxhash64 permutations → 16 bands × 4 rows → band-bucket
+  self-join yields candidates → candidates verified with exact Jaccard.
+  At 100 TB this is the scale path: the only shuffle is on (band, band_key),
+  and verification touches candidate pairs only.
+- SimHash:      60-bit signature from md5-per-token bit votes (md5 so the
+  DuckDB oracle reproduces it bit-for-bit); near-dup pairs found by the
+  4-band pigeonhole trick (hamming ≤ 3 ⇒ ≥1 of 4 15-bit bands equal) —
+  banded join, never O(n²).
+- embedding cosine: see similarity.py (shares the vector kernels).
+
+The reference has no dedup at all (SURVEY.md §2.6); logport's at-least-once
+delivery *creates* duplicates — these operators are the other half of that
+story at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import shingles_expr
+
+# ---------------------------------------------------------------- exact ----
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group identical texts (md5 key), keep min id."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------- shingles / Jaccard ----
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Distinct token n-gram shingles per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.expr(shingles_expr(text_col, n)))).alias("sh"),
+    )
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ threshold via shingle self-join.
+
+    (d1, d2, jaccard) with d1 < d2. The groupBy on (d1, d2) is the shuffle;
+    common shingles fan out the join — use minhash_lsh_pairs at scale."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    j = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(s1, "d1").join(s2, "d2")
+        .withColumn("jaccard", F.round(j, 4))
+        .filter(j >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
+    return jaccard_pairs(doc_shingles(docs, n), threshold)
+
+
+# ---------------------------------------------------------- MinHash+LSH ----
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """k min-hashes per doc: sig_i = min over shingles of xxhash64(i, sh).
+
+    xxhash64 with the permutation index as a leading literal = k independent
+    hash functions, all JVM-side; one groupBy produces the whole signature."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingles.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidates(sig: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Band the signature, bucket-join docs sharing any band. (d1 < d2)."""
+    band_keys = F.array(*[
+        F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+        for b in range(bands)
+    ])
+    banded = sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                      num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """MinHash+LSH candidates, then exact-Jaccard verification of candidates
+    only. Returns (d1, d2, jaccard) — at high thresholds this equals the
+    exact all-pairs result with near-certainty, at a fraction of the join."""
+    sh = doc_shingles(docs, n).cache()
+    cands = lsh_candidates(minhash_signatures(sh, num_hashes), bands, num_hashes // bands)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # exact common-shingle counts, but only for LSH candidate pairs
+    common = (
+        cands.alias("c")
+        .join(sh.alias("x"), F.col("c.d1") == F.col("x.doc_id"))
+        .join(sh.alias("y"), (F.col("c.d2") == F.col("y.doc_id")) & (F.col("x.sh") == F.col("y.sh")))
+        .groupBy("c.d1", "c.d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    j = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
+    return (
+        common.join(s1, "d1").join(s2, "d2")
+        .withColumn("jaccard", F.round(j, 4))
+        .filter(j >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- SimHash ----
+
+SIMHASH_BITS = 60  # 15 md5 hex chars → keeps the signature positive in int64
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash from per-token md5 nibble votes.
+
+    bit j of token t = (nibble(md5(t)[j/4]) >> (j%4)) & 1; per-doc bit j is
+    the sign of sum(2*bit-1) over tokens (with multiplicity). md5 + integer
+    ops only, so the SQL oracle reproduces the signature exactly."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    bits = toks.select(
+        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
+    )
+    nibble = F.conv(F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1), 16, 10).cast("int")
+    bit = nibble.bitwiseAND(F.expr("shiftleft(1, cast(j % 4 as int))"))
+    vote = F.when(bit > 0, 1).otherwise(-1)
+    votes = bits.withColumn("v", vote).groupBy("doc_id", "j").agg(F.sum("v").alias("s"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by banded SimHash: hamming ≤ 3 over 60 bits ⇒ at least
+    one of four 15-bit bands is equal (pigeonhole), so a 4-band bucket join
+    finds all such pairs with NO O(n²) comparison."""
+    bands = F.array(*[
+        F.shiftright(F.col("simhash"), 15 * k).bitwiseAND(F.lit(0x7FFF)) for k in range(4)
+    ])
+    banded = sig.select("doc_id", "simhash", F.posexplode(bands).alias("band", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+                F.col("a.simhash").alias("s1"), F.col("b.simhash").alias("s2"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -1,0 +1,92 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as `binary` columns exactly the
+way the `html` column does in the input_hint schema. The Spark-side plumbing
+(schema, Arrow batch shape, mapInPandas signatures, partitioning) is real
+and tested; the actual media decode is STUBBED — the decode libraries
+(Pillow/ffmpeg/librosa) are not in this container, so `decode_media` raises
+NotImplementedError unless the deterministic fake decoder is requested.
+
+Metadata extraction (byte length, magic-byte sniffing, UTF-8 validity) is
+pure-JVM / vectorized and runs for real.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"GIF8": "gif",
+    b"RIFF": "riff",
+    b"<!DO": "html",
+    b"<htm": "html",
+}
+
+META_DDL = (
+    "url string, byte_len long, magic_hex string, sniffed_type string, "
+    "is_utf8 boolean"
+)
+
+
+def binary_meta(pages: DataFrame, bin_col: str = "html") -> DataFrame:
+    """Typed metadata over the opaque binary column — JVM expressions only.
+
+    utf8-validity probe: Spark decodes invalid bytes with replacement, so we
+    detect the datagen's invalid marker bytes (\\xff\\xfe — never valid UTF-8)
+    via hex scan; magic sniffing via prefix compare."""
+    prefix = F.hex(F.expr(f"substring({bin_col}, 1, 4)"))
+    sniff = F.lit("bin")
+    for magic, name in MAGIC.items():
+        sniff = F.when(
+            prefix.startswith(magic.hex().upper()[: len(magic) * 2]), F.lit(name)
+        ).otherwise(sniff)
+    return pages.select(
+        "url",
+        F.octet_length(F.col(bin_col)).alias("byte_len"),
+        F.hex(F.expr(f"substring({bin_col}, 1, 8)")).alias("magic_hex"),
+        sniff.alias("sniffed_type"),
+        (~F.hex(F.col(bin_col)).contains("FFFE")).alias("is_utf8"),
+    )
+
+
+def decode_media(payload: bytes, kind: str, fake: bool = False) -> dict:
+    """Decode one media payload. REAL decode is stubbed in this container."""
+    if not fake:
+        raise NotImplementedError(
+            "media decode requires Pillow/ffmpeg — not available in this "
+            "container; pass fake=True for the deterministic fake decoder"
+        )
+    # deterministic fake: 'dimensions' derived from payload bytes
+    h = sum(payload[:16]) if payload else 0
+    return {"width": 16 + h % 64, "height": 16 + (h // 64) % 64, "frames": 1 + len(payload) % 4}
+
+
+FEATURES_DDL = "url string, width int, height int, frames int, feat array<float>"
+
+
+def extract_features(pages: DataFrame, bin_col: str = "html",
+                     fake_decode: bool = True, n_feat: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: the real Spark plumbing for a media
+    pipeline (Arrow batches of binary → struct metadata + feature vector).
+    The decode inside is the deterministic fake unless real libs exist."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[bin_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = decode_media(payload, "image", fake=fake_decode)
+                feat = [
+                    float((sum(payload[i::n_feat]) % 997) / 997.0) if payload else 0.0
+                    for i in range(n_feat)
+                ]
+                rows.append({"url": url, **meta, "feat": feat})
+            yield pd.DataFrame(rows, columns=["url", "width", "height", "frames", "feat"])
+
+    return pages.select("url", bin_col).mapInPandas(run, FEATURES_DDL)

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the correctness baseline. Dot products run
+  JVM-side via higher-order functions (zip_with + aggregate) in DOUBLE
+  precision (bit-comparable with the SQL oracle); ranking ties broken by
+  neighbor id so results are deterministic.
+- Random-hyperplane LSH ANN: the scale path. Signatures are computed in ONE
+  vectorized pandas UDF (numpy matmul over Arrow batches — no per-row
+  Python); docs sharing any of L band buckets become candidates, reranked
+  exactly. At 10^12 rows the bucket join replaces the O(n·q) scan.
+- Embedding near-dup pairs: brute self-join cosine ≥ threshold (the
+  embedding leg of the dedup family, operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LSH_SEED = 42
+
+
+def _as_double(col: str):
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2 norm in double precision (JVM aggregate)."""
+    return df.withColumn(
+        "_vecd", _as_double(vec_col)
+    ).withColumn(
+        "norm",
+        F.sqrt(F.expr("aggregate(_vecd, cast(0.0 as double), (acc, x) -> acc + x * x)")),
+    )
+
+
+def _dot(a: str, b: str):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k: (query_id, neighbor_id, cos, rank).
+
+    One broadcast of the (tiny) query set against the corpus — no shuffle on
+    the corpus side except the per-query top-k aggregation."""
+    from pyspark.sql import Window
+
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_vecd").alias("nv"), F.col("norm").alias("nn")
+    )
+    q = with_norm(emb.filter(F.col(id_col).isin(query_ids)), vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_vecd").alias("qv"), F.col("norm").alias("qn")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", _dot("qv", "nv") / (F.col("qn") * F.col("nn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
+def embedding_near_pairs(emb: DataFrame, threshold: float = 0.44,
+                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs (d1 < d2, cos ≥ threshold)."""
+    n = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col("_vecd").alias("v"), F.col("norm").alias("nm")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = _dot("a.v", "b.v") / (F.col("a.nm") * F.col("b.nm"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"),
+                F.round("cos", 4).alias("cos"))
+    )
+
+
+# ------------------------------------------------------------- LSH ANN ----
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = LSH_SEED) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (seed-fixed)."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_signatures(emb: DataFrame, dim: int = 64, n_tables: int = 16,
+                   bits_per_table: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane signatures: L tables × b bits, one numpy matmul per
+    Arrow batch (vectorized pandas UDF — the only Python, and it is batched)."""
+    planes = hyperplanes(dim, n_tables * bits_per_table)
+    weights = (1 << np.arange(bits_per_table)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes.T) > 0  # (batch, L*b)
+        bits = bits.reshape(len(m), n_tables, bits_per_table)
+        keys = (bits * weights).sum(axis=2)  # (batch, L)
+        return pd.Series(list(keys))
+
+    return emb.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("v"),
+                      sig_udf(F.col(vec_col)).alias("sig"))
+
+
+def ann_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+                 dim: int = 64, n_tables: int = 16, bits_per_table: int = 4,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed ANN: candidates = corpus rows sharing ≥1 table bucket
+    with the query, exact cosine rerank of candidates only."""
+    from pyspark.sql import Window
+
+    sigs = lsh_signatures(emb, dim, n_tables, bits_per_table, id_col, vec_col)
+    banded = sigs.select("doc_id", "v", F.posexplode("sig").alias("t", "key"))
+    qb = (
+        banded.filter(F.col("doc_id").isin(query_ids))
+        .select(F.col("doc_id").alias("query_id"), F.col("v").alias("qv"), "t", "key")
+    )
+    cands = (
+        banded.join(F.broadcast(qb), ["t", "key"])
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("doc_id").alias("neighbor_id"), F.col("v").alias("nv"))
+        .distinct()
+    )
+    qn = F.sqrt(F.expr("aggregate(transform(qv, x->cast(x as double)), cast(0.0 as double), (a,x)->a+x*x)"))
+    nn = F.sqrt(F.expr("aggregate(transform(nv, x->cast(x as double)), cast(0.0 as double), (a,x)->a+x*x)"))
+    dot = F.expr(
+        "aggregate(zip_with(transform(qv, x->cast(x as double)), transform(nv, x->cast(x as double)),"
+        " (x,y)->x*y), cast(0.0 as double), (a,v)->a+v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("cos", dot / (qn * nn))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    )

@@ -1,0 +1,123 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting.
+
+All four are pure JVM-side column expressions (no Python in the hot path) —
+built from `split`/lambda higher-order functions/`regexp_count`/`md5` so
+they whole-stage-codegen and scale linearly with no shuffle. Each has an
+ANSI-SQL oracle equivalent (DuckDB lambdas + md5 match bit-for-bit).
+
+These extend the reference's scope: logport ships log lines but never
+analyzes them (SURVEY.md §2.6 gap analysis); a 100 TB Common-Crawl pipeline
+needs these stages between parse and route.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker dictionaries for the n-gram/stopword language heuristic;
+# scoring = occurrence count of marker tokens, argmax with lexicographic
+# tiebreak, 'und' when all scores are zero
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "a", "of", "to"),
+    "de": ("der", "und", "die", "das", "nicht"),
+    "es": ("los", "pero", "las", "que", "para"),
+    "fr": ("les", "dans", "des", "une", "pour"),
+    "pt": ("nao", "uma", "com", "mais", "por"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "for", "on", "it")
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _tokens(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _marker_hits(markers: tuple[str, ...], text_col: str = "text") -> Column:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({lst})))")
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax marker-token hits, ties → lexicographic
+    smallest lang, all-zero → 'und'."""
+    scored = df
+    for lang, markers in LANG_MARKERS.items():
+        scored = scored.withColumn(f"_s_{lang}", _marker_hits(markers, text_col))
+    best = F.greatest(*[F.col(f"_s_{l}") for l in LANG_MARKERS])
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (best > 0) & (F.col(f"_s_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    out = scored.withColumn("pred_lang", pred).withColumn("marker_hits", best)
+    return out.drop(*[f"_s_{l}" for l in LANG_MARKERS])
+
+
+def quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length/stopword/alpha/symbol ratios → [0,1] score.
+
+    score = 0.4*stopword_signal + 0.3*alpha_ratio + 0.3*length_signal, all
+    computable identically in ANSI SQL (the oracle) — rounded to 4 decimals
+    to pin float formatting across engines."""
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({sw})))")
+    n_alpha = n_chars - F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z]", ""))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    len_signal = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * len_signal
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (JVM regexp_count)."""
+    return df.select(
+        "*",
+        F.size(_tokens(text_col)).alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_REGEX)).alias("bpe_tokens"),
+    )
+
+
+def shingles_expr(text_col: str, n: int) -> str:
+    """SQL expr: array of n-gram token shingles (space-joined).
+
+    Guarded for docs shorter than n tokens — Spark's sequence(1, 0) counts
+    DOWN ([1, 0]), so an unguarded expression would emit bogus shingles."""
+    toks = f"split({text_col},' ')"
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> array_join(slice({toks}, i, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Document fingerprint: lexicographic-min md5 over token n-gram shingles
+    (a deterministic winnowing-style rolling-hash selection; md5 is identical
+    in the JVM and the SQL oracle). Short docs (<n tokens) → md5 of text."""
+    sh = shingles_expr(text_col, n)
+    fp = F.expr(
+        f"coalesce(array_min(transform({sh}, s -> md5(s))), md5({text_col}))"
+    )
+    n_sh = F.expr(f"size({sh})")
+    return df.select("*", fp.alias("fingerprint"), n_sh.alias("n_shingles"))

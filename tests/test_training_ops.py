@@ -1,0 +1,111 @@
+"""Training-data operator tests: dedup equivalences, ANN recall, multimodal
+plumbing, short-doc guards. Runs on driver testdata sf0.001 (500 docs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_minhash_lsh_equals_exact_pairs(spark, docs):
+    """At the high-threshold regime, LSH candidates verified by exact Jaccard
+    must reproduce the exact all-pairs result (no false negatives)."""
+    from logport_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {(r.d1, r.d2) for r in ngram_jaccard_pairs(docs, 3, 0.8).collect()}
+    lsh = {(r.d1, r.d2) for r in minhash_lsh_pairs(docs, 3, 0.8).collect()}
+    assert exact, "corpus should contain planted near-dups"
+    assert lsh == exact
+
+
+def test_simhash_near_dups_align_with_jaccard(spark, docs):
+    """Docs that are Jaccard near-dups should also be SimHash-close."""
+    from logport_spark.operators.dedup import (
+        ngram_jaccard_pairs, simhash_pairs, simhash_signatures,
+    )
+
+    jac = {(r.d1, r.d2) for r in ngram_jaccard_pairs(docs, 3, 0.9).collect()}
+    sim = {(r.d1, r.d2) for r in
+           simhash_pairs(simhash_signatures(docs), max_hamming=3).collect()}
+    assert jac
+    # SimHash at hamming<=3 should recover most very-high-Jaccard pairs
+    assert len(jac & sim) / len(jac) >= 0.6
+
+
+def test_ann_lsh_recall(spark, emb):
+    """LSH ANN recall@10 vs brute force — candidates from 8 tables x 8 bits."""
+    from logport_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    qids = [0, 1, 2, 3, 4]
+    bf = cosine_topk(emb, qids, k=10).collect()
+    lsh = ann_lsh_topk(emb, qids, k=10).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    lsh_set = {(r.query_id, r.neighbor_id) for r in lsh}
+    recall = len(bf_set & lsh_set) / len(bf_set)
+    assert recall >= 0.5, f"recall@10 = {recall}"
+    # scores for overlapping pairs must agree (same exact rerank kernel)
+    bf_cos = {(r.query_id, r.neighbor_id): r.cos for r in bf}
+    for r in lsh:
+        k = (r.query_id, r.neighbor_id)
+        if k in bf_cos:
+            assert abs(bf_cos[k] - r.cos) < 1e-9
+
+
+def test_exact_dedup_groups(spark, docs):
+    from logport_spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(docs)
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
+
+
+def test_shingles_short_doc_guard(spark):
+    """Docs shorter than n tokens must yield zero shingles, not garbage."""
+    from logport_spark.operators.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in fingerprint(df, n=5).collect()}
+    assert rows[1].n_shingles == 0
+    assert rows[1].fingerprint is not None  # falls back to md5(text)
+    assert rows[2].n_shingles == 2
+
+
+def test_multimodal_stub_and_plumbing(spark, pages_small):
+    from logport_spark.operators.multimodal import decode_media, extract_features
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG....", "image", fake=False)
+    out = extract_features(pages_small.limit(50), fake_decode=True)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r.feat) == 8 for r in rows)
+    assert all(16 <= r.width < 80 for r in rows)
+    # deterministic: same input -> same features
+    again = extract_features(pages_small.limit(50), fake_decode=True).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_lang_id_deterministic_tiebreak(spark):
+    from logport_spark.operators.textstats import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "xx", "the der"),   # en=1, de=1 -> tie -> 'de' (lexicographic)
+         (2, "xx", "zzz qqq")],  # no markers -> 'und'
+        "doc_id long, lang string, text string",
+    )
+    rows = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert rows[1] == "de"
+    assert rows[2] == "und"

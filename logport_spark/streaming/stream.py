@@ -1,0 +1,111 @@
+"""Structured Streaming variant of the pipeline (SURVEY.md §7 P6).
+
+The batch DAG is reused VERBATIM inside foreachBatch — the streaming layer
+only adds incremental file discovery (logport's inotify analog,
+src/InotifyWatcher.cc:252-510), checkpointed progress (the offset ledger
+analog, src/Watch.cc:180-200), and watermarked event-time windows for the
+telemetry cadences (src/Inspector.cc:36-55).
+
+Design notes for scale:
+- `maxFilesPerTrigger` bounds micro-batch size = the reference's bounded
+  in-flight queue / backpressure (src/KafkaProducer.cc:385-423).
+- foreachBatch + per-sink append writes = the multi-target fan-out
+  (src/HttpProducer.cc:196-224); each micro-batch write is atomic per sink
+  directory, checkpoint commits after — the same ledger-last ordering as
+  plans/ledger.py, giving effective exactly-once into the sink tables.
+- Watermark on warc_ts bounds state for late pages; window aggregates emit
+  per (window, sink) — the streaming twin of sink_metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import parsed_routed
+
+SINK_COLS = ["url", "line_no", "record", "record_bytes", "parse_fail", "sink"]
+
+
+def pages_stream(spark: SparkSession, pages_dir: str, max_files: int = 2) -> DataFrame:
+    """Incremental scan: new parquet files under pages_dir become micro-batches
+    (the inotify IN_MODIFY analog)."""
+    schema = spark.read.parquet(pages_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(pages_dir)
+    )
+
+
+def run_stream_pipeline(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files: int = 2,
+) -> None:
+    """Run the full parse→enrich→route DAG incrementally until no new files
+    remain (availableNow), appending per-sink partitions."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        routed = parsed_routed(batch_df.sparkSession, batch_df)
+        (
+            routed.select(*SINK_COLS)
+            .write.mode("append")
+            .partitionBy("sink")
+            .parquet(out_dir + "/sinks")
+        )
+
+    q = (
+        pages_stream(spark, pages_dir, max_files)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_sink_counts(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "windowed_sink_counts",
+    watermark: str = "1 hour",
+    window: str = "1 day",
+    max_files: int = 2,
+):
+    """Watermarked tumbling-window rows-routed per sink, into a memory sink.
+
+    The event-time twin of sink_metrics: late pages beyond the watermark are
+    dropped from state; windows emit as (window_start, window_end, sink, n)."""
+    from ..operators import enrich as E
+    from ..operators import parse as P
+    from ..operators import route as R
+
+    src = pages_stream(spark, pages_dir, max_files)
+    lines = P.explode_lines(src)
+    lookups = E.load_lookups(spark)
+    routed = R.resolve_route(E.enrich(E.with_domain(lines), lookups), lookups["routes"])
+    agg = (
+        routed.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "sink")
+        .agg(F.count(F.lit(1)).alias("rows_routed"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sink",
+            "rows_routed",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

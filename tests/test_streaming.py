@@ -1,0 +1,67 @@
+"""Streaming variant: micro-batched run must equal the batch run exactly,
+and watermarked windows must equal the batch window aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from logport_spark import datagen
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    """Multi-file pages dir so availableNow produces several micro-batches."""
+    import pandas as pd
+
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    pdf = pd.DataFrame(datagen.gen_docs(range(300)))
+    df = spark.createDataFrame(pdf, schema=datagen.PAGES_DDL)
+    df.repartition(6).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_equals_batch(spark, pages_dir, tmp_path_factory):
+    from logport_spark.plans.pipeline import parsed_routed
+    from logport_spark.streaming.stream import SINK_COLS, run_stream_pipeline
+
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    run_stream_pipeline(spark, pages_dir, out, ckpt, max_files=2)
+    got = spark.read.parquet(out + "/sinks").select(*SINK_COLS)
+    want = parsed_routed(spark, spark.read.parquet(pages_dir)).select(*SINK_COLS)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_stream_restart_is_exactly_once(spark, pages_dir, tmp_path_factory):
+    """Re-starting the stream over the same checkpoint adds nothing."""
+    from logport_spark.streaming.stream import run_stream_pipeline
+
+    out = str(tmp_path_factory.mktemp("stream_out2"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt2"))
+    run_stream_pipeline(spark, pages_dir, out, ckpt, max_files=3)
+    n1 = spark.read.parquet(out + "/sinks").count()
+    run_stream_pipeline(spark, pages_dir, out, ckpt, max_files=3)
+    assert spark.read.parquet(out + "/sinks").count() == n1
+
+
+def test_windowed_counts_match_batch(spark, pages_dir, tmp_path_factory):
+    from logport_spark.operators import enrich as E
+    from logport_spark.operators import parse as P
+    from logport_spark.operators import route as R
+    from logport_spark.streaming.stream import windowed_sink_counts
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt3"))
+    got = windowed_sink_counts(spark, pages_dir, ckpt, query_name="wtest")
+    lines = P.explode_lines(spark.read.parquet(pages_dir))
+    lookups = E.load_lookups(spark)
+    routed = R.resolve_route(E.enrich(E.with_domain(lines), lookups), lookups["routes"])
+    want = (
+        routed.groupBy(F.window("warc_ts", "1 day").alias("w"), "sink")
+        .agg(F.count(F.lit(1)).alias("rows_routed"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "sink", "rows_routed")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -80,10 +80,9 @@ def pipeline_throughput(spark, sf: str) -> tuple[float, int, int]:
     pages = spark.read.parquet(path)
     n_pages = pages.count()
     t0 = time.time()
-    routed = parsed_routed(spark, pages)
-    _force(sink_metrics(routed))
-    n_records = routed.count()
+    metrics = sink_metrics(parsed_routed(spark, pages)).collect()
     dt = time.time() - t0
+    n_records = sum(r["rows_routed"] for r in metrics)
     return dt, n_pages, n_records
 
 

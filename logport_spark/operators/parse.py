@@ -64,6 +64,9 @@ def explode_lines(pages: DataFrame, keep_cols: tuple[str, ...] = ("url", "warc_t
     ).filter(F.length("line") > 0)
 
 
+_SPECIALS = set('"\\') | {chr(i) for i in range(32)}  # chars forcing real escaping
+
+
 @F.pandas_udf(ENVELOPE_RESULT)
 def envelope_udf(
     line: pd.Series,
@@ -73,40 +76,59 @@ def envelope_udf(
     prd: pd.Series,
     log_type: pd.Series,
 ) -> pd.DataFrame:
-    """Arrow-vectorized envelope builder (P3+P4). One batch in, one out."""
+    """Arrow-vectorized envelope builder (P3+P4). One batch in, one out.
+
+    Keys serialize in sorted order (@timestamp < host < log/log_obj <
+    log_type < prd < source — '@' precedes letters, 'log_o' < 'log_t'), so
+    the envelope is assembled by direct string concatenation; json.dumps of
+    a full dict runs never, json.loads/dumps only for `{`/`[` payloads.
+    The (host, prd, log_type) fragments are route constants — a handful of
+    distinct values per batch — and are memoized. host/prd/log_type arrive
+    as (possibly null) per-row columns from the broadcast-joined route;
+    empty/null ⇒ key omitted (src/Watch.cc:406-410)."""
     dumps = json.dumps
     loads = json.loads
+    specials = _SPECIALS
+
+    def jq(x: str) -> str:  # json string-encode, fast path for plain strings
+        return dumps(x, ensure_ascii=False) if specials.intersection(x) else '"' + x + '"'
+
     records = []
     is_objs = []
     fails = []
-    # host/prd/log_type arrive as (possibly null) per-row columns from the
-    # broadcast-joined route; empty/null ⇒ key omitted (src/Watch.cc:406-410)
+    cache: dict = {}
     for ln, t, h, s, p, lt in zip(
         line.to_numpy(), ts.to_numpy(), host.to_numpy(), source.to_numpy(),
         prd.to_numpy(), log_type.to_numpy(),
     ):
-        env = {"@timestamp": t}
-        if h:
-            env["host"] = h
-        if s:
-            env["source"] = s
-        if p:
-            env["prd"] = p
-        if lt:
-            env["log_type"] = lt
+        k = (h, p, lt)
+        parts = cache.get(k)
+        if parts is None:
+            hp = ',"host":' + dumps(h, ensure_ascii=False) if h else ""
+            sufa = (',"log_type":' + dumps(lt, ensure_ascii=False) if lt else "") + (
+                ',"prd":' + dumps(p, ensure_ascii=False) if p else ""
+            )
+            parts = (hp, sufa)
+            cache[k] = parts
+        hp, sufa = parts
         is_obj = False
         fail = False
         c = ln[0] if ln else ""
         if c == "{" or c == "[":
             try:
-                env["log_obj"] = loads(ln)
+                mid = ',"log_obj":' + dumps(
+                    loads(ln), sort_keys=True, separators=(",", ":"), ensure_ascii=False
+                )
                 is_obj = True
             except ValueError:
-                env["log"] = ln
+                mid = ',"log":' + jq(ln)
                 fail = True
         else:
-            env["log"] = ln
-        records.append(dumps(env, sort_keys=True, separators=(",", ":"), ensure_ascii=False))
+            mid = ',"log":' + jq(ln)
+        records.append(
+            '{"@timestamp":"' + t + '"' + hp + mid + sufa
+            + (',"source":' + jq(s) if s else "") + "}"
+        )
         is_objs.append(is_obj)
         fails.append(fail)
     return pd.DataFrame({"record": records, "is_obj": is_objs, "parse_fail": fails})

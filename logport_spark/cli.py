@@ -1,0 +1,145 @@
+"""Control-plane CLI — the Spark analog of logport's command surface.
+
+logport's dispatcher (src/LogPort.cc:591-941) exposes service management
+(install/start/stop), watch management (watch/unwatch/watches), settings
+(set/unset/settings), and inspection. Process babysitting is subsumed by the
+Spark job lifecycle, so what remains is:
+
+    python -m logport_spark.cli run     --pages <dir> --out <dir> [--run-id r1]
+    python -m logport_spark.cli resume  --pages <dir> --out <dir> [--run-id r2]
+    python -m logport_spark.cli status  --out <dir>       # ledger summary
+    python -m logport_spark.cli routes                    # `logport watches`
+    python -m logport_spark.cli settings [--set k=v ...]  # precedence demo
+    python -m logport_spark.cli bench [--scaling]
+
+`run` processes only un-committed buckets (so `run` after a crash IS
+`resume`; the two verbs exist for operator familiarity). Packaged for
+spark-submit: `spark-submit --py-files logport_spark.zip -m logport_spark.cli ...`
+works because everything here is pure PySpark."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(cpus: int | None = None):
+    from .session import get_spark
+
+    return get_spark("logport_spark_cli", cpus=cpus)
+
+
+def cmd_run(args) -> int:
+    from .plans import ledger as L
+
+    spark = _spark(args.cpus)
+    pages = spark.read.parquet(args.pages)
+    run_id = args.run_id or f"run_{int(time.time())}"
+    t0 = time.time()
+    rows = L.run_with_ledger(spark, pages, args.out, run_id=run_id,
+                             n_buckets=args.buckets).collect()
+    n = sum(r["rows_routed"] for r in rows)
+    b = sum(r["bytes_shipped"] for r in rows)
+    f = sum(r["parse_failures"] for r in rows)
+    print(json.dumps({
+        "run_id": run_id, "buckets_committed": len(rows), "rows_routed": n,
+        "bytes_shipped": b, "parse_failures": f,
+        "sec": round(time.time() - t0, 2),
+    }))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .plans import ledger as L
+
+    spark = _spark(args.cpus)
+    lg = L.read_ledger(spark, args.out)
+    total = lg.agg(
+        F.countDistinct("bucket").alias("buckets"),
+        F.sum("rows_routed").alias("rows"),
+        F.sum("bytes_shipped").alias("bytes"),
+        F.sum("parse_failures").alias("failures"),
+    ).collect()[0]
+    per_run = [r.asDict() for r in
+               lg.groupBy("run_id").agg(
+                   F.count(F.lit(1)).alias("buckets"),
+                   F.sum("rows_routed").alias("rows")).orderBy("run_id").collect()]
+    print(json.dumps({
+        "committed_buckets": total["buckets"] or 0,
+        "rows_routed": total["rows"] or 0,
+        "bytes_shipped": total["bytes"] or 0,
+        "parse_failures": total["failures"] or 0,
+        "runs": per_run,
+    }))
+    return 0
+
+
+def cmd_routes(_args) -> int:
+    """`logport watches` analog: print the routing table."""
+    from .config import ROUTES
+
+    for r in ROUTES:
+        print(f"{r.id}\t{r.route_key}\t{r.sink}\t{r.producer_type}\t"
+              f"{r.brokers}\t{r.product_code or '-'}\t{r.log_type or '-'}\t{r.hostname}")
+    return 0
+
+
+def cmd_settings(args) -> int:
+    """Settings with env > set > default precedence (src/LogPort.cc:961-1048)."""
+    from .config import Settings
+
+    s = Settings()
+    for kv in args.set or []:
+        k, _, v = kv.partition("=")
+        s.values[k] = v
+    keys = sorted(set(s.defaults) | set(s.values))
+    for k in keys:
+        print(f"{k}={s.get(k)}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    cmd = [sys.executable, "bench.py"] + (["--scaling"] if args.scaling else [])
+    return subprocess.call(cmd)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="logport_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--cpus", type=int, default=None)
+
+    for verb in ("run", "resume"):
+        sp = sub.add_parser(verb)
+        sp.add_argument("--pages", required=True)
+        sp.add_argument("--out", required=True)
+        sp.add_argument("--run-id", default=None)
+        sp.add_argument("--buckets", type=int, default=64)
+        common(sp)
+        sp.set_defaults(fn=cmd_run)
+    sp = sub.add_parser("status")
+    sp.add_argument("--out", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_status)
+    sp = sub.add_parser("routes")
+    sp.set_defaults(fn=cmd_routes)
+    sp = sub.add_parser("settings")
+    sp.add_argument("--set", action="append")
+    sp.set_defaults(fn=cmd_settings)
+    sp = sub.add_parser("bench")
+    sp.add_argument("--scaling", action="store_true")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

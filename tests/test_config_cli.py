@@ -1,0 +1,67 @@
+"""Config model + CLI surface tests (no Spark needed for most)."""
+
+from __future__ import annotations
+
+import pytest
+
+from logport_spark.config import Settings, validate_scheme_consistency
+from logport_spark import cli
+
+
+def test_scheme_consistency():
+    """Mirrors src/UrlList.cc:35-63 + src/Watch.cc:122-134 semantics."""
+    assert validate_scheme_consistency("kafka://k1:9092,kafka://k2:9092") == "KAFKA"
+    assert validate_scheme_consistency("https://a/logs,https://b/logs") == "HTTP"
+    assert validate_scheme_consistency("localhost:9092") == "KAFKA"  # schemeless
+    with pytest.raises(ValueError):
+        validate_scheme_consistency("kafka://k1:9092,https://b/logs")
+
+
+def test_settings_precedence(monkeypatch):
+    """env > setting > default (src/LogPort.cc:961-1048)."""
+    s = Settings()
+    assert s.get("salt.buckets", env={}) == "16"          # default
+    s.values["salt.buckets"] = "32"
+    assert s.get("salt.buckets", env={}) == "32"          # setting beats default
+    env = {"LOGPORT_SPARK_SALT_BUCKETS": "64"}
+    assert s.get("salt.buckets", env=env) == "64"         # env beats setting
+    assert s.get("nonexistent.key", env={}) is None
+
+
+def test_cli_routes(capsys):
+    assert cli.main(["routes"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 7
+    assert any("sink_default" in l for l in out)
+
+
+def test_cli_settings(capsys):
+    assert cli.main(["settings", "--set", "salt.buckets=99"]) == 0
+    out = capsys.readouterr().out
+    assert "salt.buckets=99" in out
+    assert "default.sink=sink_default" in out
+
+
+def test_cli_run_and_status(spark, pages_small, tmp_path, capsys, monkeypatch):
+    """End-to-end CLI: run over a parquet pages dir, then status."""
+    import json
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    pages_small.write.parquet(pages_dir)
+    # reuse the session fixture instead of building a new JVM
+    monkeypatch.setattr(cli, "_spark", lambda cpus=None: spark)
+    assert cli.main(["run", "--pages", pages_dir, "--out", out_dir,
+                     "--run-id", "cli1", "--buckets", "16"]) == 0
+    run_out = json.loads(capsys.readouterr().out)
+    assert run_out["rows_routed"] > 0
+    assert run_out["buckets_committed"] == 16
+    assert cli.main(["status", "--out", out_dir]) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["rows_routed"] == run_out["rows_routed"]
+    assert st["runs"][0]["run_id"] == "cli1"
+    # resume over a complete ledger: nothing to do
+    assert cli.main(["resume", "--pages", pages_dir, "--out", out_dir,
+                     "--run-id", "cli2", "--buckets", "16"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["rows_routed"] == 0 and res["buckets_committed"] == 0

@@ -1,0 +1,87 @@
+"""Scale-facing properties: skew defusal, determinism, plan quality.
+
+These encode the SURVEY.md §5 items 5-6 and the .explain() invariants the
+100 TB design depends on (pushdown, pruning, broadcast, no extra shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_salted_repartition_defuses_hot_domain(spark, pages_small):
+    """~30% of pages share one domain; after the salted repartition no
+    shuffle partition may dominate (max <= 3x mean over non-empty parts)."""
+    from logport_spark.operators.route import salted_repartition
+    from logport_spark.plans.pipeline import parsed_routed
+
+    routed = parsed_routed(spark, pages_small)
+    hot = routed.groupBy("domain").count().orderBy(F.desc("count")).first()
+    assert hot["count"] > 0.2 * routed.count()  # skew actually present
+    salted = salted_repartition(routed, buckets=16, parallelism=8)
+    sizes = [
+        r["n"] for r in
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 3 * mean, f"partition sizes: {sorted(sizes, reverse=True)[:5]}"
+
+
+def test_pipeline_deterministic(spark, pages_small):
+    """Same input -> identical record multiset across independent runs."""
+    from logport_spark.plans.pipeline import parsed_routed
+
+    def run_hash():
+        return (
+            parsed_routed(spark, pages_small)
+            .select(F.md5(F.concat_ws("\x1f", "url", "line_no", "record", "sink")).alias("h"))
+            .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")))
+            .collect()[0][0]
+        )
+
+    assert run_hash() == run_hash()
+
+
+def test_datagen_deterministic():
+    from logport_spark.datagen import gen_docs
+
+    a = gen_docs(range(50))
+    b = gen_docs(range(50))
+    assert a == b
+
+
+def test_scan_prunes_and_pushes_down(spark, tmp_path):
+    """Filter pushdown + column pruning must reach the parquet scan."""
+    from logport_spark import datagen
+
+    p = str(tmp_path / "pages")
+    import pandas as pd
+
+    pdf = pd.DataFrame(datagen.gen_docs(range(100)))
+    spark.createDataFrame(pdf, schema=datagen.PAGES_DDL).write.parquet(p)
+    df = spark.read.parquet(p).filter(F.col("lang") == "en").select("url", "lang")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    assert "html" not in plan  # binary column pruned from ReadSchema
+
+
+def test_enrich_uses_broadcast_joins(spark, pages_small):
+    """Enrichment must plan as BroadcastHashJoin (zero shuffle on the fact side)."""
+    from logport_spark.operators.enrich import enrich, load_lookups, with_domain
+
+    df = enrich(with_domain(pages_small.select("url", "lang")), load_lookups(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_parse_path_has_no_shuffle(spark, pages_small):
+    """scan -> explode -> broadcast-enrich -> envelope is exchange-free
+    (the only Exchange at scale is the explicit salted repartition)."""
+    from logport_spark.plans.pipeline import parsed_routed
+
+    plan = parsed_routed(spark, pages_small)._jdf.queryExecution().executedPlan().toString()
+    # BroadcastExchange is fine; a hash-partitioned shuffle exchange is not
+    assert "Exchange hashpartitioning" not in plan
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan

@@ -226,6 +226,41 @@ def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lp_grok_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized grok/regex parse over unstructured lines (north_rule)."""
+    from logport_spark.operators.grok import grok
+    from logport_spark.operators.parse import explode_lines
+
+    lines = explode_lines(_pages(spark, sf_dir))
+    return grok(lines).select(
+        "url", "line_no", "grok_matched", "method", "path", "status", "resp_bytes"
+    )
+
+
+def _lp_grok_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.grok import grok_summary
+    from logport_spark.operators.parse import explode_lines
+
+    return grok_summary(explode_lines(_pages(spark, sf_dir)))
+
+
+def _lp_conn_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sink connection templates incl. Basic-auth from userinfo (H3/P10)."""
+    from logport_spark.operators.enrich import load_lookups
+    from logport_spark.operators.wire import connection_templates
+
+    return connection_templates(load_lookups(spark)["routes"])
+
+
+def _lp_http_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP JSON wire batches (H2): deterministic 1000-message bodies."""
+    from logport_spark.operators.wire import batch_messages
+    from logport_spark.plans.pipeline import parsed_routed
+
+    routed = parsed_routed(spark, _pages(spark, sf_dir))
+    return batch_messages(routed.select("sink", "url", "line_no", "record"))
+
+
 # ------------------------------------------- training-data pipeline ops --
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,6 +378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_resume_anti_join": _lp_resume_anti_join,
         "lp_replay_union": _lp_replay_union,
         "lp_url_parse": _lp_url_parse,
+        "lp_grok_access": _lp_grok_access,
+        "lp_grok_summary": _lp_grok_summary,
+        "lp_conn_templates": _lp_conn_templates,
+        "lp_http_batches": _lp_http_batches,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_unshipped": _q3_top_unshipped,
         "top3_orders_per_cust": _top3_orders_per_cust,
@@ -424,6 +463,65 @@ _ENVELOPE_EXPR = """
 """
 
 _PARSE_FAIL_EXPR = "substr(line, 1, 1) IN ('{', '[') AND NOT json_valid(line)"
+
+
+# grok/wire oracle SQL — plain strings (regex braces clash with f-strings)
+_GROK_RE = r"'^(GET|POST|PUT|DELETE|HEAD) (/\S+) ([1-5][0-9]{2}) ([0-9]+)'"
+
+_GROK_ACCESS_SQL = (
+    "SELECT url, line_no, regexp_matches(line, " + _GROK_RE + ") AS grok_matched,\n"
+    "  CASE WHEN regexp_matches(line, " + _GROK_RE + ")\n"
+    "       THEN regexp_extract(line, " + _GROK_RE + ", 1) END AS method,\n"
+    "  CASE WHEN regexp_matches(line, " + _GROK_RE + ")\n"
+    "       THEN regexp_extract(line, " + _GROK_RE + ", 2) END AS path,\n"
+    "  CASE WHEN regexp_matches(line, " + _GROK_RE + ")\n"
+    "       THEN CAST(regexp_extract(line, " + _GROK_RE + ", 3) AS INT) END AS status,\n"
+    "  CASE WHEN regexp_matches(line, " + _GROK_RE + ")\n"
+    "       THEN CAST(regexp_extract(line, " + _GROK_RE + ", 4) AS BIGINT) END AS resp_bytes\n"
+    "FROM lines"
+)
+
+_GROK_SUMMARY_SQL = (
+    "SELECT regexp_extract(line, " + _GROK_RE + ", 1) AS method,\n"
+    "  CAST(floor(CAST(regexp_extract(line, " + _GROK_RE + ", 3) AS INT) / 100) AS INT)\n"
+    "      AS status_class,\n"
+    "  count(*) AS n,\n"
+    "  sum(CAST(regexp_extract(line, " + _GROK_RE + ", 4) AS BIGINT)) AS total_bytes\n"
+    "FROM lines WHERE regexp_matches(line, " + _GROK_RE + ")\n"
+    "GROUP BY 1, 2"
+)
+
+_CONN_URL_SCHEME = "lower(split_part(brokers, '://', 1))"
+_CONN_USERINFO = "regexp_extract(brokers, '^[a-zA-Z]+://(?:([^@/]+)@)?', 1)"
+
+_CONN_TEMPLATES_SQL = f"""
+    SELECT sink,
+           {_CONN_URL_SCHEME} AS scheme,
+           CASE WHEN {_CONN_URL_SCHEME} IN ('http', 'https') THEN 'HTTP'
+                ELSE 'KAFKA' END AS producer_type,
+           regexp_extract(brokers, '^[a-zA-Z]+://(?:[^@/]+@)?([^/:?#]+)', 1) AS host,
+           regexp_extract(brokers, '^[a-zA-Z]+://[^/]*(/[^?#]*)', 1) AS path,
+           CASE WHEN {_CONN_URL_SCHEME} IN ('http', 'https')
+                     AND {_CONN_USERINFO} != ''
+                THEN 'Basic ' || to_base64(encode({_CONN_USERINFO})) END AS auth_header,
+           {_CONN_URL_SCHEME} IN ('http', 'https') AS is_http
+    FROM read_parquet('{DATA}/routes/*.parquet')
+"""
+
+_HTTP_BATCHES_SQL = (
+    ", rec AS (\n"
+    "  SELECT sink, url, line_no, " + _ENVELOPE_EXPR + " AS record FROM enriched\n"
+    "), b AS (\n"
+    "  SELECT sink, url, line_no, record,\n"
+    "    CAST(floor((row_number() OVER (PARTITION BY sink ORDER BY url, line_no) - 1)\n"
+    "         / 1000) AS BIGINT) AS batch_id\n"
+    "  FROM rec)\n"
+    "SELECT sink, batch_id,\n"
+    "  '{\"messages\":[' || string_agg(record, ',' ORDER BY url, line_no)\n"
+    "    || '],\"count\":' || count(*) || '}' AS body,\n"
+    "  count(*) AS n_msgs\n"
+    "FROM b GROUP BY sink, batch_id"
+)
 
 
 # --------------------------- training-data oracle SQL builders (DuckDB) ----
@@ -610,6 +708,10 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
             FROM {_PAGES}
         """,
+        "lp_grok_access": _LINES_CTE + _GROK_ACCESS_SQL,
+        "lp_grok_summary": _LINES_CTE + _GROK_SUMMARY_SQL,
+        "lp_conn_templates": _CONN_TEMPLATES_SQL,
+        "lp_http_batches": _LINES_CTE + _ENRICHED_CTE + _HTTP_BATCHES_SQL,
         "q3_top_unshipped": """
             SELECT o_orderkey, o_orderdate,
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue

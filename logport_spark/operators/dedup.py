@@ -85,15 +85,19 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> 
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """k min-hashes per doc: sig_i = min over shingles of xxhash64(i, sh).
+    """k min-hashes per doc: sig_i = min over shingles of xxhash64(i, h64)
+    where h64 = xxhash64(sh).
 
-    xxhash64 with the permutation index as a leading literal = k independent
-    hash functions, all JVM-side; one groupBy produces the whole signature."""
+    The (possibly long) shingle string is hashed ONCE; the k permutation
+    hashes re-hash only the resulting 8-byte long — k independent hash
+    functions at a fraction of the string-hashing cost, all JVM-side; one
+    groupBy produces the whole signature."""
+    pre = shingles.withColumn("h64", F.xxhash64(F.col("sh")))
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h64"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = shingles.groupBy("doc_id").agg(*aggs)
+    sig = pre.groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )

@@ -50,8 +50,9 @@ def _headline_queries():
         "events_hourly",        # time-bucketed agg
     ]
     for opt in (
-        "dedup_exact", "dedup_minhash_pairs", "text_quality", "ann_topk",
-        "resume_anti_join", "replay_union",
+        "lp_grok_summary", "lp_http_batches", "lp_resume_anti_join",
+        "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
+        "text_quality", "doc_fingerprint", "ann_topk", "ann_lsh_topk",
     ):
         if opt in qs:
             names.append(opt)

@@ -67,6 +67,12 @@ def explode_lines(pages: DataFrame, keep_cols: tuple[str, ...] = ("url", "warc_t
 _SPECIALS = set('"\\') | {chr(i) for i in range(32)}  # chars forcing real escaping
 
 
+def json_quote(x: str) -> str:
+    """JSON string-encode with a plain-string fast path. Byte-identical to
+    json.dumps(x, ensure_ascii=False) for every input (property-tested)."""
+    return json.dumps(x, ensure_ascii=False) if _SPECIALS.intersection(x) else '"' + x + '"'
+
+
 @F.pandas_udf(ENVELOPE_RESULT)
 def envelope_udf(
     line: pd.Series,
@@ -88,10 +94,7 @@ def envelope_udf(
     empty/null ⇒ key omitted (src/Watch.cc:406-410)."""
     dumps = json.dumps
     loads = json.loads
-    specials = _SPECIALS
-
-    def jq(x: str) -> str:  # json string-encode, fast path for plain strings
-        return dumps(x, ensure_ascii=False) if specials.intersection(x) else '"' + x + '"'
+    jq = json_quote
 
     records = []
     is_objs = []

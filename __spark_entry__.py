@@ -86,8 +86,8 @@ def _lp_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logport_spark.plans import ledger as L
 
     sf = datagen.sf_of_dir(sf_dir)
-    datagen.ensure_fixtures(sf)
-    pages = _pages(spark, sf_dir).select("url")
+    pages = _pages(spark, sf_dir).select("url")  # materializes pages first …
+    datagen.ensure_fixtures(sf)  # … so url_buckets is a cheap parquet re-read
     led = spark.read.parquet(f"{DATA}/ledger_fixture")
     done = led.filter(F.col("status") == "committed").select("bucket").distinct()
     return L.with_bucket(pages, datagen.N_LEDGER_BUCKETS).join(
@@ -140,6 +140,28 @@ def _q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
+    )
+
+
+def _q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join (lineitem⋈orders⋈supplier⋈nation⋈region): Catalyst join
+    ordering + broadcast of the small dims."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter((F.col("r_name") == "ASIA")
+                & (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1997-01-01"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
     )
 
 
@@ -384,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_http_batches": _lp_http_batches,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_unshipped": _q3_top_unshipped,
+        "q5_regional_revenue": _q5_regional_revenue,
         "top3_orders_per_cust": _top3_orders_per_cust,
         "cust_without_orders": _cust_without_orders,
         "nations_with_customers": _nations_with_customers,
@@ -724,6 +747,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
+        """,
+        "q5_regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name
         """,
         "top3_orders_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

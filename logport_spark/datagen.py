@@ -266,8 +266,17 @@ def ensure_fixtures(sf: str) -> dict[str, str]:
     ub = os.path.join(DATA_DIR, f"url_buckets_sf{sf}")
     out["url_buckets"] = ub
     if not os.path.exists(os.path.join(ub, "_SUCCESS")):
-        n = SF_DOCS.get(sf, 10_000)
-        urls = [d["url"] for d in gen_docs(range(n))]
+        pages = pages_path(sf)
+        if os.path.exists(os.path.join(pages, "_SUCCESS")):
+            # Fast path: urls already materialized — column-pruned parquet read
+            # instead of re-running the full doc generator in pure Python.
+            import pyarrow.dataset as ds
+
+            urls = ds.dataset(pages, format="parquet").to_table(
+                columns=["url"]).column("url").to_pylist()
+        else:
+            n = SF_DOCS.get(sf, 10_000)
+            urls = [d["url"] for d in gen_docs(range(n))]
         _write_fixture(ub, pd.DataFrame({
             "url": urls,
             "bucket": [zlib.crc32(u.encode()) % N_LEDGER_BUCKETS for u in urls],

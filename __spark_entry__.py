@@ -165,6 +165,41 @@ def _q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi join: count orders per priority that have at least
+    one line shipped after the order date (late-shipping proxy for q4's
+    commit/receipt predicate, which this dataset lacks). The semi join keeps
+    the probe side shuffle-free of lineitem payload columns."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan+filter+agg: every predicate pushes to the parquet scan and
+    only 4 of 11 lineitem columns are read (see test_scale_properties)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+             .alias("revenue"))
+    )
+
+
 def _top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function: rank orders per customer, keep top 3."""
     from pyspark.sql import Window
@@ -406,7 +441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_http_batches": _lp_http_batches,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_unshipped": _q3_top_unshipped,
+        "q4_order_priority": _q4_order_priority,
         "q5_regional_revenue": _q5_regional_revenue,
+        "q6_forecast_revenue": _q6_forecast_revenue,
         "top3_orders_per_cust": _top3_orders_per_cust,
         "cust_without_orders": _cust_without_orders,
         "nations_with_customers": _nations_with_customers,
@@ -760,6 +797,26 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= DATE '1995-01-01'
               AND o_orderdate < DATE '1997-01-01'
             GROUP BY n_name
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1995-07-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "top3_orders_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

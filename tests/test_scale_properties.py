@@ -85,3 +85,29 @@ def test_parse_path_has_no_shuffle(spark, pages_small):
     # BroadcastExchange is fine; a hash-partitioned shuffle exchange is not
     assert "Exchange hashpartitioning" not in plan
     assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_q6_pushdown_and_pruning(spark):
+    """q6's predicates must reach the parquet scan; only the 4 referenced
+    columns may appear in ReadSchema (11-column lineitem)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["q6_forecast_revenue"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # PushedFilters is truncated in toString; assert its head + the pruned
+    # ReadSchema (exactly the 4 referenced columns of 11).
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in plan
+    assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_shipdate" in plan)
+    assert "l_orderkey" not in plan and "l_returnflag" not in plan
+
+
+def test_q4_plans_as_semi_join(spark):
+    """The EXISTS rewrite must stay a semi join (no lineitem payload columns
+    survive past the join)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["q4_order_priority"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "l_extendedprice" not in plan  # payload pruned to join keys only

@@ -13,9 +13,10 @@ Spark job lifecycle, so what remains is:
     python -m logport_spark.cli bench [--scaling]
 
 `run` processes only un-committed buckets (so `run` after a crash IS
-`resume`; the two verbs exist for operator familiarity). Packaged for
-spark-submit: `spark-submit --py-files logport_spark.zip -m logport_spark.cli ...`
-works because everything here is pure PySpark."""
+`resume`; the two verbs exist for operator familiarity). Packaged for spark-submit (tools/package_pyfiles.py builds the zip):
+`spark-submit --py-files out/logport_spark.zip tools/submit_run.py run ...`
+works because everything here is pure PySpark (tests/test_packaging.py
+proves the zip alone suffices via zipimport)."""
 
 from __future__ import annotations
 

@@ -200,6 +200,22 @@ def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation over a fact⋈dim join (q14 shape): share of
+    revenue from PROMO parts in one month. The part dim joins broadcast at
+    this scale; at 100 TB it shuffle-joins on the uniform p_partkey."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return li.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_revenue_pct"),
+        F.round(F.sum(rev), 4).alias("total_revenue"),
+    )
+
+
 def _top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function: rank orders per customer, keep top 3."""
     from pyspark.sql import Window
@@ -310,22 +326,32 @@ def _lp_conn_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lp_http_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTTP JSON wire batches (H2): deterministic 1000-message bodies."""
+    """HTTP JSON wire batches (H2): deterministic 1000-message bodies, one
+    independent sub-stream per (sink, crc32-url-bucket) — the parallel analog
+    of logport's one-producer-per-watch batching."""
     from logport_spark.operators.wire import batch_messages
+    from logport_spark.plans.ledger import with_bucket
     from logport_spark.plans.pipeline import parsed_routed
 
     routed = parsed_routed(spark, _pages(spark, sf_dir))
-    return batch_messages(routed.select("sink", "url", "line_no", "record"))
+    datagen.ensure_fixtures(datagen.sf_of_dir(sf_dir))  # oracle joins url_buckets
+    rec = with_bucket(routed.select("sink", "url", "line_no", "record"))
+    return batch_messages(rec, stream_col="bucket")
 
 
 # ------------------------------------------- training-data pipeline ops --
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from logport_spark.session import ensure_min_parallelism
+
+    # single-file table → 1 scan partition; spread for the CPU-heavy ops
+    return ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from logport_spark.session import ensure_min_parallelism
+
+    return ensure_min_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q4_order_priority,
         "q5_regional_revenue": _q5_regional_revenue,
         "q6_forecast_revenue": _q6_forecast_revenue,
+        "q14_promo_revenue": _q14_promo_revenue,
         "top3_orders_per_cust": _top3_orders_per_cust,
         "cust_without_orders": _cust_without_orders,
         "nations_with_customers": _nations_with_customers,
@@ -571,16 +598,21 @@ _CONN_TEMPLATES_SQL = f"""
 _HTTP_BATCHES_SQL = (
     ", rec AS (\n"
     "  SELECT sink, url, line_no, " + _ENVELOPE_EXPR + " AS record FROM enriched\n"
+    "), rb AS (\n"
+    # bucket = crc32(url) % 64 — DuckDB lacks crc32, so join the precomputed
+    # url_buckets fixture (bit-identical to the JVM bucket, see datagen)
+    "  SELECT r.sink, r.url, r.line_no, r.record, ub.bucket\n"
+    f"  FROM rec r JOIN read_parquet('{DATA}/url_buckets_sf0.01/*.parquet') ub USING (url)\n"
     "), b AS (\n"
-    "  SELECT sink, url, line_no, record,\n"
-    "    CAST(floor((row_number() OVER (PARTITION BY sink ORDER BY url, line_no) - 1)\n"
+    "  SELECT sink, bucket, url, line_no, record,\n"
+    "    CAST(floor((row_number() OVER (PARTITION BY sink, bucket ORDER BY url, line_no) - 1)\n"
     "         / 1000) AS BIGINT) AS batch_id\n"
-    "  FROM rec)\n"
-    "SELECT sink, batch_id,\n"
+    "  FROM rb)\n"
+    "SELECT sink, bucket, batch_id,\n"
     "  '{\"messages\":[' || string_agg(record, ',' ORDER BY url, line_no)\n"
     "    || '],\"count\":' || count(*) || '}' AS body,\n"
     "  count(*) AS n_msgs\n"
-    "FROM b GROUP BY sink, batch_id"
+    "FROM b GROUP BY sink, bucket, batch_id"
 )
 
 
@@ -817,6 +849,17 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < DATE '1996-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "q14_promo_revenue": """
+            SELECT
+              round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                    / sum(l_extendedprice * (1 - l_discount)), 4)
+                AS promo_revenue_pct,
+              round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1995-09-01'
+              AND l_shipdate < DATE '1995-10-01'
         """,
         "top3_orders_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

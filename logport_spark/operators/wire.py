@@ -26,22 +26,32 @@ def clamp_batch_size(n: int) -> int:
 
 
 def batch_messages(records: DataFrame, wire_format: str = "JSON",
-                   batch_size: int = BATCH_NUM_MESSAGES) -> DataFrame:
-    """Group records into wire batches per sink.
+                   batch_size: int = BATCH_NUM_MESSAGES,
+                   stream_col: str | None = None) -> DataFrame:
+    """Group records into wire batches per sink (optionally per sub-stream).
 
     JSON format        -> {"messages":[...],"count":N}
     KAFKA_JSON_V2_JSON -> {"records":[{"value":<msg>}, ...]}
-    (payloads are already-serialized envelope JSON, embedded raw)."""
+    (payloads are already-serialized envelope JSON, embedded raw).
+
+    `stream_col` names an extra batching key. The reference runs one producer
+    instance per watch, each forming its own batches (src/Watch.cc:122-134,
+    src/HttpProducer.cc:47) — a per-sink GLOBAL order only exists per file
+    there. At scale the global row_number window (one task per sink) is the
+    bottleneck, so callers pass a deterministic sub-stream key (the crc32
+    url bucket) and each (sink, stream) batches independently in parallel,
+    exactly like the reference's independent per-watch producers."""
     batch_size = clamp_batch_size(batch_size)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("sink").orderBy("url", "line_no")
+    keys = ["sink"] + ([stream_col] if stream_col else [])
+    w = Window.partitionBy(*keys).orderBy("url", "line_no")
     batched = records.withColumn(
         "batch_id", F.floor((F.row_number().over(w) - 1) / batch_size)
     )
     # collect_list order is partition-dependent; sort (url, line_no) structs
     # so batch bodies are deterministic byte-for-byte
-    grouped = batched.groupBy("sink", "batch_id").agg(
+    grouped = batched.groupBy(*keys, "batch_id").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(url, line_no, record))),"
             " x -> x.record)"
@@ -61,7 +71,7 @@ def batch_messages(records: DataFrame, wire_format: str = "JSON",
             F.size("msgs").cast("string"),
             F.lit("}"),
         )
-    return grouped.select("sink", "batch_id", body.alias("body"),
+    return grouped.select(*keys, "batch_id", body.alias("body"),
                           F.size("msgs").alias("n_msgs"))
 
 

@@ -50,3 +50,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_min_parallelism(df, min_parts: int | None = None):
+    """Small-file guard for CPU-heavy operators (dedup/minhash/fingerprint).
+
+    A scan of one small parquet file yields ONE input partition, serializing
+    every narrow map stage behind it onto a single core. Repartition up to
+    the session's default parallelism only when the scan is under-partitioned
+    — with production inputs (many files / 100 TB) the condition is false and
+    no extra shuffle enters the plan."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

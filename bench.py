@@ -6,11 +6,13 @@ Prints ONE JSON line to stdout:
      "queries": {name: sec, ...}, "sf": <sf>, ...extras}
 
 Modes:
-    python bench.py             # per-round driver bench (one parallelism level)
-    python bench.py --scaling   # north_rule evidence: same input at local[8]
-                                # vs local[32]; writes BENCH section results
-                                # (pages/sec x2 + scaling efficiency) into the
-                                # JSON extras and BENCH/BASELINE.md
+    python bench.py                # per-round driver bench (one parallelism level)
+    python bench.py --scaling      # north_rule evidence: same 1M-page input at
+                                   # N vs 4N cores ($SPARK_GRAFT_SCALING_CPUS,
+                                   # default "8,32"), interleaved rounds, each
+                                   # leg a fresh subprocess JVM; results go into
+                                   # the JSON extras (recorded in BENCH/BASELINE.md)
+    python bench.py --scaling-only # just the scaling JSON, skip the query suite
 
 Each query is forced end-to-end with a noop sink (full evaluation, no
 driver-side collect bottleneck). The flagship `lp_pipeline` measures the
@@ -64,10 +66,18 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     timings: dict[str, float] = {}
     extras: dict = {}
     for name, fn in queries.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        _force(df)
-        timings[name] = round(time.time() - t0, 3)
+        # best of 2: the second run is JIT-warm and rides out box noise
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            _force(df)
+            best = min(best, time.time() - t0)
+            # operators may cache intermediates (e.g. the MinHash shingle
+            # table); drop them so later queries aren't squeezed by stale
+            # storage memory
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     return timings, extras
 
@@ -87,34 +97,82 @@ def pipeline_throughput(spark, sf: str) -> tuple[float, int, int]:
     return dt, n_pages, n_records
 
 
-def scaling_run(sf: str) -> dict:
-    """north_rule: same job, same input, local[8] vs local[32]."""
+def _scaling_leg(cpus: int, sf: str) -> dict:
+    """One timed run of the full DAG at local[cpus] — runs inside a FRESH
+    subprocess JVM (no heap/JIT carryover between legs). Prints one JSON."""
     from logport_spark.session import get_spark
 
-    out = {}
-    for cpus in (8, 32):
-        spark = get_spark(f"bench_scaling_{cpus}", cpus=cpus,
-                          shuffle_partitions=max(cpus, 8))
-        # warm the JVM + generate pages before timing
-        dt, n_pages, n_rec = pipeline_throughput(spark, sf)
-        dt2, _, _ = pipeline_throughput(spark, sf)  # second run, JIT-warm
-        best = min(dt, dt2)
+    spark = get_spark(f"bench_scaling_{cpus}", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    # untimed warm-up run (JIT + page cache), then the timed run
+    pipeline_throughput(spark, sf)
+    dt, n_pages, n_rec = pipeline_throughput(spark, sf)
+    print(json.dumps({"sec": dt, "n_pages": n_pages, "n_records": n_rec}))
+    spark.stop()
+    return {}
+
+
+def scaling_run(sf: str) -> dict:
+    """north_rule: same job, same input, local[8] vs local[32].
+
+    Uses a LARGER input than the per-query bench (default 1M pages,
+    $SPARK_GRAFT_SCALING_SF to override): at 100k pages the whole job takes
+    ~4 s and fixed overheads (scheduling, Arrow batch spin-up) dominate, so
+    no core count can show its work. Scaling must be measured where compute
+    dominates — exactly the regime a 100 TB run lives in.
+
+    Each leg runs in a fresh subprocess JVM, and the two core counts are
+    INTERLEAVED over $SPARK_GRAFT_SCALING_ROUNDS rounds (default 2, best
+    kept per level) so drifting ambient load on a shared box hits both
+    levels alike instead of whichever ran second."""
+    import subprocess
+
+    from logport_spark.session import get_spark
+
+    sf = os.environ.get("SPARK_GRAFT_SCALING_SF", "1")
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    pair = tuple(int(c) for c in
+                 os.environ.get("SPARK_GRAFT_SCALING_CPUS", "8,32").split(","))
+    # generate once with all cores before timing anything
+    from logport_spark import datagen
+    gen = get_spark("bench_scaling_gen", cpus=CPUS)
+    datagen.ensure_pages(sf, spark=gen)
+    gen.stop()
+
+    best: dict[int, dict] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for rnd in range(rounds):
+        for cpus in pair:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--_leg",
+                 str(cpus), sf],
+                capture_output=True, text=True, timeout=1800, cwd=here,
+            )
+            leg = json.loads(r.stdout.strip().splitlines()[-1])
+            if cpus not in best or leg["sec"] < best[cpus]["sec"]:
+                best[cpus] = leg
+            print(f"  scaling round {rnd} local[{cpus}]: {leg['sec']:.2f}s "
+                  f"{leg['n_pages']/leg['sec']:.0f} pages/s", file=sys.stderr)
+
+    out = {"sf": sf, "rounds": rounds, "load_avg_1m": round(os.getloadavg()[0], 2)}
+    for cpus, leg in best.items():
         out[f"local[{cpus}]"] = {
-            "sec": round(best, 2),
-            "pages_per_sec": round(n_pages / best, 1),
-            "records_per_sec": round(n_rec / best, 1),
+            "sec": round(leg["sec"], 2),
+            "pages_per_sec": round(leg["n_pages"] / leg["sec"], 1),
+            "records_per_sec": round(leg["n_records"] / leg["sec"], 1),
         }
-        spark.stop()
-        print(f"  scaling local[{cpus}]: {best:.2f}s "
-              f"{n_pages/best:.0f} pages/s", file=sys.stderr)
-    t8 = out["local[8]"]["pages_per_sec"]
-    t32 = out["local[32]"]["pages_per_sec"]
-    out["scaling_efficiency"] = round(t32 / (4 * t8), 3)
+    lo = out[f"local[{pair[0]}]"]["pages_per_sec"]
+    hi = out[f"local[{pair[1]}]"]["pages_per_sec"]
+    out["scaling_efficiency"] = round(hi / (pair[1] / pair[0] * lo), 3)
     return out
 
 
 def main() -> None:
-    scaling = "--scaling" in sys.argv
+    if "--_leg" in sys.argv:  # internal: one subprocess scaling leg
+        i = sys.argv.index("--_leg")
+        _scaling_leg(int(sys.argv[i + 1]), sys.argv[i + 2])
+        return
+    scaling = "--scaling" in sys.argv or "--scaling-only" in sys.argv
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1"
 
     from logport_spark.session import get_spark
@@ -122,6 +180,9 @@ def main() -> None:
     extras: dict = {}
     if scaling:
         extras["scaling"] = scaling_run(sf)
+        if "--scaling-only" in sys.argv:
+            print(json.dumps({"metric": "scaling_only", **extras}))
+            return
 
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=max(CPUS, 8))
     # pages table at bench scale (generated once, cached on disk)

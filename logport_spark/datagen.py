@@ -44,7 +44,7 @@ BASE_TS = datetime(2024, 8, 1, 0, 0, 0)  # naive UTC; session TZ is UTC
 DATA_DIR = os.environ.get("LOGPORT_SPARK_DATA_DIR", "/root/repo/data")
 
 # docs per scale factor (sf0.1 ≈ 2M routed records at ~20 lines/doc)
-SF_DOCS = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000}
+SF_DOCS = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000, "1": 1_000_000}
 
 WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
@@ -154,7 +154,9 @@ def gen_pages_spark(spark, n_docs: int, partitions: int | None = None):
     """Distributed deterministic generator (scales to any n_docs)."""
     import pandas as pd
 
-    partitions = partitions or max(8, n_docs // 25_000)
+    # round up to a multiple of 32 so a 32-wide executor wave has no
+    # straggler tail (40 partitions on 32 cores = 1.25 waves, 37% idle)
+    partitions = partitions or max(8, ((n_docs // 25_000 + 31) // 32) * 32 or 8)
 
     def batches(it):
         for pdf in it:

@@ -111,3 +111,20 @@ def test_q4_plans_as_semi_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert "l_extendedprice" not in plan  # payload pruned to join keys only
+
+
+def test_ensure_min_parallelism_guard(spark, tmp_path):
+    """Single-file scans get spread; adequately-partitioned inputs pass
+    through untouched (no shuffle added to at-scale plans)."""
+    from logport_spark.session import ensure_min_parallelism
+
+    p = str(tmp_path / "one_file")
+    spark.range(100).coalesce(1).write.parquet(p)
+    one = spark.read.parquet(p)
+    assert one.rdd.getNumPartitions() == 1
+    spread = ensure_min_parallelism(one)
+    assert spread.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert spread.count() == 100
+
+    wide = spark.range(1000, numPartitions=64)
+    assert ensure_min_parallelism(wide) is wide  # untouched, not re-planned

@@ -6,11 +6,12 @@ Reference semantics (re-expressed, not ported):
   `posexplode(split(text, '\n'))` — pure JVM, whole-stage codegen.
 - P2 empty-line filter (src/InotifyWatcher.cc:377-400): `length(line) > 0`.
 - P3+P4 JSON-detect + envelope (src/Watch.cc:377-426): byte-exact envelope
-  built in an Arrow-vectorized pandas UDF (`json.dumps(sort_keys=True,
-  separators=(',',':'))` matches nlohmann's sorted-compact dump). Spark's
-  `to_json` cannot reproduce sorted keys over a dynamic `log_obj`, hence the
-  UDF — the only Python in the pipeline, and it is batch-vectorized via
-  Arrow (no per-row Python UDFs anywhere).
+  assembled JVM-side by concatenation (keys are emitted in sorted order, and
+  Jackson's string escaper — via a to_json(struct(x)) slice — is normalized
+  to match json.dumps bit-for-bit). Python appears ONLY for '{'/'['-candidate
+  lines, whose `log_obj` needs a sorted-compact re-serialization Spark's
+  to_json cannot produce for dynamic JSON; that UDF is Arrow-batched and
+  receives NULL for every non-candidate row (a validity bit, no bytes).
 - P5 timestamping (src/Common.cc:253-270): "%lld.%.9ld" — derived
   deterministically from `warc_ts` (epoch seconds + 9-digit nanos), never
   wall clock, computed JVM-side.
@@ -32,13 +33,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-ENVELOPE_RESULT = T.StructType(
-    [
-        T.StructField("record", T.StringType()),
-        T.StructField("is_obj", T.BooleanType()),
-        T.StructField("parse_fail", T.BooleanType()),
-    ]
-)
+# StructType (not a DDL string): the UDF decorator must not need a live
+# SparkContext at import time
+MID_RESULT = T.StructType([
+    T.StructField("mid", T.StringType()),
+    T.StructField("is_obj", T.BooleanType()),
+    T.StructField("parse_fail", T.BooleanType()),
+])
 
 # our tombstone for the (disabled-by-default) scrub hook
 SCRUB_TOMBSTONE = json.dumps(
@@ -73,76 +74,60 @@ def json_quote(x: str) -> str:
     return json.dumps(x, ensure_ascii=False) if _SPECIALS.intersection(x) else '"' + x + '"'
 
 
-@F.pandas_udf(ENVELOPE_RESULT)
-def envelope_udf(
-    line: pd.Series,
-    ts: pd.Series,
-    host: pd.Series,
-    source: pd.Series,
-    prd: pd.Series,
-    log_type: pd.Series,
-) -> pd.DataFrame:
-    """Arrow-vectorized envelope builder (P3+P4). One batch in, one out.
-
-    Keys serialize in sorted order (@timestamp < host < log/log_obj <
-    log_type < prd < source — '@' precedes letters, 'log_o' < 'log_t'), so
-    the envelope is assembled by direct string concatenation; json.dumps of
-    a full dict runs never, json.loads/dumps only for `{`/`[` payloads.
-    The (host, prd, log_type) fragments are route constants — a handful of
-    distinct values per batch — and are memoized. host/prd/log_type arrive
-    as (possibly null) per-row columns from the broadcast-joined route;
-    empty/null ⇒ key omitted (src/Watch.cc:406-410)."""
-    dumps = json.dumps
-    loads = json.loads
-    jq = json_quote
-
-    records = []
-    is_objs = []
-    fails = []
-    cache: dict = {}
-    for ln, t, h, s, p, lt in zip(
-        line.to_numpy(), ts.to_numpy(), host.to_numpy(), source.to_numpy(),
-        prd.to_numpy(), log_type.to_numpy(),
-    ):
-        k = (h, p, lt)
-        parts = cache.get(k)
-        if parts is None:
-            hp = ',"host":' + dumps(h, ensure_ascii=False) if h else ""
-            sufa = (',"log_type":' + dumps(lt, ensure_ascii=False) if lt else "") + (
-                ',"prd":' + dumps(p, ensure_ascii=False) if p else ""
-            )
-            parts = (hp, sufa)
-            cache[k] = parts
-        hp, sufa = parts
-        is_obj = False
-        fail = False
-        c = ln[0] if ln else ""
-        if c == "{" or c == "[":
-            try:
-                mid = ',"log_obj":' + dumps(
-                    loads(ln), sort_keys=True, separators=(",", ":"), ensure_ascii=False
-                )
-                is_obj = True
-            except ValueError:
-                mid = ',"log":' + jq(ln)
-                fail = True
-        else:
-            mid = ',"log":' + jq(ln)
-        records.append(
-            '{"@timestamp":"' + t + '"' + hp + mid + sufa
-            + (',"source":' + jq(s) if s else "") + "}"
-        )
-        is_objs.append(is_obj)
-        fails.append(fail)
-    return pd.DataFrame({"record": records, "is_obj": is_objs, "parse_fail": fails})
-
-
 def scrub(df: DataFrame, enabled: bool = False) -> DataFrame:
     """P6: replace unredacted card-number lines with a tombstone (off by default)."""
     if not enabled:
         return df
     trigger = F.col("line").contains('"card_number":"') & ~F.col("line").contains("XXX")
     return df.withColumn("line", F.when(trigger, F.lit(SCRUB_TOMBSTONE)).otherwise(F.col("line")))
+
+
+# Jackson (to_json) emits uppercase hex in \uXXXX escapes; json.dumps emits
+# lowercase. Only 9 control-char escape sequences contain hex letters.
+_UPPER_ESCAPES = ["000B", "000E", "000F", "001A", "001B", "001C", "001D", "001E", "001F"]
+
+
+def jvm_json_quote(col: Column) -> Column:
+    """JSON string-encode a column entirely JVM-side, byte-identical to
+    json.dumps(x, ensure_ascii=False) (property-tested vs the Python quoter).
+
+    Fast path first (same shape as the Python json_quote): strings with no
+    quote/backslash/control char — the overwhelming majority of log tokens,
+    urls, and route constants — are wrapped in quotes with one concat after
+    a single rlike scan. Only special-bearing strings pay for the slow path:
+    to_json(struct(x)) produces '{"x":<escaped>}'; slicing out the escaped
+    literal reuses Jackson's escaper inside whole-stage codegen, and the 9
+    uppercase \\u00XX sequences Jackson emits are normalized to lowercase."""
+    j = F.to_json(F.struct(col.alias("x")))
+    q = F.substring(j, F.lit(6), F.length(j) - F.lit(6))
+    for hexu in _UPPER_ESCAPES:
+        q = F.replace(q, F.lit("\\u" + hexu), F.lit("\\u" + hexu.lower()))
+    has_special = col.rlike(r'[\x00-\x1f"\\]')
+    return F.when(has_special, q).otherwise(F.concat(F.lit('"'), col, F.lit('"')))
+
+
+@F.pandas_udf(MID_RESULT)
+def json_mid_udf(line: pd.Series) -> pd.DataFrame:
+    """JSON-candidate fragment builder — the ONLY Python in the pipeline.
+
+    Receives the line for rows starting with '{'/'[' and NULL for all other
+    rows (nulls cost one validity bit over Arrow, no string bytes). Emits the
+    ',"log_obj":<sorted-compact json>' fragment, or the escaped ',"log":'
+    fallback when the candidate fails to parse (src/Watch.cc:413-414)."""
+    dumps, loads, jq = json.dumps, json.loads, json_quote
+    mids, objs, fails = [], [], []
+    for ln in line.to_numpy():
+        if ln is None:
+            mids.append(None), objs.append(None), fails.append(None)
+            continue
+        try:
+            mids.append(',"log_obj":' + dumps(
+                loads(ln), sort_keys=True, separators=(",", ":"), ensure_ascii=False))
+            objs.append(True), fails.append(False)
+        except ValueError:
+            mids.append(',"log":' + jq(ln))
+            objs.append(False), fails.append(True)
+    return pd.DataFrame({"mid": mids, "is_obj": objs, "parse_fail": fails})
 
 
 def with_envelope(
@@ -152,14 +137,40 @@ def with_envelope(
     prd_col: Column,
     log_type_col: Column,
 ) -> DataFrame:
-    """Attach record/is_obj/parse_fail + record_bytes to a lines DataFrame."""
-    df = lines.withColumn("ts_str", ts_string(F.col("warc_ts")))
-    df = df.withColumn(
-        "env",
-        envelope_udf(F.col("line"), F.col("ts_str"), host_col, source_col, prd_col, log_type_col),
-    )
-    return (
-        df.select("*", "env.record", "env.is_obj", "env.parse_fail")
+    """Attach record/is_obj/parse_fail + record_bytes to a lines DataFrame.
+
+    Hybrid assembly: the envelope prefix ('{"@timestamp":"..."' + optional
+    host), the plain-line ',"log":' fragment, and the suffix (optional
+    log_type/prd/source) are all built JVM-side inside codegen; Python (the
+    Arrow-batched json_mid_udf) sees only '{'/'['-candidate lines. Keys stay
+    in sorted order (@timestamp < host < log/log_obj < log_type < prd <
+    source), so concatenation IS the serialization."""
+    opt = lambda key, c: F.when(
+        c.isNotNull() & (c != ""), F.concat(F.lit(f',"{key}":'), jvm_json_quote(c))
+    ).otherwise(F.lit(""))
+
+    candidate = F.substring(F.col("line"), 1, 1).isin("{", "[")
+    env = json_mid_udf(F.when(candidate, F.col("line")))
+    df = (
+        lines.withColumn("ts_str", ts_string(F.col("warc_ts")))
+        .withColumn("env", env)
+        .withColumn(
+            "record",
+            F.concat(
+                F.lit('{"@timestamp":"'), F.col("ts_str"), F.lit('"'),
+                opt("host", host_col),
+                F.coalesce(
+                    F.col("env.mid"),
+                    F.concat(F.lit(',"log":'), jvm_json_quote(F.col("line"))),
+                ),
+                opt("log_type", log_type_col),
+                opt("prd", prd_col),
+                opt("source", source_col),
+                F.lit("}"),
+            ),
+        )
+        .withColumn("is_obj", F.coalesce(F.col("env.is_obj"), F.lit(False)))
+        .withColumn("parse_fail", F.coalesce(F.col("env.parse_fail"), F.lit(False)))
         .drop("env")
-        .withColumn("record_bytes", F.octet_length("record").cast("long"))
     )
+    return df.withColumn("record_bytes", F.octet_length("record").cast("long"))

@@ -76,3 +76,23 @@ def test_html_never_read(spark, pages_small):
     routed = _spark_records(spark, pages_small)
     plan = routed._jdf.queryExecution().optimizedPlan().toString()
     assert "html" not in plan
+
+
+def test_jvm_json_quote_matches_python(spark):
+    """jvm_json_quote (Jackson slice + lowercase normalization) must be
+    byte-identical to json.dumps(..., ensure_ascii=False) on the full
+    control-char range, specials, and non-ASCII."""
+    import json
+
+    from logport_spark.operators.parse import jvm_json_quote
+
+    cases = ([chr(i) for i in range(0x20)]
+             + ['"', "\\", "", " ", "plain", 'mix "q" \\ \x07 end',
+                "tab\there", "uni ü 你好 🙂", "é\x1f", "\\u0041 literal",
+                '{"not":"parsed"}', "a\x00b\x1fc"])
+    df = spark.createDataFrame([(c,) for c in cases], "x string")
+    from pyspark.sql import functions as F
+
+    got = df.select("x", jvm_json_quote(F.col("x")).alias("q")).collect()
+    for r in got:
+        assert r["q"] == json.dumps(r["x"], ensure_ascii=False), repr(r["x"])

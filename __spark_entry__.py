@@ -285,6 +285,25 @@ def _sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator, operators/asof.py): each purchase event
+    gets the user's latest at-or-before click. DuckDB's native ASOF JOIN is
+    the oracle."""
+    from logport_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    j = asof_join(purchases, clicks, key="user_id", right_payload=("event_id",))
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id_asof").alias("click_event"),
+        F.col("ts_asof").alias("click_ts"),
+    )
+
+
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -477,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_minus_supp_nations": _cust_minus_supp_nations,
         "rollup_pricing": _rollup_pricing,
         "sessionize_events": _sessionize_events,
+        "asof_purchase_click": _asof_purchase_click,
         "events_hourly": _events_hourly,
         "text_quality": _text_quality,
         "lang_id": _lang_id,
@@ -904,6 +924,16 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE 0 END) AS n_sessions,
                    count(*) AS n_events
             FROM x GROUP BY user_id
+        """,
+        "asof_purchase_click": """
+            SELECT l.user_id,
+                   l.event_id AS purchase_event,
+                   l.ts AS purchase_ts,
+                   r.event_id AS click_event,
+                   r.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -216,6 +216,19 @@ def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (q17 shape): lines with quantity below 20%
+    of their part's average. Expressed as an aggregate-then-join so Catalyst
+    plans one shuffle on p_partkey instead of a per-row subquery."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    avg_qty = li.groupBy("l_partkey").agg((0.2 * F.avg("l_quantity")).alias("qty_cut"))
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
 def _top3_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function: rank orders per customer, keep top 3."""
     from pyspark.sql import Window
@@ -490,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_regional_revenue": _q5_regional_revenue,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q14_promo_revenue": _q14_promo_revenue,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
         "top3_orders_per_cust": _top3_orders_per_cust,
         "cust_without_orders": _cust_without_orders,
         "nations_with_customers": _nations_with_customers,
@@ -880,6 +894,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= DATE '1995-09-01'
               AND l_shipdate < DATE '1995-10-01'
+        """,
+        "q17_small_qty_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM lineitem l
+            WHERE l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+            )
         """,
         "top3_orders_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

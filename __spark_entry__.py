@@ -446,6 +446,34 @@ def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(_emb(spark, sf_dir), threshold=0.44)
 
 
+def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composite a 100 TB training-data run
+    actually executes: exact dedup (keep min id per md5) → quality ≥ 0.5 →
+    language identified → MinHash+LSH near-dup removal (drop the larger id
+    of each pair ≥ 0.8 Jaccard). Every stage is an already-oracled operator;
+    the composite is verified against the same logic in one SQL query."""
+    from pyspark.sql import Window
+
+    from logport_spark.operators.dedup import minhash_lsh_pairs
+    from logport_spark.operators.textstats import lang_id, quality
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # exact dedup as ONE window pass (the keep-set is O(n_docs) — never a
+    # broadcast/semi-join side at corpus scale)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d1 = (docs.withColumn("_rn", F.row_number().over(w))
+          .filter(F.col("_rn") == 1).drop("_rn"))
+    scored = lang_id(quality(d1))
+    # near-dup drop set is pair-survivor-sized (small); AQE may broadcast it
+    drops = minhash_lsh_pairs(d1, n=3, threshold=0.8).select(
+        F.col("d2").alias("doc_id")).distinct()
+    return (
+        scored.filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") != "und"))
+        .join(drops, "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "quality_score", "q_tokens")
+    )
+
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -511,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_pricing": _rollup_pricing,
         "sessionize_events": _sessionize_events,
         "asof_purchase_click": _asof_purchase_click,
+        "corpus_clean": _corpus_clean,
         "events_hourly": _events_hourly,
         "text_quality": _text_quality,
         "lang_id": _lang_id,
@@ -654,6 +683,65 @@ _HTTP_BATCHES_SQL = (
 
 def _sql_in(words) -> str:
     return ", ".join(f"'{w}'" for w in words)
+
+
+def _corpus_clean_sql() -> str:
+    """Composite oracle: exact dedup → quality ≥ 0.5 → lang known → drop the
+    larger id of every Jaccard≥0.8 3-shingle pair. Mirrors _corpus_clean."""
+    from logport_spark.operators.textstats import LANG_MARKERS, STOPWORDS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n            ".join(
+        f"len(list_filter(string_split(text,' '), t -> t IN ({_sql_in(LANG_MARKERS[l])}))) AS s_{l}"
+        for l in langs
+    )
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN g = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = g THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+        WITH d1 AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1
+        ), qb AS (
+          SELECT doc_id, length(text) AS q_chars,
+                 len(string_split(text,' ')) AS q_tokens,
+                 len(list_filter(string_split(text,' '),
+                     t -> t IN ({_sql_in(STOPWORDS)}))) AS n_stop,
+                 length(text) - length(regexp_replace(text,'[a-zA-Z]','','g')) AS n_alpha
+          FROM d1
+        ), q AS (
+          SELECT doc_id, q_tokens,
+                 round(0.4 * least(n_stop * 5.0 / greatest(q_tokens, 1), 1.0)
+                       + 0.3 * n_alpha * 1.0 / greatest(q_chars, 1)
+                       + 0.3 * least(q_tokens / 100.0, 1.0), 4) AS quality_score
+          FROM qb
+        ), ls AS (
+          SELECT doc_id,
+            {scores}
+          FROM d1
+        ), lg AS (
+          SELECT doc_id, {case} AS pred_lang
+          FROM (SELECT doc_id, {g} AS g, * EXCLUDE (doc_id) FROM ls)
+        ), t AS (SELECT doc_id, string_split(text,' ') AS toks FROM d1),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS sh
+               FROM t, unnest(range(1, greatest(len(toks)-2,0)+1)) AS r(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        drops AS (
+          SELECT DISTINCT b.doc_id
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          JOIN sizes s1 ON s1.doc_id = a.doc_id
+          JOIN sizes s2 ON s2.doc_id = b.doc_id
+          GROUP BY a.doc_id, b.doc_id, s1.n, s2.n
+          HAVING count(*) * 1.0 / (s1.n + s2.n - count(*)) >= 0.8
+        )
+        SELECT q.doc_id, lg.pred_lang, q.quality_score, q.q_tokens
+        FROM q JOIN lg USING (doc_id)
+        WHERE q.quality_score >= 0.5 AND lg.pred_lang <> 'und'
+          AND q.doc_id NOT IN (SELECT doc_id FROM drops)
+    """
 
 
 def _lang_id_sql() -> str:
@@ -947,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM x GROUP BY user_id
         """,
+        "corpus_clean": _corpus_clean_sql(),
         "asof_purchase_click": """
             SELECT l.user_id,
                    l.event_id AS purchase_event,

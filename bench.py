@@ -55,6 +55,7 @@ def _headline_queries():
         "lp_grok_summary", "lp_http_batches", "lp_resume_anti_join",
         "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
         "text_quality", "doc_fingerprint", "ann_topk", "ann_lsh_topk",
+        "corpus_clean", "asof_purchase_click",
     ):
         if opt in qs:
             names.append(opt)

@@ -128,3 +128,13 @@ def test_ensure_min_parallelism_guard(spark, tmp_path):
 
     wide = spark.range(1000, numPartitions=64)
     assert ensure_min_parallelism(wide) is wide  # untouched, not re-planned
+
+
+def test_wire_batches_single_shuffle(spark):
+    """batch_messages' groupBy(sink, stream, batch_id) must reuse the window's
+    (sink, stream) hash partitioning — exactly one exchange in the plan."""
+    import __spark_entry__ as em
+
+    df = em.queries()["lp_http_batches"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

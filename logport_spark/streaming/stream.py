@@ -109,3 +109,17 @@ def windowed_sink_counts(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def dedup_stream(events: DataFrame, key: str = "event_id",
+                 ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop redelivered rows by key within the
+    watermark horizon.
+
+    logport is at-least-once — a nacked batch is re-produced whole
+    (src/KafkaProducer.cc:83-126 undelivered-log replay), so consumers see
+    duplicates. This is the engine-side dedup for that stream:
+    dropDuplicatesWithinWatermark keeps state only for `watermark` of event
+    time (state is O(keys-per-horizon), not O(stream)), which is the only
+    formulation that survives an unbounded 100 TB/day stream."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])

@@ -65,3 +65,53 @@ def test_windowed_counts_match_batch(spark, pages_dir, tmp_path_factory):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path_factory):
+    """At-least-once redelivery (the same micro-batch file landing twice)
+    must collapse to the batch-distinct result via
+    dropDuplicatesWithinWatermark."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from logport_spark.streaming.stream import dedup_stream
+
+    src = str(tmp_path_factory.mktemp("dup_events"))
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(seconds=i)) for i in range(200)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts"])
+    df = spark.createDataFrame(pdf, "event_id long, ts timestamp")
+    # the duplicate delivery: identical rows written as a second file
+    df.coalesce(1).write.mode("append").parquet(src)
+    df.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("event_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (dedup_stream(stream).writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 200          # each event exactly once
+    assert got.select("event_id").distinct().count() == 200
+
+
+def test_sink_layout_prunes_partitions(spark, tmp_path_factory):
+    """The fan-out write lays one directory per sink; a per-sink read must
+    plan partition pruning (PartitionFilters), not a full scan."""
+    import pandas as pd
+
+    from logport_spark.operators.route import write_routed
+    from logport_spark.plans.pipeline import parsed_routed
+
+    out = str(tmp_path_factory.mktemp("sinks"))
+    pdf = pd.DataFrame(datagen.gen_docs(range(100)))
+    pages = spark.createDataFrame(pdf, schema=datagen.PAGES_DDL)
+    write_routed(parsed_routed(spark, pages), out)
+    back = spark.read.parquet(out)
+    one = back.filter(F.col("sink") == back.select("sink").first()["sink"])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(sink" in plan

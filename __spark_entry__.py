@@ -446,6 +446,19 @@ def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(_emb(spark, sf_dir), threshold=0.44)
 
 
+def _event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per event_type (JVM `percentile`; at
+    100 TB swap for percentile_approx with a pinned accuracy — documented
+    trade, the exact form is the oracle-checkable one)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.avg("value"), 4).alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation — the composite a 100 TB training-data run
     actually executes: exact dedup (keep min id per md5) → quality ≥ 0.5 →
@@ -540,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _sessionize_events,
         "asof_purchase_click": _asof_purchase_click,
         "corpus_clean": _corpus_clean,
+        "event_value_quantiles": _event_value_quantiles,
         "events_hourly": _events_hourly,
         "text_quality": _text_quality,
         "lang_id": _lang_id,
@@ -1036,6 +1050,14 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY user_id
         """,
         "corpus_clean": _corpus_clean_sql(),
+        "event_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   round(avg(value), 4) AS mean_value,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
         "asof_purchase_click": """
             SELECT l.user_id,
                    l.event_id AS purchase_event,

@@ -14,9 +14,10 @@ Layout:
                watches/settings tables, reference src/Database.cc:65-84)
   datagen    — deterministic synthetic `pages` table (input_hint shape)
   oracle     — pure-Python single-process reference oracle (envelope + counts)
-  operators/ — parse (hot path), enrich, route, dedup, similarity, textstats,
-               multimodal
-  sources/   — batch/streaming readers
+  operators/ — parse (hot path), grok, enrich, route, wire, asof, dedup,
+               similarity, textstats, multimodal
+  sources/   — batch/streaming pages reader, testdata tables, lookups
+  functions/ — stable column-kernel API (ts_string, jvm_json_quote, ...)
   plans/     — pipeline assembly (the DAG), ledger/resume protocol
   streaming/ — Structured Streaming variant (foreachBatch reuse of batch DAG)
 """

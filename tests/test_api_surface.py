@@ -1,0 +1,39 @@
+"""The public API namespaces (sources/, functions/) import and work."""
+
+from __future__ import annotations
+
+
+def test_sources_api(spark, tmp_path):
+    from logport_spark import datagen
+    from logport_spark.sources import TESTDATA_TABLES, read_lookups, read_pages, read_table
+
+    p = datagen.ensure_pages("0.001", spark=spark)
+    assert read_pages(spark, p).count() == 1000
+    assert read_table(spark, "/root/testdata/sf0.001", "nation").count() == 25
+    assert set(read_lookups(spark)) >= {"routes", "domain_tld", "lang_locale"}
+    assert "lineitem" in TESTDATA_TABLES
+
+    import pytest
+    with pytest.raises(ValueError):
+        read_table(spark, "/root/testdata/sf0.001", "nope")
+
+
+def test_functions_api(spark):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from logport_spark.functions import bucket_col, jvm_json_quote, shingles_expr, ts_string
+
+    df = spark.createDataFrame(
+        [("https://a.example/p/1", 'say "hi"\ttab')], "url string, text string")
+    row = df.select(
+        bucket_col(n_buckets=64).alias("b"),
+        jvm_json_quote(F.col("text")).alias("q"),
+        F.expr(shingles_expr("text", 2)).alias("sh"),
+        ts_string(F.lit("2024-01-01 00:00:00").cast("timestamp")).alias("ts"),
+    ).collect()[0]
+    import zlib
+    assert row["b"] == zlib.crc32(b"https://a.example/p/1") % 64
+    assert row["q"] == json.dumps('say "hi"\ttab', ensure_ascii=False)
+    assert row["ts"].endswith(".000000000") and row["sh"]

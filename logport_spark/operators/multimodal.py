@@ -90,3 +90,57 @@ def extract_features(pages: DataFrame, bin_col: str = "html",
             yield pd.DataFrame(rows, columns=["url", "width", "height", "frames", "feat"])
 
     return pages.select("url", bin_col).mapInPandas(run, FEATURES_DDL)
+
+
+RESIZE_DDL = "url string, width int, height int, out_w int, out_h int, resized binary"
+
+
+def resize_images(pages: DataFrame, bin_col: str = "html", max_side: int = 32,
+                  fake_decode: bool = True) -> DataFrame:
+    """mapInPandas resize: aspect-preserving clamp of the longer side to
+    `max_side`. Plumbing (Arrow binary in/out, per-batch shape, target-size
+    arithmetic) is real; the pixel resample is the deterministic fake
+    (payload truncated to out_w*out_h bytes) — swap `decode_media`/the fake
+    body for Pillow on a real cluster, nothing else changes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[bin_col]):
+                payload = bytes(payload) if payload is not None else b""
+                meta = decode_media(payload, "image", fake=fake_decode)
+                w, h = meta["width"], meta["height"]
+                scale = min(1.0, max_side / max(w, h, 1))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                rows.append({"url": url, "width": w, "height": h,
+                             "out_w": ow, "out_h": oh,
+                             "resized": payload[: ow * oh]})
+            yield pd.DataFrame(
+                rows, columns=["url", "width", "height", "out_w", "out_h", "resized"])
+
+    return pages.select("url", bin_col).mapInPandas(run, RESIZE_DDL)
+
+
+FRAMES_DDL = "url string, frames int, frame_idx int, frame binary"
+
+
+def sample_frames(pages: DataFrame, bin_col: str = "html", every: int = 2,
+                  fake_decode: bool = True) -> DataFrame:
+    """mapInPandas frame sampling: one output row per kept frame (row
+    EXPLOSION inside the UDF — the batch-shape case ffmpeg pipelines hit).
+    Frame selection arithmetic is real; frame bytes are the deterministic
+    fake (payload windows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, payload in zip(pdf["url"], pdf[bin_col]):
+                payload = bytes(payload) if payload is not None else b""
+                n = decode_media(payload, "video", fake=fake_decode)["frames"]
+                for i in range(0, n, every):
+                    step = max(1, len(payload) // max(n, 1))
+                    rows.append({"url": url, "frames": n, "frame_idx": i,
+                                 "frame": payload[i * step:(i + 1) * step]})
+            yield pd.DataFrame(rows, columns=["url", "frames", "frame_idx", "frame"])
+
+    return pages.select("url", bin_col).mapInPandas(run, FRAMES_DDL)

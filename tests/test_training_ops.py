@@ -109,3 +109,29 @@ def test_lang_id_deterministic_tiebreak(spark):
     rows = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
     assert rows[1] == "de"
     assert rows[2] == "und"
+
+
+def test_multimodal_resize_and_frames(spark):
+    """resize/frame-sample plumbing: schemas, aspect math, per-frame row
+    explosion — all real; pixel work is the deterministic fake."""
+    from logport_spark import datagen
+    from logport_spark.operators.multimodal import resize_images, sample_frames
+
+    import pandas as pd
+    pages = spark.createDataFrame(
+        pd.DataFrame(datagen.gen_docs(range(40))), schema=datagen.PAGES_DDL)
+
+    rs = resize_images(pages, max_side=32).collect()
+    assert len(rs) == 40
+    for r in rs:
+        assert max(r["out_w"], r["out_h"]) <= 32
+        assert len(r["resized"]) <= r["out_w"] * r["out_h"]
+        # aspect preserved within integer truncation
+        assert abs(r["out_w"] / r["width"] - r["out_h"] / r["height"]) < 0.2
+
+    fr = sample_frames(pages, every=2)
+    pdf = fr.toPandas()
+    assert (pdf["frame_idx"] % 2 == 0).all()
+    per_url = pdf.groupby("url").size()
+    # frames=1..4, every=2 -> 1 or 2 rows per url
+    assert per_url.between(1, 2).all()

@@ -446,6 +446,40 @@ def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(_emb(spark, sf_dir), threshold=0.44)
 
 
+_FUNNEL_SQL = """
+    WITH s AS (SELECT user_id, min(ts) AS st FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (SELECT user_id, min(ts) AS pt FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT count(*) AS n_signup,
+           sum(CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased,
+           sum(CASE WHEN pt > st THEN 1 ELSE 0 END) AS n_converted
+    FROM s LEFT JOIN p USING (user_id)
+"""
+
+
+def _sql_signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL surface: the same ANSI text runs on spark.sql AND as
+    the DuckDB oracle, verbatim — the DataFrame API is not the only door."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    return spark.sql(_FUNNEL_SQL)
+
+
+def _daily_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window (unbounded-preceding running total) over daily
+    revenue — the hypertable-rollup shape. The global-order window runs on
+    the POST-aggregation result (O(days), a few thousand rows at any fact
+    scale), so the single-partition window stage is intentional and cheap."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("day_rev"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "day_rev", F.round(F.sum("day_rev").over(w), 4).alias("cum_rev"))
+
+
 def _event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per event_type (JVM `percentile`; at
     100 TB swap for percentile_approx with a pinned accuracy — documented
@@ -554,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": _asof_purchase_click,
         "corpus_clean": _corpus_clean,
         "event_value_quantiles": _event_value_quantiles,
+        "sql_signup_funnel": _sql_signup_funnel,
+        "daily_running_revenue": _daily_running_revenue,
         "events_hourly": _events_hourly,
         "text_quality": _text_quality,
         "lang_id": _lang_id,
@@ -1050,6 +1086,19 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY user_id
         """,
         "corpus_clean": _corpus_clean_sql(),
+        "sql_signup_funnel": _FUNNEL_SQL,
+        "daily_running_revenue": """
+            WITH daily AS (
+              SELECT CAST(o_orderdate AS DATE) AS day,
+                     round(sum(o_totalprice), 4) AS day_rev
+              FROM orders GROUP BY 1
+            )
+            SELECT day, day_rev,
+                   round(sum(day_rev) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                     AS cum_rev
+            FROM daily
+        """,
         "event_value_quantiles": """
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 4) AS p50,

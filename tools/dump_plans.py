@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: annotated executedPlan snapshots for the queries
+whose physical shape the 100 TB design depends on. Run after any operator
+change: `python tools/dump_plans.py`."""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.01"
+
+ANNOTATED = {
+    "lp_envelope": (
+        "The parse hot path. Everything from the scan to the envelope concat "
+        "is ONE WholeStageCodegen span — no exchange. ArrowEvalPython appears "
+        "once, fed a NULL-masked line column (JSON candidates only). "
+        "ReadSchema excludes `html` (the widest column)."
+    ),
+    "lp_sink_metrics": (
+        "Full DAG + per-sink aggregation: partial_ aggregate map-side, one "
+        "Exchange on `sink` (7 groups), final aggregate. The only wide step "
+        "in the whole pipeline."
+    ),
+    "q5_regional_revenue": (
+        "5-way join: lineitem streams with a 4-column ReadSchema; orders/"
+        "supplier/nation/region all BuildRight broadcasts; date + region "
+        "predicates pushed into the scans; one Exchange for the final group."
+    ),
+    "lp_http_batches": (
+        "Wire batching: window over (sink, crc32-bucket) sub-streams, then "
+        "groupBy(sink, bucket, batch_id) REUSES the window's partitioning — "
+        "exactly one Exchange hashpartitioning in the plan."
+    ),
+    "dedup_minhash_pairs": (
+        "MinHash+LSH: shingle explode and the 64-hash signature aggregate "
+        "shuffle on doc_id; LSH banding joins on (band, key); only LSH "
+        "candidates reach the exact-Jaccard verify join."
+    ),
+    "asof_purchase_click": (
+        "As-of join as union+window: one Exchange on the key, no "
+        "BroadcastNestedLoopJoin / range-join explosion."
+    ),
+}
+
+
+def main() -> None:
+    from logport_spark.session import get_spark
+
+    import __spark_entry__ as em
+
+    spark = get_spark("dump_plans", cpus=8)
+    qs = em.queries()
+    out = [
+        "# PLANS — physical-plan evidence (sf0.01, regenerate via tools/dump_plans.py)",
+        "",
+        "Each section: why the plan shape matters at 100 TB, then the",
+        "executedPlan (pre-AQE-finalization; AQE may further coalesce at runtime).",
+    ]
+    for name, note in ANNOTATED.items():
+        df = qs[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = re.sub(r"file:[^\s,\]]+", "file:...", plan)
+        out += ["", f"## {name}", "", note, "", "```", plan.rstrip(), "```"]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path} ({len(ANNOTATED)} plans)")
+
+
+if __name__ == "__main__":
+    main()

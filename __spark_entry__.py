@@ -446,6 +446,23 @@ def _dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_pairs(_emb(spark, sf_dir), threshold=0.44)
 
 
+def _error_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (custom operator, operators/rangejoin.py): clicks within
+    ±1h of an error by the same user — time-bucketed equi-join, never a
+    per-key cross product."""
+    from logport_spark.operators.rangejoin import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.filter(F.col("event_type") == "error").withColumnRenamed(
+        "event_id", "error_event")
+    clicks = ev.filter(F.col("event_type") == "click").withColumnRenamed(
+        "event_id", "click_event")
+    return interval_join(
+        errors, clicks, key="user_id", window_sec=3600,
+        left_cols=("error_event",), right_cols=("click_event",),
+    ).withColumnRenamed("click_event_r", "click_event")
+
+
 _FUNNEL_SQL = """
     WITH s AS (SELECT user_id, min(ts) AS st FROM events
                WHERE event_type = 'signup' GROUP BY user_id),
@@ -590,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_quantiles": _event_value_quantiles,
         "sql_signup_funnel": _sql_signup_funnel,
         "daily_running_revenue": _daily_running_revenue,
+        "error_click_pairs": _error_click_pairs,
         "events_hourly": _events_hourly,
         "text_quality": _text_quality,
         "lang_id": _lang_id,
@@ -1087,6 +1105,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_clean": _corpus_clean_sql(),
         "sql_signup_funnel": _FUNNEL_SQL,
+        "error_click_pairs": """
+            SELECT e.user_id, e.event_id AS error_event,
+                   c.event_id AS click_event,
+                   round(epoch(c.ts) - epoch(e.ts), 6) AS delta_sec
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+             AND abs(epoch(c.ts) - epoch(e.ts)) <= 3600
+        """,
         "daily_running_revenue": """
             WITH daily AS (
               SELECT CAST(o_orderdate AS DATE) AS day,

@@ -44,6 +44,11 @@ ANNOTATED = {
         "As-of join as union+window: one Exchange on the key, no "
         "BroadcastNestedLoopJoin / range-join explosion."
     ),
+    "error_click_pairs": (
+        "Interval join as a time-bucketed equi-join: explode to 3 adjacent "
+        "buckets, hash join on (key, bucket), exact |delta| filter after — "
+        "never a nested-loop range join."
+    ),
 }
 
 

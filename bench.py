@@ -66,10 +66,14 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     queries = _headline_queries()
     timings: dict[str, float] = {}
     extras: dict = {}
+    suite_t0 = time.time()
     for name, fn in queries.items():
-        # best of 2: the second run is JIT-warm and rides out box noise
+        # best of 2: the second run is JIT-warm and rides out box noise.
+        # Degrade to single runs if ambient load has the suite running long,
+        # so the per-round bench always completes within the driver's budget.
+        reps = 2 if time.time() - suite_t0 < 300 else 1
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.time()
             df = fn(spark, sf_dir)
             _force(df)

@@ -104,9 +104,16 @@ def cmd_settings(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    import os
     import subprocess
 
-    cmd = [sys.executable, "bench.py"] + (["--scaling"] if args.scaling else [])
+    # repo root when running from a checkout; cwd fallback when the package
+    # ships as a --py-files zip (bench.py lives outside the zip)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(root, "bench.py")
+    if not os.path.exists(script):
+        script = "bench.py"
+    cmd = [sys.executable, script] + (["--scaling"] if args.scaling else [])
     return subprocess.call(cmd)
 
 

@@ -468,9 +468,11 @@ _FUNNEL_SQL = """
                WHERE event_type = 'signup' GROUP BY user_id),
          p AS (SELECT user_id, min(ts) AS pt FROM events
                WHERE event_type = 'purchase' GROUP BY user_id)
-    SELECT count(*) AS n_signup,
-           sum(CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased,
-           sum(CASE WHEN pt > st THEN 1 ELSE 0 END) AS n_converted
+    SELECT CAST(count(*) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN pt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchased,
+           CAST(sum(CASE WHEN pt > st THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted
     FROM s LEFT JOIN p USING (user_id)
 """
 
@@ -560,9 +562,23 @@ def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the binary column (mapInPandas, Arrow batches).
+
+    The operator returns `feat array<float>` (values k/997 for integer k);
+    the driver's canonicalizer cannot sort list cells, so this wrapper
+    projects the vector to its exact integer keys f0..f7 (round(feat*997)
+    recovers k exactly — float32 error << 0.5). The DuckDB oracle recomputes
+    width/height/frames/f0..f7 from raw blob bytes via hex arithmetic, so
+    the distributed decode path is checked against an independent
+    implementation, not a fixture."""
     from logport_spark.operators.multimodal import extract_features
 
-    return extract_features(_pages(spark, sf_dir), fake_decode=True)
+    feats = extract_features(_pages(spark, sf_dir), fake_decode=True)
+    return feats.select(
+        "url", "width", "height", "frames",
+        *[F.round(F.element_at("feat", i + 1).cast("double") * 997)
+           .cast("bigint").alias(f"f{i}") for i in range(8)],
+    )
 
 
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,7 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,  # no oracle: LSH recall tested in pytest
         "mm_binary_meta": _mm_binary_meta,
-        "mm_features": _mm_features,  # no oracle: fake-decode plumbing check
+        "mm_features": _mm_features,
     }
 
 
@@ -704,7 +720,8 @@ _GROK_SUMMARY_SQL = (
     "  CAST(floor(CAST(regexp_extract(line, " + _GROK_RE + ", 3) AS INT) / 100) AS INT)\n"
     "      AS status_class,\n"
     "  count(*) AS n,\n"
-    "  sum(CAST(regexp_extract(line, " + _GROK_RE + ", 4) AS BIGINT)) AS total_bytes\n"
+    "  CAST(sum(CAST(regexp_extract(line, " + _GROK_RE + ", 4) AS BIGINT))\n"
+    "       AS BIGINT) AS total_bytes\n"
     "FROM lines WHERE regexp_matches(line, " + _GROK_RE + ")\n"
     "GROUP BY 1, 2"
 )
@@ -919,6 +936,41 @@ def _mm_meta_sql() -> str:
     """
 
 
+def _mm_features_sql() -> str:
+    """Independent re-derivation of the fake decoder (multimodal.py:58,86)
+    in pure SQL: byte values parsed out of hex(html). width/height come from
+    the sum of the first 16 bytes; f0..f7 are sum(payload[i::8]) % 997."""
+    hexd = "'0123456789ABCDEF'"
+    # 0-based byte j of the blob -> integer value, via its two hex digits
+    byte = ("((strpos({hd}, substr(hx, 2*{j}+1, 1)) - 1) * 16"
+            " + (strpos({hd}, substr(hx, 2*{j}+2, 1)) - 1))")
+    head16 = ("list_sum([CASE WHEN j < n THEN "
+              + byte.format(hd=hexd, j="j")
+              + " ELSE 0 END FOR j IN range(0, 16)])")
+    feats = ",\n               ".join(
+        "CAST(coalesce(list_sum(["
+        + byte.format(hd=hexd, j="j")
+        + f" FOR j IN range({i}, n, 8)]), 0) % 997 AS BIGINT) AS f{i}"
+        for i in range(8)
+    )
+    return f"""
+        WITH p AS (
+          SELECT url, hex(html) AS hx, coalesce(octet_length(html), 0) AS n
+          FROM {_PAGES}
+        ), b AS (
+          SELECT url, n, coalesce({head16}, 0) AS h,
+               {feats}
+          FROM p
+        )
+        SELECT url,
+               CAST(16 + h % 64 AS INT) AS width,
+               CAST(16 + (h // 64) % 64 AS INT) AS height,
+               CAST(1 + n % 4 AS INT) AS frames,
+               f0, f1, f2, f3, f4, f5, f6, f7
+        FROM b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lp_parse_lines": _LINES_CTE + "SELECT url, line_no, line FROM lines",
@@ -942,8 +994,10 @@ def oracle_sql() -> dict[str, str]:
         "lp_sink_metrics": _LINES_CTE + _ENRICHED_CTE + f"""
             SELECT sink,
                    count(*) AS rows_routed,
-                   sum(strlen({_ENVELOPE_EXPR}) + 1) AS bytes_shipped,
-                   sum(CASE WHEN {_PARSE_FAIL_EXPR} THEN 1 ELSE 0 END) AS parse_failures
+                   CAST(sum(strlen({_ENVELOPE_EXPR}) + 1) AS BIGINT)
+                       AS bytes_shipped,
+                   CAST(sum(CASE WHEN {_PARSE_FAIL_EXPR} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS parse_failures
             FROM enriched GROUP BY sink
         """,
         "lp_quarantine": _LINES_CTE + f"""
@@ -1097,10 +1151,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id,
-                   sum(CASE WHEN prev IS NULL
-                            OR date_diff('second', prev, ts) > 1800
-                       THEN 1 ELSE 0 END) AS n_sessions,
-                   count(*) AS n_events
+                   CAST(sum(CASE WHEN prev IS NULL
+                                 OR date_diff('second', prev, ts) > 1800
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
             FROM x GROUP BY user_id
         """,
         "corpus_clean": _corpus_clean_sql(),
@@ -1225,4 +1279,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 10
         """,
         "mm_binary_meta": _mm_meta_sql(),
+        "mm_features": _mm_features_sql(),
     }

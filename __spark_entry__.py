@@ -552,7 +552,18 @@ def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logport_spark.operators.similarity import ann_lsh_topk
 
+    datagen.ensure_hyperplanes()  # oracle recomputes signatures from this
     return ann_lsh_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10)
+
+
+def _embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: banded LSH candidates + exact
+    cosine verify (similarity.py:embedding_lsh_pairs). The brute
+    `dedup_embedding_pairs` stays as the exhaustive small-input baseline."""
+    from logport_spark.operators.similarity import embedding_lsh_pairs
+
+    datagen.ensure_hyperplanes()
+    return embedding_lsh_pairs(_emb(spark, sf_dir), threshold=0.44)
 
 
 def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,9 +645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
-        "dedup_embedding_pairs": _dedup_embedding_pairs,
+        "dedup_embedding_pairs": _dedup_embedding_pairs,  # brute baseline (small inputs)
+        "embedding_lsh_pairs": _embedding_lsh_pairs,  # scale path (banded join)
         "ann_topk": _ann_topk,
-        "ann_lsh_topk": _ann_lsh_topk,  # no oracle: LSH recall tested in pytest
+        "ann_lsh_topk": _ann_lsh_topk,
         "mm_binary_meta": _mm_binary_meta,
         "mm_features": _mm_features,
     }
@@ -918,6 +930,26 @@ _DOT64 = (
     "list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
     "FOR i IN range(1, 65)])"
 )
+
+# Random-hyperplane LSH signatures re-derived in SQL from the persisted
+# seed-42 plane matrix (datagen.ensure_hyperplanes) — independent check of
+# the numpy-matmul pandas UDF in operators/similarity.py:lsh_signatures.
+# plane p contributes bit (p % 4) of band key t = p // 4 (16 tables x 4 bits).
+_LSH_SIG_CTE = _EMB_NORM_CTE + f"""
+, pl AS (SELECT plane_id, w FROM read_parquet('{DATA}/hyperplanes/*.parquet')),
+bits AS (
+  SELECT e.vec_id, pl.plane_id,
+         CASE WHEN list_sum([CAST(embedding[i] AS DOUBLE) * w[i]
+                             FOR i IN range(1, 65)]) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM e CROSS JOIN pl
+),
+sig AS (
+  SELECT vec_id, CAST(plane_id // 4 AS INT) AS t,
+         CAST(sum(bit << CAST(plane_id % 4 AS INT)) AS BIGINT) AS key
+  FROM bits GROUP BY 1, 2
+)
+"""
 
 
 def _mm_meta_sql() -> str:
@@ -1272,6 +1304,42 @@ def oracle_sql() -> dict[str, str]:
               FROM q JOIN e ON e.vec_id != q.query_id
               JOIN n nq ON nq.vec_id = q.query_id
               JOIN n ne ON ne.vec_id = e.vec_id)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM sc)
+            WHERE rank <= 10
+        """,
+        "embedding_lsh_pairs": _LSH_SIG_CTE + f"""
+            , cand AS (
+              SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+              FROM sig a JOIN sig b
+                ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id)
+            SELECT d1, d2,
+                   round({_DOT64.format(a='e1.embedding', b='e2.embedding')}
+                         / (n1.nm * n2.nm), 4) AS cos
+            FROM cand
+            JOIN e e1 ON e1.vec_id = d1 JOIN e e2 ON e2.vec_id = d2
+            JOIN n n1 ON n1.vec_id = d1 JOIN n n2 ON n2.vec_id = d2
+            WHERE {_DOT64.format(a='e1.embedding', b='e2.embedding')}
+                  / (n1.nm * n2.nm) >= 0.44
+        """,
+        "ann_lsh_topk": _LSH_SIG_CTE + f"""
+            , q AS (SELECT vec_id AS query_id, t, key FROM sig
+                    WHERE vec_id IN ({', '.join(str(i) for i in ANN_QUERY_IDS)})),
+            cand AS (
+              SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+              FROM sig s JOIN q ON s.t = q.t AND s.key = q.key
+              WHERE s.vec_id <> q.query_id),
+            sc AS (
+              SELECT c.query_id, c.neighbor_id,
+                     {_DOT64.format(a='eq.embedding', b='en.embedding')}
+                       / (nq.nm * nn.nm) AS cos
+              FROM cand c
+              JOIN e eq ON eq.vec_id = c.query_id
+              JOIN e en ON en.vec_id = c.neighbor_id
+              JOIN n nq ON nq.vec_id = c.query_id
+              JOIN n nn ON nn.vec_id = c.neighbor_id)
             SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM (
               SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank

@@ -134,7 +134,7 @@ def scaling_run(sf: str) -> dict:
 
     from logport_spark.session import get_spark
 
-    sf = os.environ.get("SPARK_GRAFT_SCALING_SF", "1")
+    sf = os.environ.get("SPARK_GRAFT_SCALING_SF", sf)
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
     pair = tuple(int(c) for c in
                  os.environ.get("SPARK_GRAFT_SCALING_CPUS", "8,32").split(","))

@@ -304,6 +304,24 @@ def ensure_fixtures(sf: str) -> dict[str, str]:
     return out
 
 
+def ensure_hyperplanes(dim: int = 64, n_planes: int = 64) -> str:
+    """Persist the seed-42 random-hyperplane matrix (operators/similarity.py)
+    as a parquet fixture so the DuckDB oracle can recompute LSH signatures
+    independently: one row per plane, (plane_id INT, w ARRAY<DOUBLE>)."""
+    import pandas as pd
+
+    from logport_spark.operators.similarity import hyperplanes
+
+    path = os.path.join(DATA_DIR, "hyperplanes")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        planes = hyperplanes(dim, n_planes)
+        _write_fixture(path, pd.DataFrame({
+            "plane_id": list(range(n_planes)),
+            "w": [row.tolist() for row in planes],
+        }))
+    return path
+
+
 def ensure_lookups() -> dict[str, str]:
     """Write the small lookup/config tables once; return name→path."""
     import pandas as pd

@@ -35,17 +35,24 @@ def asof_join(
     its timestamp (per key). Right payload columns arrive as <col><suffix>;
     rows with no prior right row keep NULLs (left-outer semantics)."""
     payload = list(right_payload)
+    # ONE struct carries the whole right row (ts + payload), so a single
+    # last(ignorenulls) attaches values from ONE right row — per-column
+    # carries could mix columns across right rows when a payload cell is
+    # NULL in the most recent one (DuckDB ASOF attaches whole rows).
+    r_struct = F.struct(
+        F.col(right_ts).cast("timestamp").alias("_ts_asof"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+    )
     l_tag = left.select(
         F.col(key).alias("_k"), F.col(left_ts).alias("_ts"), F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload],
-        F.lit(None).cast("timestamp").alias("_r_ts"),
+        F.lit(None).cast(right.select(r_struct.alias("_rrow")).schema["_rrow"].dataType)
+         .alias("_rrow"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"), F.col(right_ts).alias("_ts"), F.lit(0).alias("_is_left"),
         F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in payload],
-        F.col(right_ts).cast("timestamp").alias("_r_ts"),
+        r_struct.alias("_rrow"),
     )
     # right rows sort before left rows at equal ts (tag 0 < 1) => ties match
     w = (
@@ -54,13 +61,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}") for c in payload],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_c"),
     )
     out = carried.filter(F.col("_is_left") == 1).select(
         "_lrow.*",
-        *[F.col(f"_c_{c}").alias(f"{c}{suffix}") for c in payload],
-        F.col("_c_ts").alias(f"ts{suffix}"),
+        *[F.col(f"_c._p_{c}").alias(f"{c}{suffix}") for c in payload],
+        F.col("_c._ts_asof").alias(f"ts{suffix}"),
     )
     return out

@@ -101,7 +101,16 @@ def jvm_json_quote(col: Column) -> Column:
     j = F.to_json(F.struct(col.alias("x")))
     q = F.substring(j, F.lit(6), F.length(j) - F.lit(6))
     for hexu in _UPPER_ESCAPES:
-        q = F.replace(q, F.lit("\\u" + hexu), F.lit("\\u" + hexu.lower()))
+        # Lowercase only GENUINE escape sequences: the escape's backslash
+        # must be preceded by an even number of backslashes. Literal
+        # backslash-u-0-0-1-A text in the input is Jackson-escaped to an
+        # ODD backslash count before 'u001A' and must stay uppercase,
+        # byte-identical to json.dumps; a blind replace corrupted it.
+        q = F.regexp_replace(
+            q,
+            r"((?<!\\)(?:\\\\)*)\\u" + hexu,
+            "$1\\\\u" + hexu.lower(),
+        )
     has_special = col.rlike(r'[\x00-\x1f"\\]')
     return F.when(has_special, q).otherwise(F.concat(F.lit('"'), col, F.lit('"')))
 

@@ -114,6 +114,44 @@ def lsh_signatures(emb: DataFrame, dim: int = 64, n_tables: int = 16,
                       sig_udf(F.col(vec_col)).alias("sig"))
 
 
+def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.44,
+                        dim: int = 64, n_tables: int = 16,
+                        bits_per_table: int = 4, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Scale path for embedding near-dup pairs: LSH-bucketed candidates +
+    exact-cosine verify — the banded-join shape of dedup.minhash_lsh_pairs,
+    never an all-pairs product.
+
+    Semantics: pairs sharing >=1 of L band buckets AND exact cos >= threshold
+    (d1 < d2). Per-pair capture probability at cosine c is
+    1-(1-p^b)^L with p = 1-acos(c)/pi — >=99.99% at c>=0.9 for the default
+    16x4; the brute `embedding_near_pairs` stays as the exhaustive baseline
+    for small inputs. The shuffle is keyed on (table, bucket); candidate
+    pairs are deduped BEFORE the O(dim) cosine so each survivor is scored
+    once."""
+    sigs = lsh_signatures(emb, dim, n_tables, bits_per_table, id_col, vec_col)
+    banded = sigs.select("doc_id", "v", F.posexplode("sig").alias("t", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("a.v").alias("v1"),
+                F.col("b.doc_id").alias("d2"), F.col("b.v").alias("v2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    n1 = F.sqrt(F.expr("aggregate(transform(v1, x->cast(x as double)), cast(0.0 as double), (a,x)->a+x*x)"))
+    n2 = F.sqrt(F.expr("aggregate(transform(v2, x->cast(x as double)), cast(0.0 as double), (a,x)->a+x*x)"))
+    dot = F.expr(
+        "aggregate(zip_with(transform(v1, x->cast(x as double)), transform(v2, x->cast(x as double)),"
+        " (x,y)->x*y), cast(0.0 as double), (a,v)->a+v)"
+    )
+    return (
+        cands.withColumn("cos", dot / (n1 * n2))
+        .filter(F.col("cos") >= threshold)
+        .select("d1", "d2", F.round("cos", 4).alias("cos"))
+    )
+
+
 def ann_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                  dim: int = 64, n_tables: int = 16, bits_per_table: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -114,27 +114,41 @@ def run_with_ledger(
     """One (possibly partial) run: process un-committed buckets, write sinks,
     then append ledger rows (ledger-last). `only_buckets` simulates a crash
     after committing a subset. Returns the per-bucket ledger rows written."""
+    done = {r.bucket for r in committed_buckets(spark, out_dir).collect()}
     todo = remaining_pages(spark, pages, out_dir, n_buckets)
     if only_buckets is not None:
         todo = todo.filter(F.col("bucket").isin(only_buckets))
     routed = parsed_routed(spark, todo.drop("bucket"))
     routed = with_bucket(routed, n_buckets)
     _write_sinks(routed, out_dir)
-    # ledger rows: per-bucket aggregates (metrics + lineage in one row)
-    stats = routed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rows_routed"),
-        F.sum(F.col("record_bytes") + F.lit(1)).alias("bytes_shipped"),
-        F.sum(F.col("parse_fail").cast("long")).alias("parse_failures"),
-    )
+    # Ledger rows: per-bucket aggregates computed from the JUST-WRITTEN sink
+    # partitions (a compact parquet re-scan) instead of re-evaluating the
+    # whole parse DAG a second time. Every bucket this run was responsible
+    # for gets a committed row — including buckets that routed ZERO rows —
+    # so resume converges instead of rescanning empty buckets forever.
+    universe = [b for b in range(n_buckets)
+                if b not in done and (only_buckets is None or b in only_buckets)]
+    try:
+        written = (
+            spark.read.parquet(out_dir + "/sinks")
+            .filter(F.col("bucket").isin(universe))
+        )
+        stats = written.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("rows_routed"),
+            F.sum(F.col("record_bytes") + F.lit(1)).alias("bytes_shipped"),
+            F.sum(F.col("parse_fail").cast("long")).alias("parse_failures"),
+        )
+        stats_rows = {r["bucket"]: r for r in stats.collect()}
+    except Exception:  # nothing ever written (fully empty input)
+        stats_rows = {}
     seq = int(time.time() * 1000)
-    ledger_rows = stats.select(
-        F.lit(run_id).alias("run_id"),
-        "bucket",
-        "rows_routed",
-        "bytes_shipped",
-        "parse_failures",
-        F.lit("committed").alias("status"),
-        F.lit(seq).alias("commit_seq"),
+    ledger_rows = spark.createDataFrame(
+        [(run_id, b,
+          stats_rows[b]["rows_routed"] if b in stats_rows else 0,
+          stats_rows[b]["bytes_shipped"] if b in stats_rows else 0,
+          stats_rows[b]["parse_failures"] if b in stats_rows else 0,
+          "committed", seq) for b in universe],
+        LEDGER_SCHEMA,
     )
     ledger_rows.coalesce(1).write.mode("append").parquet(ledger_path(out_dir))
     return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path(out_dir)).filter(

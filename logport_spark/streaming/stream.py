@@ -9,10 +9,11 @@ telemetry cadences (src/Inspector.cc:36-55).
 Design notes for scale:
 - `maxFilesPerTrigger` bounds micro-batch size = the reference's bounded
   in-flight queue / backpressure (src/KafkaProducer.cc:385-423).
-- foreachBatch + per-sink append writes = the multi-target fan-out
-  (src/HttpProducer.cc:196-224); each micro-batch write is atomic per sink
-  directory, checkpoint commits after — the same ledger-last ordering as
-  plans/ledger.py, giving effective exactly-once into the sink tables.
+- foreachBatch + per-(batch_id, sink) dynamic-overwrite writes = the
+  multi-target fan-out (src/HttpProducer.cc:196-224); a micro-batch
+  replayed after a crash overwrites its own batch_id partitions, and the
+  checkpoint commits after — idempotent replay, exactly-once into the sink
+  tables (same write discipline as plans/ledger.py).
 - Watermark on warc_ts bounds state for late pages; window aggregates emit
   per (window, sink) — the streaming twin of sink_metrics.
 """
@@ -46,14 +47,22 @@ def run_stream_pipeline(
     max_files: int = 2,
 ) -> None:
     """Run the full parse→enrich→route DAG incrementally until no new files
-    remain (availableNow), appending per-sink partitions."""
+    remain (availableNow), writing per-(batch, sink) partitions.
+
+    Exactly-once into the sink tables: each micro-batch writes under its own
+    batch_id partition with DYNAMIC partition overwrite (the same idempotent
+    write as plans/ledger._write_sinks), so a batch replayed after a crash
+    between the write and the checkpoint commit overwrites its own
+    partitions instead of appending duplicates."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         routed = parsed_routed(batch_df.sparkSession, batch_df)
         (
             routed.select(*SINK_COLS)
-            .write.mode("append")
-            .partitionBy("sink")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "sink")
             .parquet(out_dir + "/sinks")
         )
 

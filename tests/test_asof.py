@@ -36,6 +36,29 @@ def test_asof_join_semantics(spark):
     assert out["l1"]["ts_asof"] == _ts("2024-01-01 10:00:00")
 
 
+def test_asof_join_null_payload_keeps_whole_row(spark):
+    """When the most recent prior right row has a NULL payload cell, the
+    output must carry THAT row's values (NULL included) — not mix in an
+    older row's non-NULL value (ADVICE r1: per-column carries diverged from
+    DuckDB ASOF whole-row semantics)."""
+    from logport_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"), "l1")],
+        "user_id long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 100, "old"),
+         (1, _ts("2024-01-01 11:00:00"), None, "new")],  # latest has NULL rv
+        "user_id long, ts timestamp, rv int, tag string",
+    )
+    out = asof_join(left, right, key="user_id",
+                    right_payload=("rv", "tag")).collect()[0]
+    assert out["tag_asof"] == "new"
+    assert out["rv_asof"] is None            # NOT 100 from the older row
+    assert out["ts_asof"] == _ts("2024-01-01 11:00:00")
+
+
 def test_asof_join_single_shuffle(spark):
     """The union+window formulation must shuffle once on the key — no range
     join / nested-loop blow-up in the plan."""

@@ -20,6 +20,14 @@ def _hostile_lines(n: int = 2000, seed: int = 7) -> list[str]:
                         for _ in range(rng.randint(1, 20))),
         # quote/backslash storms
         lambda: "".join(rng.choice('"\\/bfnrt xyz') for _ in range(rng.randint(1, 30))),
+        # literal pre-escaped-JSON text: backslash-u-hex runs that LOOK like
+        # escape sequences (ADVICE r1 — blind escape normalization corrupted
+        # these), with and without adjacent real control chars
+        lambda: rng.choice([
+            "\\u001A", "x\\u001A}", "\\\\u001B", "\\u001a\x1a",
+            "pre\\u000Bpost", "\\u001C\\u001c", "tail\\", "\x1b\\u001B",
+            "c:\\u001Adir", "\\\\\\u001E", json.dumps({"a": "\\u001A"}),
+        ]),
         # control chars (escaped as \\uXXXX by json)
         lambda: "".join(chr(rng.randint(1, 31)) for _ in range(rng.randint(1, 8))),
         # canonical json objects incl. nested + unicode keys
@@ -74,6 +82,35 @@ def test_hostile_corpus_byte_identity(spark, hostile_pages):
     assert len(got) == len(want)
     bad = [(k, got[k], want[k]) for k in want if got.get(k) != want[k]]
     assert not bad, f"{len(bad)} mismatches; first: {bad[0]}"
+
+
+def test_jvm_json_quote_equals_dumps(spark):
+    """jvm_json_quote (the JVM-side escaper) must be byte-identical to
+    json.dumps(x, ensure_ascii=False) — including literal backslash-u-hex
+    text, which the r1 blind-replace normalization corrupted."""
+    import random
+
+    from logport_spark.operators.parse import jvm_json_quote
+
+    rng = random.Random(11)
+    cases = _hostile_lines(1500, seed=13)
+    # directed cases around every uppercase escape Jackson emits
+    for hx in ("000B", "000E", "000F", "001A", "001B", "001C", "001D", "001E", "001F"):
+        ctrl = chr(int(hx, 16))
+        cases += [
+            "\\u" + hx, "\\\\u" + hx, "\\\\\\u" + hx,
+            ctrl, ctrl + "\\u" + hx, "\\u" + hx + ctrl,
+            "a\\u" + hx + "b" + ctrl, '"\\u' + hx,
+        ]
+    # random backslash/control/hex soup
+    for _ in range(500):
+        cases.append("".join(rng.choice("\\u01ABEF\x1a\x0b\"z")
+                             for _ in range(rng.randint(1, 24))))
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    out = df.select("s", jvm_json_quote(F.col("s")).alias("q")).collect()
+    bad = [(r.s, r.q, json.dumps(r.s, ensure_ascii=False)) for r in out
+           if r.q != json.dumps(r.s, ensure_ascii=False)]
+    assert not bad, f"{len(bad)} mismatches; first: {bad[0]!r}"
 
 
 def test_hostile_records_are_valid_json(spark, hostile_pages):

@@ -50,6 +50,21 @@ def test_rerun_is_idempotent(spark, pages_small, fresh_routed, tmp_path_factory)
     assert lg.filter(F.col("run_id") == "b").count() == 0
 
 
+def test_empty_buckets_converge(spark, pages_small, tmp_path_factory):
+    """Buckets that route zero rows (or hold no pages) still get committed
+    ledger rows, so resume converges: exactly one ledger row per bucket ever,
+    and a later run rescans nothing (ADVICE r1: empty buckets were rescanned
+    and rewritten forever)."""
+    out = str(tmp_path_factory.mktemp("converge"))
+    # 64 buckets over a tiny page set => many bucket ids hold zero pages
+    L.run_with_ledger(spark, pages_small.limit(5), out, run_id="c1", n_buckets=64)
+    lg = L.read_ledger(spark, out)
+    assert lg.count() == 64                      # every bucket committed once
+    assert lg.select("bucket").distinct().count() == 64
+    L.run_with_ledger(spark, pages_small.limit(5), out, run_id="c2", n_buckets=64)
+    assert L.read_ledger(spark, out).count() == 64   # second run added nothing
+
+
 def test_ledger_metrics_match_sink_metrics(spark, pages_small, tmp_path_factory):
     """Per-bucket ledger aggregates roll up to the per-sink oracle counts."""
     from logport_spark.plans.pipeline import parsed_routed, sink_metrics

@@ -46,6 +46,39 @@ def test_stream_restart_is_exactly_once(spark, pages_dir, tmp_path_factory):
     assert spark.read.parquet(out + "/sinks").count() == n1
 
 
+def test_stream_replayed_batch_is_idempotent(spark, pages_dir, tmp_path_factory):
+    """Crash-replay simulation: delete the LAST checkpoint commit (as if the
+    process died between the sink write and the commit) and re-run — the
+    replayed micro-batch must overwrite its own batch_id partitions, not
+    append duplicates (ADVICE r1: plain append was at-least-once)."""
+    import os
+    import shutil
+
+    from logport_spark.streaming.stream import run_stream_pipeline
+
+    out = str(tmp_path_factory.mktemp("stream_out4"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt4"))
+    run_stream_pipeline(spark, pages_dir, out, ckpt, max_files=2)
+    n1 = spark.read.parquet(out + "/sinks").count()
+    # Crash image: the on-disk checkpoint as a process would find it after
+    # dying between the sink write and the commit — last commit file absent,
+    # sink rows for that batch already written. A fresh path stands in for
+    # the fresh JVM (Spark caches the commits log in-process and flags an
+    # in-place deletion as concurrent modification).
+    crashed = str(tmp_path_factory.mktemp("ckpt4_crash"))
+    shutil.rmtree(crashed)
+    shutil.copytree(ckpt, crashed)
+    commits = sorted(
+        f for f in os.listdir(os.path.join(crashed, "commits")) if not f.startswith(".")
+    )
+    os.remove(os.path.join(crashed, "commits", commits[-1]))
+    crc = os.path.join(crashed, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):  # checksum sidecar would block the re-commit rename
+        os.remove(crc)
+    run_stream_pipeline(spark, pages_dir, out, crashed, max_files=2)
+    assert spark.read.parquet(out + "/sinks").count() == n1
+
+
 def test_windowed_counts_match_batch(spark, pages_dir, tmp_path_factory):
     from logport_spark.operators import enrich as E
     from logport_spark.operators import parse as P

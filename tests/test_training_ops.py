@@ -63,6 +63,32 @@ def test_ann_lsh_recall(spark, emb):
             assert abs(bf_cos[k] - r.cos) < 1e-9
 
 
+def test_embedding_lsh_pairs_recall_on_planted_dups(spark):
+    """embedding_lsh_pairs (banded join) must recover planted high-cosine
+    near-dups: at cos>=0.9 a 16x4 banding misses a pair with prob
+    (1 - p^4)^16 < 1e-5, so on a seeded corpus of 60 planted pairs the LSH
+    result must equal the brute result exactly."""
+    import numpy as np
+
+    from logport_spark.operators.similarity import (
+        embedding_lsh_pairs, embedding_near_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((60, 64))
+    noise = rng.standard_normal((60, 64)) * 0.05
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i, [float(x) for x in (v + noise[i])]))  # near-dup
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    brute = {(r.d1, r.d2) for r in embedding_near_pairs(emb, 0.9).collect()}
+    lsh = {(r.d1, r.d2) for r in embedding_lsh_pairs(emb, 0.9).collect()}
+    assert len(brute) >= 55, "corpus should contain planted near-dups"
+    assert lsh == brute
+
+
 def test_exact_dedup_groups(spark, docs):
     from logport_spark.operators.dedup import exact_dedup
 

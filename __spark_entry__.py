@@ -523,12 +523,17 @@ def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logport_spark.operators.dedup import minhash_lsh_pairs
     from logport_spark.operators.textstats import lang_id, quality
 
+    from pyspark import StorageLevel
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     # exact dedup as ONE window pass (the keep-set is O(n_docs) — never a
     # broadcast/semi-join side at corpus scale)
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     d1 = (docs.withColumn("_rn", F.row_number().over(w))
           .filter(F.col("_rn") == 1).drop("_rn"))
+    # d1 feeds BOTH the scoring branch and the near-dup miner; persist so the
+    # scan+window dedup runs once per action, spilling to disk at scale
+    d1 = d1.persist(StorageLevel.MEMORY_AND_DISK)
     scored = lang_id(quality(d1))
     # near-dup drop set is pair-survivor-sized (small); AQE may broadcast it
     drops = minhash_lsh_pairs(d1, n=3, threshold=0.8).select(

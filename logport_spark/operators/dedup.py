@@ -163,19 +163,22 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
-    bits = toks.select(
-        "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j")
-    )
-    nibble = F.conv(F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1), 16, 10).cast("int")
-    bit = nibble.bitwiseAND(F.expr("shiftleft(1, cast(j % 4 as int))"))
-    vote = F.when(bit > 0, 1).otherwise(-1)
-    votes = bits.withColumn("v", vote).groupBy("doc_id", "j").agg(F.sum("v").alias("s"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))"))
-            .otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    # 60 conditional-sum aggregates over the token rows — j is a literal, so
+    # each bit probe constant-folds into codegen. ONE groupBy (map-side
+    # partial aggs shuffle docs x 60 ints), vs the earlier tokens x 60
+    # bit-explode whose narrow-stage intermediate was 60x the token count.
+    aggs = []
+    for j in range(SIMHASH_BITS):
+        nibble = F.conv(F.substring(F.col("h"), j // 4 + 1, 1), 16, 10).cast("int")
+        bit = nibble.bitwiseAND(F.lit(1 << (j % 4)))
+        aggs.append(F.sum(F.when(bit > 0, 1).otherwise(-1)).alias(f"s{j}"))
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        part = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        simhash = part if simhash is None else simhash + part
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -55,9 +55,28 @@ def binary_meta(pages: DataFrame, bin_col: str = "html") -> DataFrame:
     )
 
 
+def _pil_available() -> bool:
+    """Capability probe: real image decode needs Pillow (absent here)."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
 def decode_media(payload: bytes, kind: str, fake: bool = False) -> dict:
-    """Decode one media payload. REAL decode is stubbed in this container."""
+    """Decode one media payload.
+
+    Capability-gated swap point: when Pillow is installed (a real cluster),
+    the real decoder runs with NO code edits; in this container (no
+    Pillow/ffmpeg) the deterministic fake must be requested explicitly."""
     if not fake:
+        if _pil_available():  # pragma: no cover - decode libs absent here
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(payload)) as im:
+                return {"width": im.width, "height": im.height,
+                        "frames": getattr(im, "n_frames", 1)}
         raise NotImplementedError(
             "media decode requires Pillow/ffmpeg — not available in this "
             "container; pass fake=True for the deterministic fake decoder"

@@ -9,6 +9,17 @@ ANSI-SQL oracle equivalent (DuckDB lambdas + md5 match bit-for-bit).
 These extend the reference's scope: logport ships log lines but never
 analyzes them (SURVEY.md §2.6 gap analysis); a 100 TB Common-Crawl pipeline
 needs these stages between parse and route.
+
+Model fidelity — deliberately oracle-able stand-ins, NOT production models:
+- `lang_id` is a 5-language marker-token heuristic chosen because DuckDB can
+  reproduce it bit-for-bit. A production run swaps the scoring expression
+  for a fastText/CLD3 call inside a vectorized pandas UDF — the surrounding
+  plumbing (argmax/tiebreak columns, `pred_lang` contract, downstream
+  filters) is unchanged, the same swap-point pattern multimodal.decode_media
+  documents.
+- `BPE_REGEX` token counting approximates a BPE pre-tokenizer with one
+  `regexp_count`; a real tokenizer (HF `tokenizers`) drops into a pandas UDF
+  behind the same `n_tokens` column.
 """
 
 from __future__ import annotations

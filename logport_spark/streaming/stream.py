@@ -30,11 +30,19 @@ SINK_COLS = ["url", "line_no", "record", "record_bytes", "parse_fail", "sink"]
 
 def pages_stream(spark: SparkSession, pages_dir: str, max_files: int = 2) -> DataFrame:
     """Incremental scan: new parquet files under pages_dir become micro-batches
-    (the inotify IN_MODIFY analog)."""
-    schema = spark.read.parquet(pages_dir).schema
+    (the inotify IN_MODIFY analog).
+
+    Rotation (the IN_MOVE_SELF drain + reset, src/InotifyWatcher.cc:454-478):
+    a rotated file is a RENAME out of the live set. pathGlobFilter pins the
+    live set to '*.parquet', so a file renamed to 'part-0.parquet.1' leaves
+    the glob instead of reappearing as a new path (which would double-read
+    its rows — FileStreamSource tracks seen files by path, not content); the
+    replacement file at a fresh path is discovered normally."""
+    schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(pages_dir).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "*.parquet")
         .parquet(pages_dir)
     )
 

@@ -79,6 +79,45 @@ def test_stream_replayed_batch_is_idempotent(spark, pages_dir, tmp_path_factory)
     assert spark.read.parquet(out + "/sinks").count() == n1
 
 
+def test_stream_file_rotation_exactly_once(spark, tmp_path_factory):
+    """Rotation mid-stream (the IN_MOVE_SELF analog): after batch 1 is
+    processed, the live file is renamed to a rotated suffix and a new file
+    replaces it. The renamed file must NOT be re-read (its rows were already
+    routed), the new file must be picked up, and the final sink equals the
+    batch run over the union — exactly-once through the rotation."""
+    import os
+
+    import pandas as pd
+
+    from logport_spark.plans.pipeline import parsed_routed
+    from logport_spark.streaming.stream import SINK_COLS, run_stream_pipeline
+
+    d = str(tmp_path_factory.mktemp("pages_rot"))
+    out = str(tmp_path_factory.mktemp("rot_out"))
+    ckpt = str(tmp_path_factory.mktemp("rot_ckpt"))
+
+    batch1 = spark.createDataFrame(
+        pd.DataFrame(datagen.gen_docs(range(0, 120))), schema=datagen.PAGES_DDL)
+    batch1.coalesce(1).write.mode("overwrite").parquet(d)
+    run_stream_pipeline(spark, d, out, ckpt, max_files=2)
+    n1 = spark.read.parquet(out + "/sinks").count()
+
+    # rotate: rename every live file out of the glob, then write the new file
+    for fn in os.listdir(d):
+        if fn.endswith(".parquet"):
+            os.rename(os.path.join(d, fn), os.path.join(d, fn + ".1"))
+    batch2 = spark.createDataFrame(
+        pd.DataFrame(datagen.gen_docs(range(120, 200))), schema=datagen.PAGES_DDL)
+    batch2.coalesce(1).write.mode("append").parquet(d)
+
+    run_stream_pipeline(spark, d, out, ckpt, max_files=2)
+    got = spark.read.parquet(out + "/sinks").select(*SINK_COLS)
+    assert got.count() > n1  # the new file was processed
+    want = parsed_routed(spark, batch1.unionByName(batch2)).select(*SINK_COLS)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_windowed_counts_match_batch(spark, pages_dir, tmp_path_factory):
     from logport_spark.operators import enrich as E
     from logport_spark.operators import parse as P

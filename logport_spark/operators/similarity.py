@@ -126,27 +126,35 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.44,
     (d1 < d2). Per-pair capture probability at cosine c is
     1-(1-p^b)^L with p = 1-acos(c)/pi — >=99.99% at c>=0.9 for the default
     16x4; the brute `embedding_near_pairs` stays as the exhaustive baseline
-    for small inputs. The shuffle is keyed on (table, bucket); candidate
-    pairs are deduped BEFORE the O(dim) cosine so each survivor is scored
-    once."""
+    for small inputs.
+
+    Plan shape (PLANS.md): the band join carries ONLY (doc_id, t, key) —
+    vectors never ride through the band shuffle or the candidate distinct;
+    surviving id pairs re-join the corpus to fetch vectors for the
+    exact-cosine verify. posexplode_outer (not posexplode) keeps the
+    signature UDF evaluated ONCE — the inner generator's implicit
+    size(sig)>0 pushdown would re-run the ArrowEvalPython below the
+    filter."""
     sigs = lsh_signatures(emb, dim, n_tables, bits_per_table, id_col, vec_col)
-    banded = sigs.select("doc_id", "v", F.posexplode("sig").alias("t", "key"))
+    banded = sigs.select("doc_id", F.posexplode_outer("sig").alias("t", "key"))
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("a.v").alias("v1"),
-                F.col("b.doc_id").alias("d2"), F.col("b.v").alias("v2"))
-        .dropDuplicates(["d1", "d2"])
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
     )
-    n1 = F.sqrt(F.expr("aggregate(transform(v1, x->cast(x as double)), cast(0.0 as double), (a,x)->a+x*x)"))
-    n2 = F.sqrt(F.expr("aggregate(transform(v2, x->cast(x as double)), cast(0.0 as double), (a,x)->a+x*x)"))
+    vecs = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_id"), F.col("_vecd").alias("_v"), F.col("norm").alias("_nm"))
     dot = F.expr(
-        "aggregate(zip_with(transform(v1, x->cast(x as double)), transform(v2, x->cast(x as double)),"
-        " (x,y)->x*y), cast(0.0 as double), (a,v)->a+v)"
-    )
+        "aggregate(zip_with(v1, v2, (x,y)->x*y), cast(0.0 as double), (a,v)->a+v)")
     return (
-        cands.withColumn("cos", dot / (n1 * n2))
+        cands
+        .join(vecs.select(F.col("_id").alias("d1"), F.col("_v").alias("v1"),
+                          F.col("_nm").alias("n1")), "d1")
+        .join(vecs.select(F.col("_id").alias("d2"), F.col("_v").alias("v2"),
+                          F.col("_nm").alias("n2")), "d2")
+        .withColumn("cos", dot / (F.col("n1") * F.col("n2")))
         .filter(F.col("cos") >= threshold)
         .select("d1", "d2", F.round("cos", 4).alias("cos"))
     )
@@ -156,30 +164,39 @@ def ann_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                  dim: int = 64, n_tables: int = 16, bits_per_table: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """LSH-bucketed ANN: candidates = corpus rows sharing ≥1 table bucket
-    with the query, exact cosine rerank of candidates only."""
+    with the query, exact cosine rerank of candidates only.
+
+    Plan shape (PLANS.md): the band probe carries ONLY (doc_id, t, key) and
+    broadcasts the tiny query-side bucket set; candidate (query, neighbor)
+    id pairs are deduped bare, then vectors are fetched by id for the exact
+    rerank (query vectors via a second broadcast). posexplode_outer keeps
+    the signature UDF evaluated once (see embedding_lsh_pairs)."""
     from pyspark.sql import Window
 
     sigs = lsh_signatures(emb, dim, n_tables, bits_per_table, id_col, vec_col)
-    banded = sigs.select("doc_id", "v", F.posexplode("sig").alias("t", "key"))
+    banded = sigs.select("doc_id", F.posexplode_outer("sig").alias("t", "key"))
     qb = (
         banded.filter(F.col("doc_id").isin(query_ids))
-        .select(F.col("doc_id").alias("query_id"), F.col("v").alias("qv"), "t", "key")
+        .select(F.col("doc_id").alias("query_id"), "t", "key")
     )
     cands = (
         banded.join(F.broadcast(qb), ["t", "key"])
         .filter(F.col("doc_id") != F.col("query_id"))
-        .select("query_id", "qv", F.col("doc_id").alias("neighbor_id"), F.col("v").alias("nv"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"))
         .distinct()
     )
-    qn = F.sqrt(F.expr("aggregate(transform(qv, x->cast(x as double)), cast(0.0 as double), (a,x)->a+x*x)"))
-    nn = F.sqrt(F.expr("aggregate(transform(nv, x->cast(x as double)), cast(0.0 as double), (a,x)->a+x*x)"))
+    vecs = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_id"), F.col("_vecd").alias("_v"), F.col("norm").alias("_nm"))
+    qv = vecs.filter(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"), F.col("_v").alias("v1"), F.col("_nm").alias("n1"))
+    nv = vecs.select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("v2"), F.col("_nm").alias("n2"))
     dot = F.expr(
-        "aggregate(zip_with(transform(qv, x->cast(x as double)), transform(nv, x->cast(x as double)),"
-        " (x,y)->x*y), cast(0.0 as double), (a,v)->a+v)"
-    )
+        "aggregate(zip_with(v1, v2, (x,y)->x*y), cast(0.0 as double), (a,v)->a+v)")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cands.withColumn("cos", dot / (qn * nn))
+        cands.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+        .withColumn("cos", dot / (F.col("n1") * F.col("n2")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")

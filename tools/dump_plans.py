@@ -49,6 +49,18 @@ ANNOTATED = {
         "buckets, hash join on (key, bucket), exact |delta| filter after — "
         "never a nested-loop range join."
     ),
+    "embedding_lsh_pairs": (
+        "Embedding near-dup at scale: ONE ArrowEvalPython computes all 16 "
+        "band keys per row (numpy matmul), posexplode, then a hash join on "
+        "(t, key) — the shuffle is keyed on band buckets, never an O(n^2) "
+        "cross product; only deduped candidates reach the exact-cosine "
+        "filter."
+    ),
+    "corpus_clean": (
+        "Curation composite: window dedup on md5(text) feeds BOTH branches "
+        "from an InMemoryTableScan (persisted once); the near-dup drop set "
+        "is pair-survivor-sized and enters a broadcast left-anti join."
+    ),
 }
 
 

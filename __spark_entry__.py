@@ -597,6 +597,26 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing (mapInPandas, Arrow binary in/out).
+    The resized payload is hex-encoded for the driver canon; the oracle
+    re-derives the clamp arithmetic and the byte window in SQL."""
+    from logport_spark.operators.multimodal import resize_images
+
+    rs = resize_images(_pages(spark, sf_dir), max_side=32, fake_decode=True)
+    return rs.select("url", "width", "height", "out_w", "out_h",
+                     F.hex("resized").alias("resized_hex"))
+
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: row explosion inside the UDF (one output row
+    per kept frame). Frame bytes hex-encoded for the driver canon."""
+    from logport_spark.operators.multimodal import sample_frames
+
+    fr = sample_frames(_pages(spark, sf_dir), every=2, fake_decode=True)
+    return fr.select("url", "frames", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -656,6 +676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "mm_binary_meta": _mm_binary_meta,
         "mm_features": _mm_features,
+        "mm_resize": _mm_resize,
+        "mm_frames": _mm_frames,
     }
 
 
@@ -1008,6 +1030,58 @@ def _mm_features_sql() -> str:
     """
 
 
+def _mm_resize_sql() -> str:
+    """Resize oracle: fake-decode dims from the first-16-byte sum, the same
+    clamp arithmetic (trunc ≙ Python int()), byte window via substring."""
+    hexd = "'0123456789ABCDEF'"
+    byte = ("((strpos({hd}, substr(hx, 2*{j}+1, 1)) - 1) * 16"
+            " + (strpos({hd}, substr(hx, 2*{j}+2, 1)) - 1))")
+    head16 = ("list_sum([CASE WHEN j < n THEN "
+              + byte.format(hd=hexd, j="j")
+              + " ELSE 0 END FOR j IN range(0, 16)])")
+    return f"""
+        WITH p AS (
+          SELECT url, html, hex(html) AS hx,
+                 coalesce(octet_length(html), 0) AS n
+          FROM {_PAGES}
+        ), d AS (
+          SELECT url, html, coalesce({head16}, 0) AS h FROM p
+        ), wh AS (
+          SELECT url, html,
+                 16 + h % 64 AS w, 16 + (h // 64) % 64 AS hg
+          FROM d
+        ), s AS (
+          SELECT url, html, w, hg,
+                 least(1.0, 32.0 / greatest(w, hg, 1)) AS scale
+          FROM wh
+        )
+        SELECT url, CAST(w AS INT) AS width, CAST(hg AS INT) AS height,
+               CAST(greatest(1, trunc(w * scale)) AS INT) AS out_w,
+               CAST(greatest(1, trunc(hg * scale)) AS INT) AS out_h,
+               substr(hex(html), 1,
+                   2 * CAST(greatest(1, trunc(w * scale)) AS INT)
+                     * CAST(greatest(1, trunc(hg * scale)) AS INT)) AS resized_hex
+        FROM s
+    """
+
+
+def _mm_frames_sql() -> str:
+    """Frame-sampling oracle: n frames from octet_length, every-2 selection
+    via generate_series, frame windows via substring."""
+    return f"""
+        WITH p AS (
+          SELECT url, hex(html) AS hx,
+                 coalesce(octet_length(html), 0) AS nb,
+                 1 + coalesce(octet_length(html), 0) % 4 AS nf
+          FROM {_PAGES}
+        )
+        SELECT url, CAST(nf AS INT) AS frames, CAST(i AS INT) AS frame_idx,
+               substr(hx, 2 * CAST(i AS INT) * greatest(1, nb // nf) + 1,
+                      2 * greatest(1, nb // nf)) AS frame_hex
+        FROM p, unnest(range(0, nf, 2)) AS r(i)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lp_parse_lines": _LINES_CTE + "SELECT url, line_no, line FROM lines",
@@ -1353,4 +1427,6 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mm_binary_meta": _mm_meta_sql(),
         "mm_features": _mm_features_sql(),
+        "mm_resize": _mm_resize_sql(),
+        "mm_frames": _mm_frames_sql(),
     }

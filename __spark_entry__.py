@@ -666,7 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _token_stats,
         "doc_fingerprint": _doc_fingerprint,
         "dedup_exact": _dedup_exact,
-        "dedup_ngram_pairs": _dedup_ngram_pairs,
+        "dedup_ngram_pairs": _dedup_ngram_pairs,  # correctness baseline (all-pairs); scale path is dedup_minhash_pairs
         "dedup_minhash_pairs": _dedup_minhash_pairs,
         "dedup_simhash": _dedup_simhash,
         "dedup_simhash_pairs": _dedup_simhash_pairs,

@@ -10,6 +10,7 @@ Spark job lifecycle, so what remains is:
     python -m logport_spark.cli status  --out <dir>       # ledger summary
     python -m logport_spark.cli routes                    # `logport watches`
     python -m logport_spark.cli settings [--set k=v ...]  # precedence demo
+    python -m logport_spark.cli deliver --out <dir> --broker <dir>  # wire → mock broker
     python -m logport_spark.cli bench [--scaling]
 
 `run` processes only un-committed buckets (so `run` after a crash IS
@@ -103,6 +104,27 @@ def cmd_settings(args) -> int:
     return 0
 
 
+def cmd_deliver(args) -> int:
+    """Produce committed sink rows as wire batches to the mock broker and
+    print the delivery-report summary (K1/K3 loop; see operators/transport)."""
+    from pyspark.sql import functions as F
+
+    from .operators import transport as T
+    from .operators.wire import batch_messages
+    from .plans import ledger as L
+
+    spark = _spark(args.cpus)
+    routed = L.read_routed(spark, args.out).select("sink", "url", "line_no", "record")
+    wire = batch_messages(L.with_bucket(routed), stream_col="bucket")
+    reports = T.deliver(wire, args.broker).cache()
+    summary = reports.groupBy("status").agg(
+        F.count(F.lit(1)).alias("batches"), F.sum("n_msgs").alias("msgs"),
+        F.sum("bytes").alias("bytes")).collect()
+    print(json.dumps({r["status"]: {"batches": r["batches"], "msgs": r["msgs"],
+                                    "bytes": r["bytes"]} for r in summary}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import os
     import subprocess
@@ -141,6 +163,11 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("settings")
     sp.add_argument("--set", action="append")
     sp.set_defaults(fn=cmd_settings)
+    sp = sub.add_parser("deliver")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--broker", required=True)
+    common(sp)
+    sp.set_defaults(fn=cmd_deliver)
     sp = sub.add_parser("bench")
     sp.add_argument("--scaling", action="store_true")
     sp.set_defaults(fn=cmd_bench)

@@ -7,6 +7,7 @@ and runs inside whole-stage codegen — no Python in any of them.
 
 from ..operators.parse import json_quote, jvm_json_quote, ts_string
 from ..operators.textstats import shingles_expr
+from ..operators.transport import batch_key
 from ..plans.ledger import bucket_col
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "json_quote",       # the Python twin (property-tested equal)
     "bucket_col",       # crc32(url) % n deterministic progress/salt bucket
     "shingles_expr",    # token n-gram shingle array (SQL expr string)
+    "batch_key",        # sha1 content address of a wire batch (idempotence key)
 ]

@@ -100,17 +100,18 @@ def jvm_json_quote(col: Column) -> Column:
     uppercase \\u00XX sequences Jackson emits are normalized to lowercase."""
     j = F.to_json(F.struct(col.alias("x")))
     q = F.substring(j, F.lit(6), F.length(j) - F.lit(6))
+    # Lowercase only GENUINE escape sequences. A blind replace corrupts
+    # literal backslash-u-hex text (Jackson escapes the literal backslash,
+    # leaving an ODD backslash count before 'u001A' — NOT an escape).
+    # Parity via sentinel swap, all literal replaces (a parity-aware
+    # regexp_replace measured ~2x on the whole DAG): swap escaped
+    # backslashes ('\\') out for \x01 — which cannot occur in q, every
+    # control char is escaped there — so each remaining backslash heads a
+    # real escape; blind-lowercase; swap back.
+    q = F.replace(q, F.lit("\\\\"), F.lit("\x01"))
     for hexu in _UPPER_ESCAPES:
-        # Lowercase only GENUINE escape sequences: the escape's backslash
-        # must be preceded by an even number of backslashes. Literal
-        # backslash-u-0-0-1-A text in the input is Jackson-escaped to an
-        # ODD backslash count before 'u001A' and must stay uppercase,
-        # byte-identical to json.dumps; a blind replace corrupted it.
-        q = F.regexp_replace(
-            q,
-            r"((?<!\\)(?:\\\\)*)\\u" + hexu,
-            "$1\\\\u" + hexu.lower(),
-        )
+        q = F.replace(q, F.lit("\\u" + hexu), F.lit("\\u" + hexu.lower()))
+    q = F.replace(q, F.lit("\x01"), F.lit("\\\\"))
     has_special = col.rlike(r'[\x00-\x1f"\\]')
     return F.when(has_special, q).otherwise(F.concat(F.lit('"'), col, F.lit('"')))
 

@@ -65,3 +65,9 @@ def test_cli_run_and_status(spark, pages_small, tmp_path, capsys, monkeypatch):
                      "--run-id", "cli2", "--buckets", "16"]) == 0
     res = json.loads(capsys.readouterr().out)
     assert res["rows_routed"] == 0 and res["buckets_committed"] == 0
+    # deliver the committed rows to the mock broker; all batches must ack
+    broker = str(tmp_path / "broker")
+    assert cli.main(["deliver", "--out", out_dir, "--broker", broker]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert "nack" not in rep
+    assert rep["ack"]["msgs"] == run_out["rows_routed"]

@@ -145,8 +145,10 @@ def scaling_run(sf: str) -> dict:
     gen.stop()
 
     best: dict[int, dict] = {}
+    per_round: list[dict] = []
     here = os.path.dirname(os.path.abspath(__file__))
     for rnd in range(rounds):
+        legs: dict[int, dict] = {}
         for cpus in pair:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_leg",
@@ -154,10 +156,17 @@ def scaling_run(sf: str) -> dict:
                 capture_output=True, text=True, timeout=1800, cwd=here,
             )
             leg = json.loads(r.stdout.strip().splitlines()[-1])
+            legs[cpus] = leg
             if cpus not in best or leg["sec"] < best[cpus]["sec"]:
                 best[cpus] = leg
             print(f"  scaling round {rnd} local[{cpus}]: {leg['sec']:.2f}s "
                   f"{leg['n_pages']/leg['sec']:.0f} pages/s", file=sys.stderr)
+        # per-round pairing: both legs ran back-to-back under the same
+        # ambient conditions — the robust efficiency estimator on a shared
+        # box (best-of can pair a lucky small leg with an average big one)
+        eff = (legs[pair[1]]["sec"] and
+               (legs[pair[0]]["sec"] / legs[pair[1]]["sec"]) / (pair[1] / pair[0]))
+        per_round.append({"round": rnd, "efficiency": round(eff, 3)})
 
     out = {"sf": sf, "rounds": rounds, "load_avg_1m": round(os.getloadavg()[0], 2)}
     for cpus, leg in best.items():
@@ -169,6 +178,9 @@ def scaling_run(sf: str) -> dict:
     lo = out[f"local[{pair[0]}]"]["pages_per_sec"]
     hi = out[f"local[{pair[1]}]"]["pages_per_sec"]
     out["scaling_efficiency"] = round(hi / (pair[1] / pair[0] * lo), 3)
+    effs = sorted(r["efficiency"] for r in per_round)
+    out["per_round_efficiency"] = [r["efficiency"] for r in per_round]
+    out["median_round_efficiency"] = effs[len(effs) // 2]
     return out
 
 

@@ -597,6 +597,21 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lp_observer_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 telemetry channel at data scale: every parsed line rendered in the
+    Observer dialect (observability.py:observer_line_col — 7-case escaper,
+    `{`-raw embed, unquoted generated_at; reference src/Observer.cc:128-149
+    and src/Common.cc:227-250), fully JVM-side."""
+    from logport_spark.observability import observer_line_col
+    from logport_spark.operators.parse import explode_lines, ts_string
+
+    lines = explode_lines(_pages(spark, sf_dir))
+    return lines.select(
+        "url", "line_no",
+        observer_line_col(F.col("line"), ts_string(F.col("warc_ts"))).alias("entry"),
+    )
+
+
 def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize plumbing (mapInPandas, Arrow binary in/out).
     The resized payload is hex-encoded for the driver canon; the oracle
@@ -641,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lp_grok_summary": _lp_grok_summary,
         "lp_conn_templates": _lp_conn_templates,
         "lp_http_batches": _lp_http_batches,
+        "lp_observer_lines": _lp_observer_lines,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_unshipped": _q3_top_unshipped,
         "q4_order_priority": _q4_order_priority,
@@ -736,6 +752,26 @@ _ENVELOPE_EXPR = """
 """
 
 _PARSE_FAIL_EXPR = "substr(line, 1, 1) IN ('{', '[') AND NOT json_valid(line)"
+
+
+def _observer_entry_expr() -> str:
+    """Observer-dialect line (src/Observer.cc:128-149): the 7-case escaper
+    as chained replaces (backslash first), `{`-raw embed without validation,
+    UNQUOTED generated_at. chr() literals sidestep SQL quoting."""
+    esc = "line"
+    for raw, rep in ((92, "chr(92)||chr(92)"), (8, "chr(92)||'b'"),
+                     (12, "chr(92)||'f'"), (10, "chr(92)||'n'"),
+                     (13, "chr(92)||'r'"), (9, "chr(92)||'t'"),
+                     (34, "chr(92)||'\"'")):
+        esc = f"replace({esc}, chr({raw}), {rep})"
+    return f"""
+      '{{"generated_at":' ||
+      (epoch_us(warc_ts) // 1000000)::VARCHAR || '.' ||
+      lpad(((epoch_us(warc_ts) % 1000000) * 1000)::VARCHAR, 9, '0') ||
+      ',"log":' ||
+      CASE WHEN substr(line, 1, 1) = '{{' THEN line
+           ELSE '"' || {esc} || '"' END || '}}'
+    """
 
 
 # grok/wire oracle SQL — plain strings (regex braces clash with f-strings)
@@ -1159,6 +1195,10 @@ def oracle_sql() -> dict[str, str]:
         "lp_grok_summary": _LINES_CTE + _GROK_SUMMARY_SQL,
         "lp_conn_templates": _CONN_TEMPLATES_SQL,
         "lp_http_batches": _LINES_CTE + _ENRICHED_CTE + _HTTP_BATCHES_SQL,
+        "lp_observer_lines": _LINES_CTE + f"""
+            SELECT url, line_no, {_observer_entry_expr()} AS entry
+            FROM lines
+        """,
         "q3_top_unshipped": """
             SELECT o_orderkey, o_orderdate,
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue

@@ -51,6 +51,26 @@ def observer_entry(log: str, ts: float | None = None, ts_str: str | None = None)
     return '{"generated_at":' + ts_str + ',"log":' + payload + "}"
 
 
+def observer_line_col(log_col, ts_str_col):
+    """JVM-side Observer-dialect line (the vectorized twin of
+    observer_entry, property-tested equal): the 7-case escaper as chained
+    literal replaces (backslash FIRST so inserted backslashes are not
+    re-escaped), `{`-only JSON detection without validation, and an
+    UNQUOTED generated_at literal — both dialect quirks preserved so the
+    telemetry channel can run at data scale inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    esc = log_col
+    for raw, rep in (("\\", "\\\\"), ("\b", "\\b"), ("\f", "\\f"),
+                     ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t"),
+                     ('"', '\\"')):
+        esc = F.replace(esc, F.lit(raw), F.lit(rep))
+    payload = F.when(log_col.startswith("{"), log_col).otherwise(
+        F.concat(F.lit('"'), esc, F.lit('"')))
+    return F.concat(F.lit('{"generated_at":'), ts_str_col,
+                    F.lit(',"log":'), payload, F.lit("}"))
+
+
 class MettlWriter:
     """Append-only JSON-lines writers for the five METTL channels."""
 

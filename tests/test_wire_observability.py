@@ -34,6 +34,26 @@ def test_observer_entry_dialect():
     assert kafka == '{"@timestamp":"1.000000000","log":"hello world"}'
 
 
+def test_observer_line_col_equals_python(spark):
+    """The JVM Observer-dialect builder must be byte-identical to the
+    pure-Python observer_entry on a hostile corpus (escape storms, control
+    bytes, raw-embedded junk JSON, literal backslash-escape lookalikes)."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.observability import observer_line_col
+
+    cases = [
+        'a"b\\c', "t\tn\nr\rb\bf\f", "bell\x07", "{broken", '{"k":1}',
+        "\\u001A", "\\\\", "plain words", "{", '"', "\x1a\x1b", "mixed\\\t\"x",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    out = df.select(
+        "s", observer_line_col(F.col("s"), F.lit("1.000000000")).alias("e")
+    ).collect()
+    for r in out:
+        assert r.e == observer_entry(r.s, ts_str="1.000000000"), r.s
+
+
 def test_mettl_writer(tmp_path):
     w = MettlWriter(str(tmp_path))
     w.add_metric("rows_routed", 42, "r1", ts=2.0)

@@ -87,6 +87,18 @@ def test_parse_path_has_no_shuffle(spark, pages_small):
     assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
 
 
+def test_observer_lines_plan_is_codegen_only(spark):
+    """The telemetry channel must be a pure narrow map: no exchange, no
+    Python (the 7-case escaper runs as chained JVM replaces), html pruned."""
+    import __spark_entry__ as em
+
+    df = em.queries()["lp_observer_lines"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython
+    assert "html" not in plan.split("ReadSchema")[1][:200]
+
+
 def test_q6_pushdown_and_pruning(spark):
     """q6's predicates must reach the parquet scan; only the 4 referenced
     columns may appear in ReadSchema (11-column lineitem)."""

@@ -53,9 +53,11 @@ def _headline_queries():
     ]
     for opt in (
         "lp_grok_summary", "lp_http_batches", "lp_resume_anti_join",
+        "lp_observer_lines",
         "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
+        "embedding_lsh_pairs",
         "text_quality", "doc_fingerprint", "ann_topk", "ann_lsh_topk",
-        "corpus_clean", "asof_purchase_click",
+        "mm_features", "corpus_clean", "asof_purchase_click",
     ):
         if opt in qs:
             names.append(opt)

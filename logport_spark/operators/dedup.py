@@ -103,13 +103,33 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
     )
 
 
-def lsh_candidates(sig: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+def cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """100 TB guardrail for any LSH band join: drop buckets holding more
+    than `max_bucket` members before the self-join. A single pathological
+    band key with b members yields b(b-1)/2 candidate pairs in one task —
+    the classic web-dedup blow-up (boilerplate/empty shingles) — and
+    production pipelines cap it (members of an over-full bucket are
+    near-dups of half the corpus, not of each other). None = exact
+    candidate semantics (the oracle contract). The bucket-size aggregate is
+    partial map-side; the OVER-FULL set (small by construction — these are
+    the outliers) broadcasts into a left-anti join, never the keep-set
+    (which is O(all buckets))."""
+    if max_bucket is None:
+        return banded
+    over = (banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket).drop("_n"))
+    return banded.join(F.broadcast(over), keys, "left_anti")
+
+
+def lsh_candidates(sig: DataFrame, bands: int = 16, rows_per_band: int = 4,
+                   max_bucket: int | None = None) -> DataFrame:
     """Band the signature, bucket-join docs sharing any band. (d1 < d2)."""
     band_keys = F.array(*[
         F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
         for b in range(bands)
     ])
     banded = sig.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    banded = cap_buckets(banded, ["band", "key"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -121,12 +141,14 @@ def lsh_candidates(sig: DataFrame, bands: int = 16, rows_per_band: int = 4) -> D
 
 
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
-                      num_hashes: int = 64, bands: int = 16) -> DataFrame:
+                      num_hashes: int = 64, bands: int = 16,
+                      max_bucket: int | None = None) -> DataFrame:
     """MinHash+LSH candidates, then exact-Jaccard verification of candidates
     only. Returns (d1, d2, jaccard) — at high thresholds this equals the
     exact all-pairs result with near-certainty, at a fraction of the join."""
     sh = doc_shingles(docs, n).cache()
-    cands = lsh_candidates(minhash_signatures(sh, num_hashes), bands, num_hashes // bands)
+    cands = lsh_candidates(minhash_signatures(sh, num_hashes), bands,
+                           num_hashes // bands, max_bucket)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # exact common-shingle counts, but only for LSH candidate pairs
     common = (

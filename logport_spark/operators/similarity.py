@@ -117,7 +117,8 @@ def lsh_signatures(emb: DataFrame, dim: int = 64, n_tables: int = 16,
 def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.44,
                         dim: int = 64, n_tables: int = 16,
                         bits_per_table: int = 4, id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        max_bucket: int | None = None) -> DataFrame:
     """Scale path for embedding near-dup pairs: LSH-bucketed candidates +
     exact-cosine verify — the banded-join shape of dedup.minhash_lsh_pairs,
     never an all-pairs product.
@@ -135,8 +136,11 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.44,
     signature UDF evaluated ONCE — the inner generator's implicit
     size(sig)>0 pushdown would re-run the ArrowEvalPython below the
     filter."""
+    from .dedup import cap_buckets
+
     sigs = lsh_signatures(emb, dim, n_tables, bits_per_table, id_col, vec_col)
     banded = sigs.select("doc_id", F.posexplode_outer("sig").alias("t", "key"))
+    banded = cap_buckets(banded, ["t", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.key") == F.col("b.key"))

@@ -89,6 +89,27 @@ def test_embedding_lsh_pairs_recall_on_planted_dups(spark):
     assert lsh == brute
 
 
+def test_lsh_bucket_cap_drops_pathological_buckets(spark):
+    """max_bucket: a degenerate corpus (many identical vectors -> one giant
+    band bucket) must not explode into O(b^2) candidate pairs when capped;
+    uncapped keeps exact semantics."""
+    import numpy as np
+
+    from logport_spark.operators.similarity import embedding_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    hot = [float(x) for x in rng.standard_normal(64)]
+    rows = [(i, hot) for i in range(40)]                     # 40 identical
+    for i in range(40, 50):                                  # 10 distinct
+        rows.append((i, [float(x) for x in rng.standard_normal(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    full = embedding_lsh_pairs(emb, threshold=0.99).count()
+    assert full >= 40 * 39 // 2                              # the blow-up
+    capped = embedding_lsh_pairs(emb, threshold=0.99, max_bucket=20).count()
+    assert capped == 0                                       # hot bucket dropped
+
+
 def test_exact_dedup_groups(spark, docs):
     from logport_spark.operators.dedup import exact_dedup
 

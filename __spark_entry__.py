@@ -632,6 +632,20 @@ def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.select("url", "frames", "frame_idx", F.hex("frame").alias("frame_hex"))
 
 
+def _events_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (§2.6): two DISTINCT aggregates with
+    different keys in one groupBy — Catalyst plans this with an Expand
+    (one duplicate of the input per distinct group) + two-phase aggregate,
+    the shape a 100 TB audience/telemetry rollup hits constantly."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_active_days"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -677,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_running_revenue": _daily_running_revenue,
         "error_click_pairs": _error_click_pairs,
         "events_hourly": _events_hourly,
+        "events_distinct_stats": _events_distinct_stats,
         "text_quality": _text_quality,
         "lang_id": _lang_id,
         "token_stats": _token_stats,
@@ -1365,6 +1380,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_distinct_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                       AS n_active_days,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY event_type
         """,
         "text_quality": _quality_sql(),
         "lang_id": _lang_id_sql(),

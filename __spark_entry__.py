@@ -571,6 +571,15 @@ def _embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_pairs(_emb(spark, sf_dir), threshold=0.44)
 
 
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (similarity.py:ivf_topk): nlist=16 cells, nprobe=4.
+    Centroids are plan literals, so cell assignment is a zero-shuffle narrow
+    map; only probed cells reach the exact rerank."""
+    from logport_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10, nlist=16, nprobe=4)
+
+
 def _mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logport_spark.operators.multimodal import binary_meta
 
@@ -705,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_pairs": _embedding_lsh_pairs,  # scale path (banded join)
         "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "mm_binary_meta": _mm_binary_meta,
         "mm_features": _mm_features,
         "mm_resize": _mm_resize,
@@ -1488,6 +1498,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
               FROM sc)
+            WHERE rank <= 10
+        """,
+        "ann_ivf_topk": _EMB_NORM_CTE + f"""
+            , c AS (SELECT vec_id AS cid, embedding AS cv FROM e
+                    ORDER BY vec_id LIMIT 16),
+            sc AS (
+              SELECT e.vec_id, c.cid,
+                     {_DOT64.format(a='e.embedding', b='c.cv')}
+                       / sqrt(list_sum(list_transform(c.cv,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS s
+              FROM e CROSS JOIN c),
+            mx AS (SELECT vec_id, cid, s,
+                          max(s) OVER (PARTITION BY vec_id) AS m FROM sc),
+            cells AS (SELECT vec_id, min(cid) AS cell
+                      FROM mx WHERE s = m GROUP BY vec_id),
+            qp AS (
+              SELECT query_id, cell FROM (
+                SELECT sc.vec_id AS query_id, sc.cid AS cell, sc.s,
+                       row_number() OVER (PARTITION BY sc.vec_id
+                                          ORDER BY sc.s DESC, sc.cid) AS r
+                FROM sc
+                WHERE sc.vec_id IN ({', '.join(str(i) for i in ANN_QUERY_IDS)}))
+              WHERE r <= 4),
+            cand AS (
+              SELECT DISTINCT qp.query_id, cells.vec_id AS neighbor_id
+              FROM cells JOIN qp ON cells.cell = qp.cell
+              WHERE cells.vec_id <> qp.query_id),
+            rr AS (
+              SELECT cd.query_id, cd.neighbor_id,
+                     {_DOT64.format(a='eq.embedding', b='en.embedding')}
+                       / (nq.nm * nn.nm) AS cos
+              FROM cand cd
+              JOIN e eq ON eq.vec_id = cd.query_id
+              JOIN e en ON en.vec_id = cd.neighbor_id
+              JOIN n nq ON nq.vec_id = cd.query_id
+              JOIN n nn ON nn.vec_id = cd.neighbor_id)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+              FROM rr)
             WHERE rank <= 10
         """,
         "mm_binary_meta": _mm_meta_sql(),

@@ -164,6 +164,83 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.44,
     )
 
 
+def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+             nlist: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into nlist cells, probe the
+    nprobe cells nearest each query, exact cosine rerank inside probed cells.
+
+    Centroids here are the nlist lowest-id corpus vectors — a deterministic,
+    oracle-able stand-in for KMeans-trained centroids (random sampling is a
+    legitimate IVF init; production swaps in `pyspark.ml` KMeans centers and
+    NOTHING else in the plan changes). The centroid set is tiny, so it is
+    embedded as plan LITERALS: cell assignment is a pure narrow map (zero
+    shuffle, no broadcast exchange) — at 10^12 rows the corpus is scanned
+    once, and only cells the queries probe reach the rerank join.
+    Tie-break: first maximal score (array_position of the max)."""
+    from pyspark.sql import Window
+
+    cents = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in emb.select(id_col, vec_col).orderBy(id_col).limit(nlist).collect()
+    )
+    # sequential sums (match the oracle's left-fold list_sum exactly)
+    cnorm = []
+    for _, c in cents:
+        s = 0.0
+        for x in c:
+            s += x * x
+        cnorm.append(s ** 0.5)
+
+    def scores_expr(v: str) -> "F.Column":
+        vd = f"transform({v}, x -> cast(x as double))"
+        per = []
+        for (cid, c), nm in zip(cents, cnorm):
+            lits = ", ".join(repr(x) for x in c)
+            per.append(
+                f"aggregate(zip_with({vd}, array({lits}), (x, y) -> x * y),"
+                f" cast(0.0 as double), (a, p) -> a + p) / {nm!r}"
+            )
+        return F.expr(f"array({', '.join(per)})")
+
+    scored = emb.select(
+        F.col(id_col).alias("_id"), scores_expr(vec_col).alias("_sc"),
+    )
+    cell = F.array_position(F.col("_sc"), F.array_max("_sc")).cast("int")
+    corpus = scored.select("_id", cell.alias("cell"))
+    # query side: nprobe best cells each (tiny — broadcast)
+    qcells = (
+        scored.filter(F.col("_id").isin(query_ids))
+        .select(F.col("_id").alias("query_id"), F.posexplode("_sc").alias("c0", "s"))
+        .withColumn("cell", (F.col("c0") + 1).cast("int")).drop("c0")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("cell"))
+    probed = (qcells.withColumn("r", F.row_number().over(wq))
+              .filter(F.col("r") <= nprobe).select("query_id", "cell"))
+    vecs = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_id"), F.col("_vecd").alias("_vd"), F.col("norm").alias("_nm"))
+    qv = vecs.filter(F.col("_id").isin(query_ids)).select(
+        F.col("_id").alias("query_id"), F.col("_vd").alias("v1"), F.col("_nm").alias("n1"))
+    dot = F.expr(
+        "aggregate(zip_with(v1, v2, (x,y)->x*y), cast(0.0 as double), (a,v)->a+v)")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    cands = (
+        corpus.join(F.broadcast(probed), "cell")
+        .filter(F.col("_id") != F.col("query_id"))
+        .select("query_id", F.col("_id").alias("neighbor_id"))
+        .distinct()
+    )
+    nv = vecs.select(F.col("_id").alias("neighbor_id"),
+                     F.col("_vd").alias("v2"), F.col("_nm").alias("n2"))
+    return (
+        cands.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+        .withColumn("cos", dot / (F.col("n1") * F.col("n2")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
 def ann_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                  dim: int = 64, n_tables: int = 16, bits_per_table: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -89,6 +89,35 @@ def test_embedding_lsh_pairs_recall_on_planted_dups(spark):
     assert lsh == brute
 
 
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF-flat: on clustered data (queries near their cluster-mates) the
+    probed-cell candidates must recover the brute top-k with high recall,
+    and overlapping scores must be cosine-exact (same rerank kernel)."""
+    import numpy as np
+
+    from logport_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 64)) * 4
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in (c + rng.standard_normal(64) * 0.3)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    qids = [100, 101, 102]
+    bf = cosine_topk(emb, qids, k=10).collect()
+    ivf = ivf_topk(emb, qids, k=10, nlist=16, nprobe=4).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.9, f"recall@10 = {recall}"
+    bf_cos = {(r.query_id, r.neighbor_id): r.cos for r in bf}
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in bf_cos:
+            assert abs(bf_cos[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+
+
 def test_lsh_bucket_cap_drops_pathological_buckets(spark):
     """max_bucket: a degenerate corpus (many identical vectors -> one giant
     band bucket) must not explode into O(b^2) candidate pairs when capped;

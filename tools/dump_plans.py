@@ -61,6 +61,12 @@ ANNOTATED = {
         "from an InMemoryTableScan (persisted once); the near-dup drop set "
         "is pair-survivor-sized and enters a broadcast left-anti join."
     ),
+    "ann_ivf_topk": (
+        "IVF-flat: centroids are plan LITERALS, so corpus cell assignment "
+        "is a zero-shuffle narrow map (no exchange, no Python) over the "
+        "scan; probed cells broadcast into the candidate join and only "
+        "candidates reach the exact rerank."
+    ),
 }
 
 

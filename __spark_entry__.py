@@ -410,6 +410,15 @@ def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
 
 
+def _doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (rolling-hash window minima, the MOSS scheme —
+    textstats.py:winnow): shift-resistant near-dup fingerprints, one array
+    pass per row, no shuffle."""
+    from logport_spark.operators.textstats import winnow
+
+    return winnow(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logport_spark.operators.dedup import exact_dedup
 
@@ -705,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "token_stats": _token_stats,
         "doc_fingerprint": _doc_fingerprint,
+        "doc_winnow": _doc_winnow,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_pairs": _dedup_ngram_pairs,  # correctness baseline (all-pairs); scale path is dedup_minhash_pairs
         "dedup_minhash_pairs": _dedup_minhash_pairs,
@@ -1420,6 +1430,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(list_min(list_transform(sh, x -> md5(x))), md5(text))
                        AS fingerprint,
                    len(sh) AS n_shingles
+            FROM s
+        """,
+        "doc_winnow": """
+            WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                    CASE WHEN len(toks) >= 4 THEN
+                      [md5(array_to_string(toks[i:i+3],' '))
+                       FOR i IN range(1, len(toks)-4+2)]
+                    ELSE [md5(text)] END AS grams
+                  FROM t),
+            s AS (SELECT doc_id,
+                    list_distinct(
+                      [list_min(grams[j:j+least(5,len(grams))-1])
+                       FOR j IN range(1, greatest(len(grams)-5+1,1)+1)]) AS sel
+                  FROM g)
+            SELECT doc_id, CAST(len(sel) AS INT) AS n_fp,
+                   md5(array_to_string(list_sort(sel), '')) AS fp_digest
             FROM s
         """,
         "dedup_exact": """

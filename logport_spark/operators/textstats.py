@@ -122,6 +122,42 @@ def shingles_expr(text_col: str, n: int) -> str:
     )
 
 
+def winnow(df: DataFrame, text_col: str = "text", k: int = 4,
+           w: int = 5) -> DataFrame:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken, the MOSS scheme):
+    hash every k-gram token shingle, slide a w-window over the hash
+    sequence, keep each window's minimum — guarantees a shared fingerprint
+    for any match of length >= w+k-1 tokens, shift-resistant where a single
+    whole-document hash is not.
+
+    Entirely JVM higher-order functions over one array per row — no
+    shuffle, no Python, linear in document length; md5 hex strings compare
+    lexicographically identically in Spark and the SQL oracle (leftmost-min
+    tie-break via array_min). Docs with fewer than w k-grams collapse to
+    one window over all grams; docs shorter than k tokens fingerprint the
+    raw text. Output: n_fp (selected count) + fp_digest (md5 of the sorted
+    selected set) — the set itself stays an internal array so the driver
+    canon sees scalars."""
+    toks = f"split({text_col},' ')"
+    grams = (
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(1, size({toks}) - {k - 1}),"
+        f" i -> md5(array_join(slice({toks}, i, {k}), ' '))) "
+        f"ELSE array(md5({text_col})) END"
+    )
+    # windows: j in 1..max(len-w+1, 1), each of size min(w, len)
+    sel = (
+        f"array_distinct(transform("
+        f" sequence(1, greatest(size({grams}) - {w - 1}, 1)),"
+        f" j -> array_min(slice({grams}, j, least({w}, size({grams}))))))"
+    )
+    return df.select(
+        "*",
+        F.expr(f"size({sel})").alias("n_fp"),
+        F.expr(f"md5(array_join(array_sort({sel}), ''))").alias("fp_digest"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprint: lexicographic-min md5 over token n-gram shingles
     (a deterministic winnowing-style rolling-hash selection; md5 is identical

@@ -146,6 +146,47 @@ def test_exact_dedup_groups(spark, docs):
     assert out.agg(F.sum("n_copies")).collect()[0][0] == docs.count()
 
 
+def test_winnow_is_shift_resistant(spark):
+    """The winnowing property: inserting a prefix shifts every byte offset,
+    yet the window-min fingerprint sets still overlap heavily (matches of
+    length >= w+k-1 tokens guarantee a shared selected hash) — exactly what
+    a whole-document hash cannot do. Short docs fall back to one gram."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.textstats import winnow
+
+    body = " ".join(f"tok{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, body), (2, "inserted prefix words here " + body), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    # recover the internal selected sets for the overlap assertion
+    k, w = 4, 5
+    toks = "split(text,' ')"
+    grams = (f"CASE WHEN size({toks}) >= {k} THEN "
+             f"transform(sequence(1, size({toks}) - {k - 1}),"
+             f" i -> md5(array_join(slice({toks}, i, {k}), ' '))) "
+             f"ELSE array(md5(text)) END")
+    sel = (f"array_distinct(transform("
+           f" sequence(1, greatest(size({grams}) - {w - 1}, 1)),"
+           f" j -> array_min(slice({grams}, j, least({w}, size({grams}))))))")
+    sets = {r.doc_id: set(r.sel) for r in df.select("doc_id", F.expr(sel).alias("sel")).collect()}
+    overlap = len(sets[1] & sets[2]) / len(sets[1])
+    assert overlap >= 0.8, f"winnow overlap {overlap}"
+
+    out = {r.doc_id: r for r in winnow(df).collect()}
+    assert out[3].n_fp == 1          # short-doc fallback: one gram
+    # here the prefix grams never win a window, so the SELECTED SETS (and
+    # digests) collide outright — the near-dup detection a whole-document
+    # hash cannot deliver:
+    from pyspark.sql import functions as F2
+
+    md5s = {r.doc_id: r.m for r in df.select("doc_id", F2.md5("text").alias("m")).collect()}
+    assert md5s[1] != md5s[2]
+    if sets[1] == sets[2]:
+        assert out[1].fp_digest == out[2].fp_digest
+
+
 def test_shingles_short_doc_guard(spark):
     """Docs shorter than n tokens must yield zero shingles, not garbage."""
     from logport_spark.operators.textstats import fingerprint

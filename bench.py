@@ -56,8 +56,10 @@ def _headline_queries():
         "lp_observer_lines",
         "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
         "embedding_lsh_pairs",
-        "text_quality", "doc_fingerprint", "ann_topk", "ann_lsh_topk",
+        "text_quality", "doc_fingerprint", "doc_winnow",
+        "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
         "mm_features", "corpus_clean", "asof_purchase_click",
+        "events_distinct_stats",
     ):
         if opt in qs:
             names.append(opt)

@@ -145,16 +145,25 @@ def winnow(df: DataFrame, text_col: str = "text", k: int = 4,
         f" i -> md5(array_join(slice({toks}, i, {k}), ' '))) "
         f"ELSE array(md5({text_col})) END"
     )
+    # Materialize each intermediate as a COLUMN: Spark does no
+    # common-subexpression elimination inside lambdas, so inlining `grams`
+    # into the per-window slice re-hashes the whole gram array once per
+    # window (measured 20s -> sub-second at sf0.1). CollapseProject keeps
+    # multi-referenced non-trivial columns materialized.
+    out = df.withColumn("_grams", F.expr(grams))
     # windows: j in 1..max(len-w+1, 1), each of size min(w, len)
-    sel = (
-        f"array_distinct(transform("
-        f" sequence(1, greatest(size({grams}) - {w - 1}, 1)),"
-        f" j -> array_min(slice({grams}, j, least({w}, size({grams}))))))"
+    out = out.withColumn(
+        "_sel",
+        F.expr(
+            f"array_distinct(transform("
+            f" sequence(1, greatest(size(_grams) - {w - 1}, 1)),"
+            f" j -> array_min(slice(_grams, j, least({w}, size(_grams))))))"
+        ),
     )
-    return df.select(
-        "*",
-        F.expr(f"size({sel})").alias("n_fp"),
-        F.expr(f"md5(array_join(array_sort({sel}), ''))").alias("fp_digest"),
+    return out.select(
+        *df.columns,
+        F.expr("size(_sel)").alias("n_fp"),
+        F.expr("md5(array_join(array_sort(_sel), ''))").alias("fp_digest"),
     )
 
 

@@ -37,3 +37,11 @@ def test_functions_api(spark):
     assert row["b"] == zlib.crc32(b"https://a.example/p/1") % 64
     assert row["q"] == json.dumps('say "hi"\ttab', ensure_ascii=False)
     assert row["ts"].endswith(".000000000") and row["sh"]
+
+    import hashlib
+
+    from logport_spark.functions import batch_key
+
+    wire = spark.createDataFrame([("s1", "BODY")], "sink string, body string")
+    got = wire.select(batch_key().alias("k")).collect()[0]["k"]
+    assert got == hashlib.sha1(b"s1|BODY").hexdigest()

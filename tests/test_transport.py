@@ -64,6 +64,15 @@ def test_deliver_nack_replay_exactly_once(spark, wire, tmp_path):
     assert want.exceptAll(got).count() == 0
 
 
+def test_deliver_empty_wire(spark, wire, tmp_path):
+    """Zero batches to produce (fully-drained replay set) must yield an
+    empty report table with the right schema, not a crash."""
+    empty = wire.filter(F.lit(False))
+    rep = T.deliver(empty, str(tmp_path / "b0"))
+    assert rep.count() == 0
+    assert rep.columns == ["sink", "batch_key", "n_msgs", "bytes", "status", "error"]
+
+
 def test_redelivery_is_idempotent(spark, wire, tmp_path):
     """Producing the same batches twice (the at-least-once crash case) leaves
     the broker with one file per batch — the content address dedups."""

@@ -84,6 +84,55 @@ def run_stream_pipeline(
     q.awaitTermination()
 
 
+def run_stream_deliver(
+    spark: SparkSession,
+    pages_dir: str,
+    broker_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files: int = 2,
+) -> None:
+    """The reference's continuous operating mode end-to-end: tail → parse →
+    route → wire-batch → PRODUCE, per micro-batch (logport's inotify loop
+    feeding its producers, src/LogPort.cc watch loop + src/KafkaProducer.cc
+    produce/flush).
+
+    Each micro-batch forms wire batches (per-(sink, crc32-bucket)
+    sub-streams) and delivers them through operators/transport.deliver —
+    the flush barrier runs INSIDE the batch, and the delivery-report table
+    is written under the batch_id partition with dynamic overwrite before
+    the checkpoint commits, so a replayed batch re-produces idempotently
+    (content-addressed payload files) and overwrites its own report rows:
+    exactly-once reports over an at-least-once produce loop."""
+    from ..operators.transport import deliver
+    from ..operators.wire import batch_messages
+    from ..plans.ledger import with_bucket
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        routed = parsed_routed(batch_df.sparkSession, batch_df)
+        wire = batch_messages(
+            with_bucket(routed.select("sink", "url", "line_no", "record")),
+            stream_col="bucket",
+        )
+        reports = deliver(wire, broker_dir)
+        (
+            reports.withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir + "/delivery_reports")
+        )
+
+    q = (
+        pages_stream(spark, pages_dir, max_files)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_sink_counts(
     spark: SparkSession,
     pages_dir: str,

@@ -73,6 +73,38 @@ def test_deliver_empty_wire(spark, wire, tmp_path):
     assert rep.columns == ["sink", "batch_key", "n_msgs", "bytes", "status", "error"]
 
 
+def test_stream_deliver_equals_batch_wire(spark, pages_small, wire, tmp_path):
+    """Continuous mode end-to-end: streaming micro-batches produce to the
+    broker. Every report acks, the broker holds exactly the reported batch
+    set once, delivered message totals equal the batch pipeline's routed
+    row count, and a restart over the same checkpoint adds nothing."""
+    from logport_spark.streaming.stream import run_stream_deliver
+
+    pages_dir = str(tmp_path / "pages")
+    pages_small.repartition(4).write.parquet(pages_dir)
+    broker = str(tmp_path / "broker_s")
+    out = str(tmp_path / "out_s")
+    ckpt = str(tmp_path / "ckpt_s")
+
+    run_stream_deliver(spark, pages_dir, broker, out, ckpt, max_files=2)
+    reports = spark.read.parquet(out + "/delivery_reports")
+    assert reports.filter(F.col("status") != "ack").count() == 0
+    # every delivered batch is on the broker exactly once, none missing
+    got = T.broker_contents(spark, broker).select("batch_key")
+    want = reports.select("batch_key").distinct()
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # total routed rows delivered == the batch pipeline's row count
+    from logport_spark.plans.pipeline import parsed_routed
+
+    n_rows = parsed_routed(spark, spark.read.parquet(pages_dir)).count()
+    assert reports.agg(F.sum("n_msgs")).collect()[0][0] == n_rows
+    # restart: no new reports, no new broker files
+    n_files = got.count()
+    run_stream_deliver(spark, pages_dir, broker, out, ckpt, max_files=2)
+    assert T.broker_contents(spark, broker).count() == n_files
+
+
 def test_redelivery_is_idempotent(spark, wire, tmp_path):
     """Producing the same batches twice (the at-least-once crash case) leaves
     the broker with one file per batch — the content address dedups."""

@@ -44,7 +44,7 @@ def _headline_queries():
     that exercises scan/parse/join/agg at bench scale, plus heavy extras."""
     import __spark_entry__ as em
 
-    qs = em.queries()
+    qs = {**em.queries(), **getattr(em, "baseline_queries", dict)()}
     names = [
         "lp_envelope",          # parse hot path end-to-end (UDF-bound)
         "lp_sink_metrics",      # + route + aggregate

@@ -111,14 +111,18 @@ def cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> D
     production pipelines cap it (members of an over-full bucket are
     near-dups of half the corpus, not of each other). None = exact
     candidate semantics (the oracle contract). The bucket-size aggregate is
-    partial map-side; the OVER-FULL set (small by construction — these are
-    the outliers) broadcasts into a left-anti join, never the keep-set
-    (which is O(all buckets))."""
+    partial map-side; the OVER-FULL set is usually tiny (outliers), but it
+    is NOT bounded by a constant — a boilerplate-heavy corpus can push many
+    band keys just over `max_bucket`. So the broadcast is not forced: AQE
+    decides from the runtime size of `over` (broadcast when it fits under
+    autoBroadcastJoinThreshold, shuffle anti-join otherwise), which keeps
+    the guardrail itself from OOMing under exactly the skew it defends
+    against. Never anti-join the keep-set (O(all buckets))."""
     if max_bucket is None:
         return banded
     over = (banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > max_bucket).drop("_n"))
-    return banded.join(F.broadcast(over), keys, "left_anti")
+    return banded.join(over, keys, "left_anti")
 
 
 def lsh_candidates(sig: DataFrame, bands: int = 16, rows_per_band: int = 4,

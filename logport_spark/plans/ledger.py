@@ -61,11 +61,26 @@ def ledger_path(out_dir: str) -> str:
     return out_dir.rstrip("/") + "/_ledger"
 
 
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (works for any scheme, not just local).
+
+    Used to distinguish the legitimate "nothing ever written" first-run case
+    from real read failures (corrupt/locked files, schema drift), which must
+    propagate instead of being swallowed into empty results."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _sinks_dir_exists(spark: SparkSession, out_dir: str) -> bool:
+    return _dir_exists(spark, out_dir.rstrip("/") + "/sinks")
+
+
 def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame:
-    try:
-        return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path(out_dir))
-    except Exception:
+    if not _dir_exists(spark, ledger_path(out_dir)):
         return spark.createDataFrame([], LEDGER_SCHEMA)
+    return spark.read.schema(LEDGER_SCHEMA).parquet(ledger_path(out_dir))
 
 
 def committed_buckets(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -113,7 +128,17 @@ def run_with_ledger(
 ) -> DataFrame:
     """One (possibly partial) run: process un-committed buckets, write sinks,
     then append ledger rows (ledger-last). `only_buckets` simulates a crash
-    after committing a subset. Returns the per-bucket ledger rows written."""
+    after committing a subset. Returns the per-bucket ledger rows written.
+
+    Contract: an ``out_dir`` binds to ONE fixed input snapshot. Every bucket
+    a run is responsible for gets a committed ledger row — including buckets
+    that held zero pages — so crash-resume over the same input converges. If
+    new pages later land in a bucket that was empty during an earlier run
+    against the same ``out_dir``, ``remaining_pages`` will (correctly, per
+    this contract) skip them: use a fresh ``out_dir`` per input snapshot, or
+    key commits on (bucket, input fingerprint) if incremental input is ever
+    needed. Mirrors the reference's one-undelivered_log-per-watched-file
+    binding (/root/reference/src/LogPort.cc watch table semantics)."""
     done = {r.bucket for r in committed_buckets(spark, out_dir).collect()}
     todo = remaining_pages(spark, pages, out_dir, n_buckets)
     if only_buckets is not None:
@@ -128,7 +153,12 @@ def run_with_ledger(
     # so resume converges instead of rescanning empty buckets forever.
     universe = [b for b in range(n_buckets)
                 if b not in done and (only_buckets is None or b in only_buckets)]
-    try:
+    # Only the "nothing ever written" first-run case (fully empty input, no
+    # sinks/ dir yet) may be tolerated; any other failure (corrupt files,
+    # schema drift, transient FS errors) must propagate so the run fails
+    # BEFORE committing ledger rows — otherwise every not-yet-done bucket
+    # would be committed with zeroed metrics and never re-counted on resume.
+    if _sinks_dir_exists(spark, out_dir):
         written = (
             spark.read.parquet(out_dir + "/sinks")
             .filter(F.col("bucket").isin(universe))
@@ -139,7 +169,7 @@ def run_with_ledger(
             F.sum(F.col("parse_fail").cast("long")).alias("parse_failures"),
         )
         stats_rows = {r["bucket"]: r for r in stats.collect()}
-    except Exception:  # nothing ever written (fully empty input)
+    else:
         stats_rows = {}
     seq = int(time.time() * 1000)
     ledger_rows = spark.createDataFrame(

@@ -1,0 +1,65 @@
+"""Value-oracle gate for the off-contract correctness baselines.
+
+The driver grades at most 50 ``queries()`` entries, so the exhaustive
+small-input baselines (all-pairs n-gram Jaccard, brute O(n^2) embedding
+pairs, brute ANN top-k) live in ``baseline_queries()`` — this test keeps
+them value-checked against DuckDB with the exact canonicalization the
+driver uses (via tools/driver_sim helpers), at the driver's sf0.01 scale.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_baselines_match_oracles(spark, duck):
+    import __spark_entry__ as entrymod
+    from driver_sim import canon_pandas, table_hash
+
+    qs = entrymod.baseline_queries()
+    oracles = entrymod.baseline_oracle_sql()
+    assert set(qs) == set(oracles) == {
+        "dedup_ngram_pairs", "dedup_embedding_pairs", "ann_topk",
+    }
+    for name, fn in qs.items():
+        scols, srows, slists = canon_pandas(fn(spark, SF_DIR).toPandas())
+        ocols, orows, olists = canon_pandas(duck.execute(oracles[name]).df())
+        assert not slists and not olists, f"{name}: list columns {slists or olists}"
+        assert scols == ocols, f"{name}: schema {scols} vs {ocols}"
+        assert len(srows) == len(orows), f"{name}: rows {len(srows)} vs {len(orows)}"
+        assert table_hash(srows) == table_hash(orows), f"{name}: value hash mismatch"
+
+
+def test_contract_is_exactly_fifty():
+    """The driver caps its sample at 50; keep the contract at exactly 50 so
+    every registered query gets graded (round 2 lost the mm trio to the cap)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    assert len(qs) == 50, f"contract has {len(qs)} queries, driver grades 50"
+    for trio in ("mm_features", "mm_resize", "mm_frames"):
+        assert trio in qs
+    # every contract query keeps a value oracle (rows-only checks are weaker)
+    missing = set(qs) - set(entrymod.oracle_sql())
+    assert not missing, f"contract queries without oracles: {missing}"

@@ -79,15 +79,18 @@ def canon_pandas(pdf):
     cols = sorted(pdf.columns)
     import numpy as np
 
-    list_cols = []
-    for c in cols:
-        sample = pdf[c].head(50)
-        if any(isinstance(x, (list, tuple, np.ndarray)) for x in sample):
-            list_cols.append(c)
+    # List-cell detection must cover EVERY row (not a head sample): an array
+    # column whose first rows are all NULL would otherwise slip past the
+    # "driver canon would crash" check. Flag during the full itertuples pass.
+    list_hit = [False] * len(cols)
     rows = []
     for tup in pdf[cols].itertuples(index=False, name=None):
+        for i, x in enumerate(tup):
+            if isinstance(x, (list, tuple, np.ndarray)):
+                list_hit[i] = True
         rows.append(tuple(None if x is None or (isinstance(x, float) and x != x) or x is pd.NaT else x
                           for x in tup))
+    list_cols = [c for c, hit in zip(cols, list_hit) if hit]
     return cols, rows, list_cols
 
 
@@ -117,8 +120,12 @@ def main(only: list[str] | None = None):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # The real driver grades queries()/oracle_sql() (capped at 50 entries);
+    # baseline_queries() are the off-contract correctness baselines — the
+    # simulator enforces both so nothing registered goes unchecked locally.
+    qs = {**entrymod.queries(), **getattr(entrymod, "baseline_queries", dict)()}
+    oracles = {**entrymod.oracle_sql(),
+               **getattr(entrymod, "baseline_oracle_sql", dict)()}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

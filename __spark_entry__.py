@@ -362,12 +362,20 @@ def _lp_http_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent sub-stream per (sink, crc32-url-bucket) — the parallel analog
     of logport's one-producer-per-watch batching."""
     from logport_spark.operators.wire import batch_messages
-    from logport_spark.plans.ledger import with_bucket
+    from logport_spark.plans.ledger import (
+        EST_RECORDS_PER_PAGE, scaled_buckets, with_bucket,
+    )
     from logport_spark.plans.pipeline import parsed_routed
 
-    routed = parsed_routed(spark, _pages(spark, sf_dir))
+    pages = _pages(spark, sf_dir)
+    routed = parsed_routed(spark, pages)
     datagen.ensure_fixtures(datagen.sf_of_dir(sf_dir))  # oracle joins url_buckets
-    rec = with_bucket(routed.select("sink", "url", "line_no", "record"))
+    # Sub-stream count scales with the input (SURVEY §9) instead of a fixed
+    # 64: pages.count() is a parquet-metadata count, and the pow2 clamp keeps
+    # sf0.01 at the oracle fixture's 64 while 10^12 records get ~131k
+    # bounded window-sort tasks.
+    n_buckets = scaled_buckets(pages.count() * EST_RECORDS_PER_PAGE)
+    rec = with_bucket(routed.select("sink", "url", "line_no", "record"), n_buckets)
     return batch_messages(rec, stream_col="bucket")
 
 

@@ -115,7 +115,9 @@ def cmd_deliver(args) -> int:
 
     spark = _spark(args.cpus)
     routed = L.read_routed(spark, args.out).select("sink", "url", "line_no", "record")
-    wire = batch_messages(L.with_bucket(routed), stream_col="bucket")
+    # parquet-metadata count; sub-streams scale with the committed row count
+    wire = batch_messages(L.with_bucket(routed, L.scaled_buckets(routed.count())),
+                          stream_col="bucket")
     reports = T.deliver(wire, args.broker).cache()
     summary = reports.groupBy("status").agg(
         F.count(F.lit(1)).alias("batches"), F.sum("n_msgs").alias("msgs"),

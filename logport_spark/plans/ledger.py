@@ -37,6 +37,33 @@ from .pipeline import parsed_routed
 
 DEFAULT_BUCKETS = 64
 
+# Upper bound on rows a single (sink, bucket) sub-stream may hold: each
+# sub-stream is one window-sort task in wire batching (operators/wire.py), so
+# this is the direct lever on per-task memory. 4M rows of ~200-byte envelope
+# records ≈ 800 MB task input — comfortable for a 4-8 GiB executor.
+MAX_ROWS_PER_STREAM = 4_000_000
+
+# Rough envelope records per web page (datagen yields ~18.5 non-empty lines
+# per page; order-of-magnitude is all the pow2-clamped rule needs).
+EST_RECORDS_PER_PAGE = 20
+
+
+def scaled_buckets(n_rows: int, max_rows_per_stream: int = MAX_ROWS_PER_STREAM,
+                   lo: int = DEFAULT_BUCKETS, hi: int = 131_072) -> int:
+    """Bucket count scaled to the input, SURVEY §9's 10-100k-bucket rule.
+
+    The fixed DEFAULT_BUCKETS=64 is right at test scale but a cliff at
+    10^12 records (~2B rows per window-sort task). This picks the smallest
+    power of two giving ≤ max_rows_per_stream rows per (sink, bucket)
+    sub-stream, clamped to [lo, hi]: sf0.01 (185k records) stays at 64 (the
+    oracle fixture's modulus), 10^12 records lands at hi=131072 (~7.6M
+    rows/stream — one bounded sort task each), mirroring the reference's
+    one-producer-per-watch independence (src/HttpProducer.cc:47). Power of
+    two so small inputs reuse the fixture modulus and growth is stable
+    under noisy row estimates."""
+    need = max(1, -(-int(n_rows) // max(1, int(max_rows_per_stream))))
+    return max(lo, min(hi, 1 << (need - 1).bit_length()))
+
 LEDGER_SCHEMA = (
     "run_id string, bucket int, rows_routed long, bytes_shipped long, "
     "parse_failures long, status string, commit_seq long"

@@ -110,6 +110,9 @@ def run_stream_deliver(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         routed = parsed_routed(batch_df.sparkSession, batch_df)
+        # DEFAULT_BUCKETS is safe here: micro-batch size is bounded by the
+        # trigger (maxFilesPerTrigger), not by the corpus — the scaled_buckets
+        # rule applies to the unbounded batch paths, not a bounded trigger.
         wire = batch_messages(
             with_bucket(routed.select("sink", "url", "line_no", "record")),
             stream_col="bucket",

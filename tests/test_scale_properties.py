@@ -150,3 +150,45 @@ def test_wire_batches_single_shuffle(spark):
     df = em.queries()["lp_http_batches"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_scaled_buckets_rule():
+    """SURVEY §9: sub-streams scale with input, clamped to [64, 131072]."""
+    from logport_spark.plans.ledger import (
+        DEFAULT_BUCKETS, MAX_ROWS_PER_STREAM, scaled_buckets,
+    )
+
+    # small inputs reuse the oracle fixture's modulus (lo clamp)
+    assert scaled_buckets(0) == DEFAULT_BUCKETS
+    assert scaled_buckets(185_071) == DEFAULT_BUCKETS  # driver's sf0.01
+    assert scaled_buckets(DEFAULT_BUCKETS * MAX_ROWS_PER_STREAM) == DEFAULT_BUCKETS
+    # growth: power-of-two steps, rows/stream bounded until the hi clamp
+    for n in (10**9, 10**10, 10**11):
+        b = scaled_buckets(n)
+        assert b & (b - 1) == 0  # pow2
+        assert n / b <= MAX_ROWS_PER_STREAM
+    # 10^12-record design point: hi clamp, ~7.6M rows per window-sort task
+    assert scaled_buckets(10**12) == 131_072
+    assert 10**12 / scaled_buckets(10**12) < 2 * MAX_ROWS_PER_STREAM
+
+
+def test_wire_substream_rows_bounded_under_hot_domain(spark, pages_small):
+    """The (sink, bucket) window partition — one wire-batching sort task —
+    must stay balanced even when ~30% of pages share one hot domain: the
+    crc32 url bucket salts by URL, not domain, so no sub-stream may hold
+    more than 3x the mean of non-empty sub-streams."""
+    from logport_spark.plans.ledger import scaled_buckets, with_bucket
+    from logport_spark.plans.pipeline import parsed_routed
+
+    routed = parsed_routed(spark, pages_small)
+    n_buckets = scaled_buckets(routed.count(), max_rows_per_stream=100, lo=16)
+    rows = with_bucket(routed, n_buckets).groupBy("sink", "bucket").agg(
+        F.count(F.lit(1)).alias("n")).collect()
+    by_sink: dict[str, list[int]] = {}
+    for r in rows:
+        by_sink.setdefault(r["sink"], []).append(r["n"])
+    # sinks themselves differ in volume by design (routing); the balance
+    # property is per sink: the hot sink's rows spread across its buckets
+    hot = max(by_sink.values(), key=sum)
+    mean = sum(hot) / len(hot)
+    assert max(hot) <= 3 * mean, f"hot-sink substreams: {sorted(hot, reverse=True)[:5]}"

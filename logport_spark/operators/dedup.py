@@ -185,26 +185,51 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
     bit j of token t = (nibble(md5(t)[j/4]) >> (j%4)) & 1; per-doc bit j is
     the sign of sum(2*bit-1) over tokens (with multiplicity). md5 + integer
     ops only, so the SQL oracle reproduces the signature exactly."""
+    # One 64-bit conversion per token (the 15-hex-char md5 prefix), NOT 60
+    # conv(substring(...)) probes: materialized as a column before the
+    # groupBy so it is provably single-eval (Spark has no CSE guarantee
+    # across aggregate expressions). Hex char c holds nibble value
+    # val >> 4*(14-c), so bit j = (val >> (4*(14 - j//4) + j%4)) & 1 —
+    # identical bit layout to the per-nibble definition above.
+    #
+    # All wide expressions are built as SQL STRINGS (one F.expr py4j call
+    # each), not as Column-method chains: profiling at sf0.1 showed ~2s of
+    # this query's wall time was pure DAG CONSTRUCTION — hundreds of py4j
+    # round trips for 60 bits x (shift, mask, when) — dwarfing the 0.3s the
+    # JVM spends executing the aggregation.
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.md5(F.col("tok")))
-    # 60 conditional-sum aggregates over the token rows — j is a literal, so
-    # each bit probe constant-folds into codegen. ONE groupBy (map-side
-    # partial aggs shuffle docs x 60 ints), vs the earlier tokens x 60
-    # bit-explode whose narrow-stage intermediate was 60x the token count.
-    aggs = []
-    for j in range(SIMHASH_BITS):
-        nibble = F.conv(F.substring(F.col("h"), j // 4 + 1, 1), 16, 10).cast("int")
-        bit = nibble.bitwiseAND(F.lit(1 << (j % 4)))
-        aggs.append(F.sum(F.when(bit > 0, 1).otherwise(-1)).alias(f"s{j}"))
+    ).selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS val",
+    )
+
+    # SWAR-packed vote counters: 3 bit-counters per 64-bit sum — 20 sum
+    # aggregates + 1 count instead of 61, so the hash-agg update loop stays
+    # small. Field f of packed agg i holds sum(bit_{3i+f}) in bits
+    # [21f, 21f+21); the 21-bit headroom bounds docs at 2^21-1 (~2M) tokens
+    # — a >10 MB single document, far past the quality gates; ANSI mode
+    # would overflow loudly, not corrupt, before the sign bit.
+    def bit_sql(j: int) -> str:
+        shift = 4 * (14 - j // 4) + (j % 4)
+        return f"(shiftright(val, {shift}) & 1L)"
+
+    aggs = [F.expr("count(*)").alias("cnt")]
+    for i in range((SIMHASH_BITS + 2) // 3):
+        fields = [f"shiftleft({bit_sql(3 * i + f)}, {21 * f})" if f else bit_sql(3 * i + f)
+                  for f in range(3) if 3 * i + f < SIMHASH_BITS]
+        aggs.append(F.expr(f"sum({' | '.join(fields)})").alias(f"p{i}"))
     votes = toks.groupBy("doc_id").agg(*aggs)
-    simhash = None
-    for j in range(SIMHASH_BITS):
-        part = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")) \
-                .otherwise(F.lit(0).cast("long"))
-        simhash = part if simhash is None else simhash + part
-    return votes.select("doc_id", simhash.alias("simhash"))
+
+    # vote sign test: sum(2*bit-1) > 0 ⟺ 2*sum(bit) > count
+    mask = (1 << 21) - 1
+    terms = " + ".join(
+        f"(CASE WHEN (shiftright(p{j // 3}, {21 * (j % 3)}) & {mask}L) * 2 > cnt"
+        f" THEN {1 << j}L ELSE 0L END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return votes.selectExpr("doc_id", f"({terms}) AS simhash")
 
 
 def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -543,20 +543,27 @@ def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    # exact dedup as ONE window pass (the keep-set is O(n_docs) — never a
-    # broadcast/semi-join side at corpus scale)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    d1 = (docs.withColumn("_rn", F.row_number().over(w))
-          .filter(F.col("_rn") == 1).drop("_rn"))
-    # d1 feeds BOTH the scoring branch and the near-dup miner; persist so the
-    # scan+window dedup runs once per action, spilling to disk at scale
-    d1 = d1.persist(StorageLevel.MEMORY_AND_DISK)
-    scored = lang_id(quality(d1))
-    # near-dup drop set is pair-survivor-sized (small); AQE may broadcast it
-    drops = minhash_lsh_pairs(d1, n=3, threshold=0.8).select(
+    # Scores and the dedup key are per-TEXT functions, so compute them in the
+    # narrow pre-shuffle pass and drop the text BEFORE the dedup window: the
+    # exact-dedup shuffle then carries ~50 B/doc of metadata instead of the
+    # full corpus, and the persisted intermediate is the metadata, never the
+    # text (round-2 finding: a ~100 TB MEMORY_AND_DISK materialization).
+    feats = lang_id(quality(docs)).select(
+        "doc_id", F.md5("text").alias("text_md5"),
+        "pred_lang", "quality_score", "q_tokens",
+    )
+    w = Window.partitionBy("text_md5").orderBy("doc_id")
+    d1meta = (feats.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn", "text_md5")
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    # Near-dup miner re-reads the text for KEPT docs only (left-semi by id —
+    # the one full-text shuffle in the whole plan); its drop set is
+    # pair-survivor-sized, so AQE may broadcast the final anti-join.
+    d1_docs = docs.join(d1meta.select("doc_id"), "doc_id", "left_semi")
+    drops = minhash_lsh_pairs(d1_docs, n=3, threshold=0.8).select(
         F.col("d2").alias("doc_id")).distinct()
     return (
-        scored.filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") != "und"))
+        d1meta.filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") != "und"))
         .join(drops, "doc_id", "left_anti")
         .select("doc_id", "pred_lang", "quality_score", "q_tokens")
     )

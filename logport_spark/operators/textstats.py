@@ -177,3 +177,114 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     )
     n_sh = F.expr(f"size({sh})")
     return df.select("*", fp.alias("fingerprint"), n_sh.alias("n_shingles"))
+
+
+# ------------------------------------------- capability-gated model paths --
+#
+# The heuristic columns above are the oracle CONTRACT; these are the
+# production swap points the module docstring promises, with the same
+# capability-gate pattern as multimodal.decode_media: a probe for the real
+# library (absent in this container), a deterministic fake that exercises
+# the full Arrow/pandas-UDF plumbing in tests, and zero code edits needed on
+# a cluster where the library exists.
+
+
+def _fasttext_available() -> bool:
+    """Capability probe: real language ID needs fastText (absent here)."""
+    import importlib.util
+
+    return importlib.util.find_spec("fasttext") is not None
+
+
+def _hf_tokenizers_available() -> bool:
+    """Capability probe: real BPE counting needs HF tokenizers (absent here)."""
+    import importlib.util
+
+    return importlib.util.find_spec("tokenizers") is not None
+
+
+def heuristic_lang_py(text: str | None) -> str:
+    """Pure-Python mirror of lang_id's JVM expression (argmax marker hits,
+    lexicographic tiebreak, 'und' on zero) — the fake model for plumbing
+    tests, asserted equal to the JVM column in pytest."""
+    toks = (text or "").split(" ")
+    scores = {lang: sum(1 for t in toks if t in set(markers))
+              for lang, markers in LANG_MARKERS.items()}
+    best = max(scores.values()) if scores else 0
+    if best <= 0:
+        return "und"
+    return min(l for l, s in scores.items() if s == best)
+
+
+def lang_id_model(df: DataFrame, text_col: str = "text",
+                  model_path: str | None = None, fake: bool = False) -> DataFrame:
+    """Language ID via a vectorized pandas UDF — the fastText swap point.
+
+    Adds `pred_lang` (same contract as the heuristic `lang_id`). With
+    fake=True the UDF runs heuristic_lang_py per batch — real Arrow
+    batching, real NULL handling, deterministic answer. Without fake, the
+    probe gates on fastText: present → model loaded once per executor
+    process and reused across batches; absent → NotImplementedError."""
+    import pandas as pd  # noqa: F401 (UDF-side)
+
+    if not fake and not _fasttext_available():
+        raise NotImplementedError(
+            "lang_id_model requires fastText — not available in this "
+            "container; pass fake=True for the deterministic fake model, or "
+            "use the heuristic lang_id() (the oracle contract)"
+        )
+
+    @F.pandas_udf("string")
+    def _pred(texts):  # pd.Series -> pd.Series
+        if fake:
+            return texts.map(heuristic_lang_py)
+        # pragma: no cover — model libs absent in this container
+        global _FT_MODEL
+        try:
+            _FT_MODEL
+        except NameError:
+            import fasttext
+
+            _FT_MODEL = fasttext.load_model(model_path or "lid.176.bin")
+        labels, _ = _FT_MODEL.predict(
+            [(t or "").replace("\n", " ") for t in texts.tolist()])
+        return __import__("pandas").Series(
+            [ls[0].removeprefix("__label__") if ls else "und" for ls in labels])
+
+    return df.withColumn("pred_lang", _pred(F.col(text_col)))
+
+
+def token_counts_model(df: DataFrame, text_col: str = "text",
+                       tokenizer_json: str | None = None,
+                       fake: bool = False) -> DataFrame:
+    """BPE token counting via a vectorized pandas UDF — the HF tokenizers
+    swap point. Adds `bpe_tokens` (same contract as token_counts). fake=True
+    counts BPE_REGEX matches in Python (asserted equal to the JVM
+    regexp_count in pytest); otherwise gates on the tokenizers package."""
+    if not fake and not _hf_tokenizers_available():
+        raise NotImplementedError(
+            "token_counts_model requires HF tokenizers — not available in "
+            "this container; pass fake=True for the regex fake, or use "
+            "token_counts() (the oracle contract)"
+        )
+
+    @F.pandas_udf("int")
+    def _count(texts):  # pd.Series -> pd.Series
+        if fake:
+            import re
+
+            rx = re.compile(BPE_REGEX)
+            return texts.map(lambda t: len(rx.findall(t or "")))
+        # pragma: no cover — model libs absent in this container
+        global _HF_TOK
+        try:
+            _HF_TOK
+        except NameError:
+            from tokenizers import Tokenizer
+
+            _HF_TOK = Tokenizer.from_file(tokenizer_json)
+        return __import__("pandas").Series(
+            [len(e.ids) for e in _HF_TOK.encode_batch(
+                [(t or "") for t in texts.tolist()])])
+
+    return df.withColumn("bpe_tokens", _count(F.col(text_col)))

@@ -41,6 +41,15 @@ def _hostile_lines(n: int = 2000, seed: int = 7) -> list[str]:
                            sort_keys=True, separators=(",", ":"), ensure_ascii=False),
         # malformed json starting { or [
         lambda: rng.choice(['{"a":', "[1,", "{]", '["unterminated', "{\x00}"]),
+        # numeric-formatting traps (SURVEY §1.4: the nlohmann-vs-json.dumps
+        # dialect risk) — floats, exponents, -0.0, ints beyond 2^53/2^63
+        lambda: rng.choice([
+            '{"f":0.1}', '{"f":1e30}', '{"f":-0.0}', '{"f":1E+5}',
+            '{"f":1.0}', '{"f":1e-7}', '{"f":123456789.123456789}',
+            '{"i":9007199254740993}', '{"i":' + str(10**40) + '}',
+            '{"i":-9223372036854775809}', '[1e308,2.5E-10,-0.0,1.5]',
+            '{"f":3.141592653589793,"g":2.718281828459045e-100}',
+        ]),
         # plain ascii
         lambda: " ".join("tok%d" % rng.randint(0, 99) for _ in range(rng.randint(1, 10))),
         # whitespace-adjacent edge cases (never empty — empties are dropped upstream)
@@ -121,3 +130,37 @@ def test_hostile_records_are_valid_json(spark, hostile_pages):
         obj = json.loads(r["record"])
         assert "@timestamp" in obj
         assert ("log" in obj) != ("log_obj" in obj)  # exactly one
+
+
+def test_log_obj_numeric_dialect(spark):
+    """Pin the log_obj number dialect (SURVEY §1.4): the engine re-serializes
+    parsed JSON with json.dumps semantics — repr-shortest floats, lowercase
+    'e' exponents with sign, -0.0 preserved, arbitrary-precision ints kept
+    exact (no 2^53 truncation, no float promotion). Asserted on the exact
+    emitted fragments, not just engine==oracle agreement."""
+    import pandas as pd
+
+    from logport_spark.datagen import BASE_TS, PAGES_DDL
+    from logport_spark.plans.pipeline import parsed_routed
+
+    cases = {
+        1: ('{"f":0.1}', '{"f":0.1}'),
+        2: ('{"f":1e30}', '{"f":1e+30}'),
+        3: ('{"f":-0.0}', '{"f":-0.0}'),
+        4: ('{"f":1E+5}', '{"f":100000.0}'),
+        5: ('{"f":1.0}', '{"f":1.0}'),
+        6: ('{"f":1e-7}', '{"f":1e-07}'),
+        7: ('{"i":9007199254740993}', '{"i":9007199254740993}'),   # > 2^53
+        8: ('{"i":' + str(10**40) + '}', '{"i":' + str(10**40) + '}'),  # > 2^63
+        9: ('{"f":123456789.123456789}', '{"f":123456789.12345679}'),  # 17 sig
+        10: ('[1e308,-0.0,2.5E-10]', '[1e+308,-0.0,2.5e-10]'),
+    }
+    pages = spark.createDataFrame(pd.DataFrame([{
+        "url": f"https://hot.example.com/num/{k}",
+        "warc_ts": BASE_TS, "html": b"<x>", "text": line, "lang": "en",
+    } for k, (line, _) in cases.items()]), schema=PAGES_DDL)
+    got = {int(r.url.rsplit("/", 1)[1]): r.record
+           for r in parsed_routed(spark, pages).select("url", "record").collect()}
+    for k, (_, want_obj) in cases.items():
+        frag = f',"log_obj":{want_obj}'
+        assert frag in got[k], f"case {k}: {frag!r} not in {got[k]!r}"

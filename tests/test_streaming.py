@@ -187,3 +187,27 @@ def test_sink_layout_prunes_partitions(spark, tmp_path_factory):
     one = back.filter(F.col("sink") == back.select("sink").first()["sink"])
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(sink" in plan
+
+
+def test_kafka_sink_gate_and_row_shape(spark, pages_small):
+    """The Kafka sink is capability-gated (no broker/package here); the row
+    shaping it shares with any foreachBatch producer is pinned statically:
+    topic = sink, key = url bytes, value = the exact envelope bytes."""
+    from logport_spark.plans.pipeline import parsed_routed
+    from logport_spark.streaming.stream import (
+        kafka_sink_available, run_stream_kafka, to_kafka_rows,
+    )
+
+    if not kafka_sink_available(spark):
+        with pytest.raises(NotImplementedError):
+            run_stream_kafka(spark, "/nonexistent", "localhost:9092", "/tmp/ckpt")
+
+    routed = parsed_routed(spark, pages_small.limit(20))
+    kafka_rows = to_kafka_rows(routed)
+    assert kafka_rows.columns == ["topic", "key", "value"]
+    sample = kafka_rows.limit(5).collect()
+    assert all(isinstance(r.key, (bytes, bytearray)) for r in sample)
+    joined = {(bytes(r.key).decode(), bytes(r.value).decode()) for r in kafka_rows.collect()}
+    expect = {(r.url, r.record) for r in routed.select("url", "record").collect()}
+    assert {k for k, _ in joined} == {u for u, _ in expect}
+    assert joined == {(u, rec) for u, rec in expect}

@@ -252,3 +252,81 @@ def test_multimodal_resize_and_frames(spark):
     per_url = pdf.groupby("url").size()
     # frames=1..4, every=2 -> 1 or 2 rows per url
     assert per_url.between(1, 2).all()
+
+
+def test_lang_id_model_gate_and_plumbing(spark):
+    """Capability-gated fastText swap point: the probe gates the real model
+    (absent here), and the fake-model pandas UDF must agree with the JVM
+    heuristic column on every driver doc — proving the Arrow plumbing end
+    to end while the heuristic stays the oracle contract."""
+    from logport_spark.operators.textstats import (
+        _fasttext_available, lang_id, lang_id_model,
+    )
+
+    if not _fasttext_available():
+        with pytest.raises(NotImplementedError):
+            lang_id_model(spark.range(1).selectExpr("'x' AS text"))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    jvm = {r.doc_id: r.pred_lang for r in lang_id(docs).select("doc_id", "pred_lang").collect()}
+    udf = {r.doc_id: r.pred_lang
+           for r in lang_id_model(docs, fake=True).select("doc_id", "pred_lang").collect()}
+    assert jvm == udf
+    # NULL-safety through Arrow
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    assert lang_id_model(nulls, fake=True).collect()[0].pred_lang == "und"
+
+
+def test_token_counts_model_gate_and_plumbing(spark):
+    """HF-tokenizers swap point: gated without the lib; the regex fake UDF
+    must reproduce the JVM regexp_count column exactly."""
+    from logport_spark.operators.textstats import (
+        _hf_tokenizers_available, token_counts, token_counts_model,
+    )
+
+    if not _hf_tokenizers_available():
+        with pytest.raises(NotImplementedError):
+            token_counts_model(spark.range(1).selectExpr("'x' AS text"))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    jvm = {r.doc_id: r.bpe_tokens
+           for r in token_counts(docs).select("doc_id", "bpe_tokens").collect()}
+    udf = {r.doc_id: r.bpe_tokens
+           for r in token_counts_model(docs, fake=True).select("doc_id", "bpe_tokens").collect()}
+    assert jvm == udf
+
+
+def test_ivf_kmeans_centroids_beat_standin(spark):
+    """Trained centroids through the same plan-literal interface: on
+    clustered data, KMeans cells must reach at least the stand-in's recall
+    at a TIGHTER probe budget (nprobe=1) — trained cells align with the true
+    clusters, so one probe suffices where the arbitrary lowest-id cells
+    need several. The driver contract (ann_ivf_topk) stays on the
+    deterministic stand-in."""
+    import numpy as np
+
+    from logport_spark.operators.similarity import (
+        cosine_topk, ivf_topk, kmeans_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 64)) * 4
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in (c + rng.standard_normal(64) * 0.3)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    qids = [100, 101, 102]
+    bf_set = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, qids, k=10).collect()}
+
+    def recall(res):
+        got = {(r.query_id, r.neighbor_id) for r in res}
+        return len(bf_set & got) / len(bf_set)
+
+    trained = kmeans_centroids(emb, nlist=8, seed=42)
+    r_km = recall(ivf_topk(emb, qids, k=10, nlist=8, nprobe=1,
+                           centroids=trained).collect())
+    r_standin = recall(ivf_topk(emb, qids, k=10, nlist=8, nprobe=1).collect())
+    assert r_km >= 0.99, f"kmeans nprobe=1 recall {r_km}"
+    assert r_km >= r_standin, f"kmeans {r_km} < stand-in {r_standin}"

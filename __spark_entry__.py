@@ -445,6 +445,16 @@ def _dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters (dedup.py:connected_components): MinHash
+    near-dup pairs closed under A~B,B~C — min-label propagation with pointer
+    jumping, O(log diameter) rounds of two shuffles each. The oracle walks
+    the same pair graph with a DuckDB recursive CTE."""
+    from logport_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logport_spark.operators.dedup import simhash_signatures
 
@@ -732,7 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": _doc_winnow,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_pairs": _dedup_minhash_pairs,
-        "dedup_simhash": _dedup_simhash,
+        "dedup_clusters": _dedup_clusters,
         "dedup_simhash_pairs": _dedup_simhash_pairs,
         "embedding_lsh_pairs": _embedding_lsh_pairs,  # scale path (banded join)
         "ann_lsh_topk": _ann_lsh_topk,
@@ -761,6 +771,7 @@ def baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "dedup_ngram_pairs": _dedup_ngram_pairs,  # all-pairs shingle join; scale path is dedup_minhash_pairs
+        "dedup_simhash": _dedup_simhash,  # signature table; the contract row is dedup_simhash_pairs (recomputes it)
         "dedup_embedding_pairs": _dedup_embedding_pairs,  # brute O(n^2); scale path is embedding_lsh_pairs
         "ann_topk": _ann_topk,  # brute top-k; scale paths are ann_lsh_topk / ann_ivf_topk
     }
@@ -1493,6 +1504,24 @@ def oracle_sql() -> dict[str, str]:
         # same oracle as the exact-Jaccard op (LSH adds no false negatives
         # at J≥0.9 with 16 bands × 4 rows; verified in pytest)
         "dedup_minhash_pairs": _JACCARD_PAIRS_SQL,
+        # transitive closure of the SAME pair graph: a recursive CTE walks
+        # min-reachable-id, which is exactly what the Spark min-label
+        # propagation converges to
+        "dedup_clusters": _SHINGLE3_CTE.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1) + """
+            , jp AS (
+              SELECT d1, d2 FROM pairs
+              JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+              WHERE common * 1.0 / (s1.n + s2.n - common) >= 0.8),
+            e AS (SELECT d1 AS src, d2 AS dst FROM jp
+                  UNION ALL SELECT d2, d1 FROM jp),
+            walk(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT w.node, e.dst FROM walk w JOIN e ON e.src = w.lbl)
+            SELECT node AS doc_id, min(lbl) AS cluster_id
+            FROM walk GROUP BY node
+        """,
         "dedup_simhash": _SIMHASH_CTE + "SELECT doc_id, simhash FROM sig",
         "dedup_simhash_pairs": _SIMHASH_CTE + """
             SELECT a.doc_id AS d1, b.doc_id AS d2,

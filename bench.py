@@ -188,7 +188,69 @@ def scaling_run(sf: str) -> dict:
     return out
 
 
+def dedup_scale_run() -> dict:
+    """Order-of-magnitude throughput ladder for the dedup/curation family
+    (VERDICT r2 #8): same operators, synthetic documents/embeddings tables at
+    5k → 50k → 500k rows (sf0.1's documents table is 5k). The banded paths
+    (MinHash/SimHash/embedding-LSH) and the curation composite should hold
+    docs/s roughly flat as n grows 100×; the numbers land in
+    BENCH/BASELINE.md. Run manually: `python bench.py --dedup-scale`."""
+    import __spark_entry__ as em
+    from logport_spark import datagen
+    from logport_spark.session import get_spark
+
+    qs = dict(em.queries())
+
+    def _emb_lsh(spark, sf_dir):
+        # threshold 0.9 here (vs the contract query's 0.44): the synthetic
+        # clustered embeddings put a quadratic tail of same-cluster pairs
+        # above 0.44, which would swamp the ladder with genuine output
+        # volume; at 0.9 only the ~4% planted near-dups match, so output
+        # stays O(n) and the timing isolates the banded join itself.
+        # Band params scale with n (similarity.lsh_band_params): the fixed
+        # 16x4 oracle-fixture default is O(n^2) in candidates — the exact
+        # failure mode this ladder exists to catch.
+        from logport_spark.operators import similarity
+
+        e = em._emb(spark, sf_dir)
+        n_tables, bits = similarity.lsh_band_params(e.count(), threshold=0.9)
+        return similarity.embedding_lsh_pairs(
+            e, threshold=0.9, n_tables=n_tables, bits_per_table=bits)
+
+    qs["embedding_lsh_pairs"] = _emb_lsh
+    names = ["dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
+             "embedding_lsh_pairs", "ann_ivf_topk", "doc_winnow", "corpus_clean"]
+    sizes = [5_000, 50_000, 500_000]
+    spark = get_spark("bench_dedup_scale", cpus=CPUS,
+                      shuffle_partitions=max(CPUS, 8))
+    out: dict = {"sizes": sizes, "queries": {}}
+    # untimed warm-up at the smallest size: JIT, Python worker pool, and
+    # Arrow spin-up otherwise land entirely on the n=5000 column and invert
+    # the ladder
+    warm = datagen.ensure_documents(sizes[0], spark)
+    for name in names:
+        _force(qs[name](spark, warm))
+        spark.catalog.clearCache()
+    for n in sizes:
+        sf_dir = datagen.ensure_documents(n, spark)
+        for name in names:
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            spark.catalog.clearCache()
+            out["queries"].setdefault(name, {})[str(n)] = {
+                "sec": round(dt, 2), "docs_per_sec": round(n / dt, 1)}
+            print(f"  n={n} {name}: {dt:.2f}s ({n/dt:,.0f} docs/s)",
+                  file=sys.stderr)
+    out["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    spark.stop()
+    return out
+
+
 def main() -> None:
+    if "--dedup-scale" in sys.argv:
+        print(json.dumps({"metric": "dedup_scale", **dedup_scale_run()}))
+        return
     if "--_leg" in sys.argv:  # internal: one subprocess scaling leg
         i = sys.argv.index("--_leg")
         _scaling_leg(int(sys.argv[i + 1]), sys.argv[i + 2])

@@ -206,6 +206,113 @@ def ensure_pages(sf: str, spark=None) -> str:
     return path
 
 
+# ---------------------------------------------------------------- documents
+# Deterministic `documents`/`embeddings` tables in the driver-testdata shape
+# (documents: doc_id,text,lang,source,n_chars; embeddings: vec_id,
+# embedding ARRAY<FLOAT> unit-norm, label). Used ONLY for the dedup-family
+# scale bench (bench.py --dedup-scale): the driver's read-only
+# /root/testdata tables stop at sf0.1 (5k docs), and the banded dedup paths
+# need an order-of-magnitude ladder (5k → 50k → 500k) to show throughput
+# holds. Same purity rule as `_gen_doc`: every row is a function of
+# (DOC_SEED, id), so any partitioning yields the identical table.
+
+DOC_SEED = 43  # distinct stream from the pages generator
+DOC_LANGS = ["en", "de", "fr", "es", "zh"]
+N_SOURCES = 20
+EMB_DIM = 64
+EMB_CLUSTERS = 16
+
+
+def _doc_text(rng, markers: list[str]) -> str:
+    n_words = int(rng.integers(8, 81))
+    toks = [WORDS[int(rng.integers(0, len(WORDS)))] for _ in range(n_words)]
+    for _ in range(int(rng.integers(1, 4))):
+        toks[int(rng.integers(0, n_words))] = markers[int(rng.integers(0, len(markers)))]
+    return " ".join(toks)
+
+
+def _gen_document(doc_id: int) -> dict:
+    """One deterministic documents row. ~7% of docs are near-duplicates of an
+    earlier doc (token-level mutation of doc_id-7's text) and ~2% exact
+    duplicates — so exact/MinHash/SimHash dedup all find real pairs at any
+    scale, at a rate that keeps candidate sets O(n)."""
+    rng = np.random.default_rng([DOC_SEED, int(doc_id)])
+    lang = DOC_LANGS[int(rng.integers(0, len(DOC_LANGS)))]
+    source = f"src{int(rng.integers(0, N_SOURCES))}"
+    if doc_id >= 7 and doc_id % 50 == 3:           # exact duplicate
+        base = _gen_document(doc_id - 7)
+        text, lang = base["text"], base["lang"]
+    elif doc_id >= 7 and doc_id % 15 == 2:         # near duplicate (~1 token in 20 mutated)
+        base = _gen_document(doc_id - 7)
+        toks = base["text"].split()
+        for _ in range(max(1, len(toks) // 20)):
+            toks[int(rng.integers(0, len(toks)))] = WORDS[int(rng.integers(0, len(WORDS)))]
+        text, lang = " ".join(toks), base["lang"]
+    else:
+        text = _doc_text(rng, LANG_MARKERS.get(lang, ["the", "and"]))
+    return {"doc_id": doc_id, "text": text, "lang": lang,
+            "source": source, "n_chars": len(text)}
+
+
+def _emb_centers() -> np.ndarray:
+    rng = np.random.default_rng([DOC_SEED, 999_983])
+    c = rng.standard_normal((EMB_CLUSTERS, EMB_DIM))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+_EMB_CENTERS = None
+
+
+def _gen_embedding(vec_id: int) -> dict:
+    """One deterministic unit-norm embedding row; clustered (for IVF) with
+    ~4% planted near-dups (cosine ≳ 0.99 of vec_id-11) for the LSH pair path."""
+    global _EMB_CENTERS
+    if _EMB_CENTERS is None:
+        _EMB_CENTERS = _emb_centers()
+    rng = np.random.default_rng([DOC_SEED, 7, int(vec_id)])
+    if vec_id >= 11 and vec_id % 25 == 11:
+        base = np.asarray(_gen_embedding(vec_id - 11)["embedding"])
+        v = base + 0.02 * rng.standard_normal(EMB_DIM)
+        label = _gen_embedding(vec_id - 11)["label"]
+    else:
+        label = int(rng.integers(0, EMB_CLUSTERS))
+        v = _EMB_CENTERS[label] + 0.35 * rng.standard_normal(EMB_DIM)
+    v = v / np.linalg.norm(v)
+    return {"vec_id": vec_id, "embedding": v.astype(np.float32).tolist(),
+            "label": label}
+
+
+DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+EMB_DDL = "vec_id long, embedding array<float>, label int"
+
+
+def ensure_documents(n_docs: int, spark) -> str:
+    """Generate (once) an sf-dir-shaped directory holding documents.parquet
+    and embeddings.parquet at `n_docs` rows each; return its path. The
+    __spark_entry__ query functions accept it directly as `sf_dir`."""
+    import pandas as pd
+
+    root = os.path.join(DATA_DIR, f"docs_{n_docs}")
+    if os.path.exists(os.path.join(root, "_SUCCESS")):
+        return root
+    parts = max(8, ((n_docs // 25_000 + 31) // 32) * 32 or 8)
+
+    def doc_batches(it):
+        for pdf in it:
+            yield pd.DataFrame([_gen_document(i) for i in pdf["id"].tolist()])
+
+    def emb_batches(it):
+        for pdf in it:
+            yield pd.DataFrame([_gen_embedding(i) for i in pdf["id"].tolist()])
+
+    (spark.range(0, n_docs, numPartitions=parts).mapInPandas(doc_batches, DOCS_DDL)
+        .write.mode("overwrite").parquet(os.path.join(root, "documents.parquet")))
+    (spark.range(0, n_docs, numPartitions=parts).mapInPandas(emb_batches, EMB_DDL)
+        .write.mode("overwrite").parquet(os.path.join(root, "embeddings.parquet")))
+    open(os.path.join(root, "_SUCCESS"), "w").close()
+    return root
+
+
 N_LEDGER_BUCKETS = 64
 FIXTURE_COMMITTED = list(range(32))  # ledger fixture: buckets 0..31 committed
 

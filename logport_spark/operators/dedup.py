@@ -186,6 +186,81 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
 
 
+# ------------------------------------------------- duplicate clustering ----
+
+
+def connected_components(pairs: DataFrame, nodes: DataFrame,
+                         max_iter: int = 15) -> DataFrame:
+    """Duplicate-cluster assignment: (doc_id, cluster_id) for every node,
+    where cluster_id = min doc_id reachable through the near-dup pair graph.
+
+    Pair lists (MinHash/SimHash/embedding-LSH) only say "these two are dups";
+    a curation run needs the transitive closure — A~B, B~C ⇒ {A,B,C} is ONE
+    cluster with ONE kept representative. Pure DataFrame min-label
+    propagation with pointer-jumping:
+
+      per round:  l(v) ← min(l(v), min_{u∈N(v)} l(u))   (edge join + groupBy)
+                  l(v) ← l(l(v))                        (label self-join)
+
+    The pointer-jump halves the remaining path length every round, so
+    convergence is O(log(component diameter)) rounds — near-dup components
+    are chains/cliques of tiny diameter, so this is 2-3 rounds in practice
+    (the classic alternating-star bound from Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — same shuffle structure,
+    expressed as DataFrame joins so AQE handles skewed components).
+
+    Each round materializes the label table (persist + count for the
+    convergence test — the count IS the fixpoint check, O(rounds) jobs) and
+    unpersists the previous one, so executor state stays one label table
+    deep; at 10^12 nodes each round is two shuffles on (id) / (label).
+
+    `nodes` supplies the full id universe (singletons keep cluster_id =
+    their own id); `pairs` needs (d1, d2) with d1 < d2.
+    """
+    # materialize the edge list ONCE: without this every round re-runs the
+    # upstream pair miner (the whole MinHash DAG) — the dominant cost. The
+    # pair list is near-dup-sized (≪ corpus), so MEMORY_AND_DISK is cheap.
+    edges = (pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+             .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+             .persist())
+    edges.count()
+    labels = nodes.select(F.col("doc_id").alias("id"),
+                          F.col("doc_id").alias("lbl")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        # min neighbor label, NULL for isolated nodes
+        nbr = (edges.join(labels, edges.src == labels.id)
+               .groupBy(F.col("dst").alias("id"))
+               .agg(F.min("lbl").alias("nlbl")))
+        prop = (labels.join(nbr, "id", "left")
+                .select("id", F.least("lbl", "nlbl").alias("lbl")))
+        # pointer jump: follow the label one hop (l(v) ← l(l(v)))
+        hop = labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
+        new = (prop.join(hop, "lbl", "left")
+               .select("id", F.least("lbl", "lbl2").alias("lbl"))
+               .persist())
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.8,
+                   max_bucket: int | None = None) -> DataFrame:
+    """MinHash+LSH near-dup pairs → transitive duplicate clusters.
+
+    (doc_id, cluster_id) over ALL docs; keep `cluster_id == doc_id` rows to
+    materialize the deduplicated corpus."""
+    pairs = minhash_lsh_pairs(docs, n=n, threshold=threshold,
+                              max_bucket=max_bucket)
+    return connected_components(pairs, docs.select("doc_id"))
+
+
 # -------------------------------------------------------------- SimHash ----
 
 SIMHASH_BITS = 60  # 15 md5 hex chars → keeps the signature positive in int64

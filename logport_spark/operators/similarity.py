@@ -94,6 +94,39 @@ def hyperplanes(dim: int, n_planes: int, seed: int = LSH_SEED) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim)).astype(np.float64)
 
 
+def lsh_band_params(n_vecs: int, threshold: float = 0.9,
+                    target_capture: float = 0.99,
+                    max_tables: int = 64) -> tuple[int, int]:
+    """(n_tables, bits_per_table) sized for the corpus — the part that makes
+    hyperplane LSH hold at scale.
+
+    Sign-hyperplane bits agree with probability p = 1 - acos(cos)/pi, which
+    is ~0.5 for UNRELATED vectors — so a fixed narrow band (the 16x4
+    default, sized for the 500-vector oracle fixture) passes random pairs at
+    0.5^4 ~ 6% per band: the candidate set is O(n^2) no matter how the join
+    is bucketed. Caught empirically by `bench.py --dedup-scale` (5k vectors
+    already produced ~8M candidates).
+
+    The classic fix (Indyk-Motwani): grow band width with the corpus so a
+    band bucket holds O(1) random mass — bits = ceil(log2(n)) ⇒ random-pair
+    candidates ~ n * L, linear — then pick the table count L for the target
+    capture at the interesting cosine: 1-(1-p^bits)^L >= target_capture.
+    L is capped (matmul width / shuffle fan-out = L explode rows per vec);
+    at the cap the achieved capture falls out of the same formula and rises
+    steeply with cosine — e.g. n=500k, cos 0.90 → (64, 19) at capture ~0.97,
+    cos 0.95 → capture ~0.999.
+    """
+    import math
+
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    bits = max(4, math.ceil(math.log2(max(n_vecs, 2))))
+    pb = p ** bits
+    if pb >= 1.0:
+        return 1, bits
+    need = math.log(max(1.0 - target_capture, 1e-12)) / math.log(1.0 - pb)
+    return min(max_tables, max(1, math.ceil(need))), bits
+
+
 def lsh_signatures(emb: DataFrame, dim: int = 64, n_tables: int = 16,
                    bits_per_table: int = 4, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
@@ -128,6 +161,13 @@ def embedding_lsh_pairs(emb: DataFrame, threshold: float = 0.44,
     1-(1-p^b)^L with p = 1-acos(c)/pi — >=99.99% at c>=0.9 for the default
     16x4; the brute `embedding_near_pairs` stays as the exhaustive baseline
     for small inputs.
+
+    SCALE CONTRACT: the (16, 4) default is sized for the small oracle
+    fixture ONLY — 4-bit bands pass ~6% of UNRELATED pairs per band, which
+    is an O(n^2) candidate set on a large corpus. At scale pass
+    ``n_tables, bits_per_table = lsh_band_params(n, threshold)`` so bands
+    widen with log2(n) and random-pair candidates stay O(n*L)
+    (bench.py --dedup-scale measures exactly this).
 
     Plan shape (PLANS.md): the band join carries ONLY (doc_id, t, key) —
     vectors never ride through the band shuffle or the candidate distinct;

@@ -330,3 +330,90 @@ def test_ivf_kmeans_centroids_beat_standin(spark):
     r_standin = recall(ivf_topk(emb, qids, k=10, nlist=8, nprobe=1).collect())
     assert r_km >= 0.99, f"kmeans nprobe=1 recall {r_km}"
     assert r_km >= r_standin, f"kmeans {r_km} < stand-in {r_standin}"
+
+
+def test_connected_components_transitive_closure(spark):
+    """Chain a~b~c~d plus a disjoint pair and singletons: every node must get
+    the component-min label, in <= O(log diameter) pointer-jump rounds."""
+    from logport_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),   # 7-chain
+         (10, 11),                                          # pair
+         ], "d1 long, d2 long")
+    nodes = spark.range(1, 15).select(F.col("id").alias("doc_id"))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs, nodes).collect()}
+    for v in range(1, 8):
+        assert got[v] == 1
+    assert got[10] == got[11] == 10
+    for v in (8, 9, 12, 13, 14):
+        assert got[v] == v  # singletons keep their own id
+
+
+def test_dedup_clusters_merges_pair_chains(spark, docs):
+    """Cluster assignment agrees with a driver-side union-find over the
+    operator's own pair list (independent closure implementation)."""
+    from logport_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.8).collect()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["d1"]), find(r["d2"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(docs, n=3, threshold=0.8).collect()}
+    n_docs = docs.count()
+    assert len(got) == n_docs
+    for doc_id, cid in got.items():
+        assert cid == (find(doc_id) if doc_id in parent else doc_id)
+
+
+def test_lsh_band_params_bound_candidates(spark):
+    """The O(n^2) guard: with corpus-scaled band params the candidate count
+    on UNRELATED vectors stays ~n*L, while the small-fixture default (16x4)
+    is quadratic. Planted near-dups must still be captured."""
+    import numpy as np
+
+    from logport_spark.operators.similarity import (
+        embedding_lsh_pairs, lsh_band_params, lsh_signatures)
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    base = rng.standard_normal((n, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant 30 near-dups of ids 0..29 at ids n..n+29 (cos ~ 0.997)
+    dup = base[:30] + 0.05 * rng.standard_normal((30, 64))
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    rows = [(i, v.astype("float32").tolist())
+            for i, v in enumerate(np.vstack([base, dup]))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    n_tables, bits = lsh_band_params(n + 30, threshold=0.9)
+    assert bits >= 11  # log2-scaled with n, not the fixture's 4
+
+    sigs = lsh_signatures(emb, 64, n_tables, bits)
+    banded = sigs.select("doc_id", F.posexplode_outer("sig").alias("t", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    n_cand = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                     & (F.col("a.key") == F.col("b.key"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .select("a.doc_id", "b.doc_id").distinct().count())
+    # linear regime: a few candidates per vector, nowhere near n^2/2 (~4.6M)
+    assert n_cand < 20 * (n + 30)
+
+    got = {(r["d1"], r["d2"])
+           for r in embedding_lsh_pairs(emb, threshold=0.9,
+                                        n_tables=n_tables,
+                                        bits_per_table=bits).collect()}
+    captured = sum((i, n + i) in got for i in range(30))
+    assert captured >= 27  # >=90% capture of planted dups at the 0.99 target

@@ -412,6 +412,22 @@ def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (textstats.py:repetition): per-row JVM
+    folds over sorted shingle arrays — no shuffle, no Python."""
+    from logport_spark.operators.textstats import repetition
+
+    return repetition(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII count + redaction (textstats.py:pii_scrub): RE2-safe patterns run
+    verbatim in the DuckDB oracle."""
+    from logport_spark.operators.textstats import pii_scrub
+
+    return pii_scrub(_docs(spark, sf_dir).select("doc_id", "text")).drop("text")
+
+
 def _doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logport_spark.operators.textstats import fingerprint
 
@@ -767,13 +783,17 @@ def baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reference that ``ann_lsh_topk``/``ann_ivf_topk`` are measured against.
     They stay fully value-oracled here: ``tools/driver_sim.py`` merges this
     dict into its run, and ``tests/test_baseline_oracles.py`` gates them in
-    pytest.
+    pytest. The same escape hatch carries operators ADDED after the contract
+    filled its 50 slots (text_repetition, pii_scrub) — identical oracle
+    rigor, just graded via pytest instead of a driver row.
     """
     return {
         "dedup_ngram_pairs": _dedup_ngram_pairs,  # all-pairs shingle join; scale path is dedup_minhash_pairs
         "dedup_simhash": _dedup_simhash,  # signature table; the contract row is dedup_simhash_pairs (recomputes it)
         "dedup_embedding_pairs": _dedup_embedding_pairs,  # brute O(n^2); scale path is embedding_lsh_pairs
         "ann_topk": _ann_topk,  # brute top-k; scale paths are ann_lsh_topk / ann_ivf_topk
+        "text_repetition": _text_repetition,  # Gopher repetition signals
+        "pii_scrub": _pii_scrub,  # PII count + redaction
     }
 
 
@@ -1039,6 +1059,13 @@ pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 """
+
+# PII regexes shared verbatim with the oracle (RE2-safe; no quotes inside)
+from logport_spark.operators.textstats import (  # noqa: E402
+    PII_CARD as PII_CARD_SQL,
+    PII_EMAIL as PII_EMAIL_SQL,
+    PII_IPV4 as PII_IPV4_SQL,
+)
 
 _JACCARD_PAIRS_SQL = _SHINGLE3_CTE + """
 SELECT d1, d2, round(common * 1.0 / (s1.n + s2.n - common), 4) AS jaccard
@@ -1522,7 +1549,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(lbl) AS cluster_id
             FROM walk GROUP BY node
         """,
-        "dedup_simhash": _SIMHASH_CTE + "SELECT doc_id, simhash FROM sig",
         "dedup_simhash_pairs": _SIMHASH_CTE + """
             SELECT a.doc_id AS d1, b.doc_id AS d2,
                    bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -1617,6 +1643,7 @@ def baseline_oracle_sql() -> dict[str, str]:
     as :func:`oracle_sql`; consumed by driver_sim and pytest, not the driver)."""
     return {
         "dedup_ngram_pairs": _JACCARD_PAIRS_SQL,
+        "dedup_simhash": _SIMHASH_CTE + "SELECT doc_id, simhash FROM sig",
         "dedup_embedding_pairs": _EMB_NORM_CTE + f"""
             , p AS (
               SELECT a.vec_id AS d1, b.vec_id AS d2,
@@ -1641,5 +1668,61 @@ def baseline_oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
               FROM sc)
             WHERE rank <= 10
+        """,
+        # repetition: every count re-derived by unnest + GROUP BY; fractions
+        # guarded against empty shingle sets exactly like the Spark folds
+        "text_repetition": """
+            WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+            c1 AS (SELECT doc_id, max(c) AS top1 FROM
+                     (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2)
+                   GROUP BY 1),
+            g2 AS (SELECT doc_id, array_to_string(toks[i:i+1],' ') AS g
+                   FROM t, unnest(range(1, greatest(len(toks)-1,0)+1)) AS r(i)),
+            c2 AS (SELECT doc_id, max(c) AS top2,
+                          sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2,
+                          sum(c) AS n2
+                   FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+                   GROUP BY 1),
+            g3 AS (SELECT doc_id, array_to_string(toks[i:i+2],' ') AS g
+                   FROM t, unnest(range(1, greatest(len(toks)-2,0)+1)) AS r(i)),
+            c3 AS (SELECT doc_id, max(c) AS top3, sum(c) AS n3
+                   FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+                   GROUP BY 1)
+            SELECT t.doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   round(c1.top1 * 1.0 / greatest(len(toks), 1), 4)
+                       AS top_token_frac,
+                   round(coalesce(c2.top2, 0) * 1.0
+                         / greatest(coalesce(c2.n2, 0), 1), 4)
+                       AS top_2gram_frac,
+                   round(coalesce(c3.top3, 0) * 1.0
+                         / greatest(coalesce(c3.n3, 0), 1), 4)
+                       AS top_3gram_frac,
+                   round(coalesce(c2.dup2, 0) * 1.0
+                         / greatest(coalesce(c2.n2, 0), 1), 4)
+                       AS dup_2gram_frac
+            FROM t JOIN c1 USING (doc_id)
+            LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        """,
+        # pii_scrub: the SAME RE2-safe patterns, verbatim
+        "pii_scrub": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{PII_EMAIL_SQL}')) AS INT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{PII_IPV4_SQL}')) AS INT)
+                       AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{PII_CARD_SQL}')) AS INT)
+                       AS n_cards,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+                       '{PII_IPV4_SQL}', '[IPV4]', 'g'),
+                       '{PII_CARD_SQL}', '[CARD]', 'g') AS redacted,
+                   (len(regexp_extract_all(text, '{PII_EMAIL_SQL}'))
+                    + len(regexp_extract_all(text, '{PII_IPV4_SQL}'))
+                    + len(regexp_extract_all(text, '{PII_CARD_SQL}'))) > 0
+                       AS has_pii
+            FROM documents
         """,
     }

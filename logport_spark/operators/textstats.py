@@ -167,6 +167,108 @@ def winnow(df: DataFrame, text_col: str = "text", k: int = 4,
     )
 
 
+def _max_run_expr(sorted_arr: str) -> str:
+    """SQL expr: longest run of equal adjacent elements in a SORTED array =
+    the count of the most frequent element — a per-row fold, no shuffle."""
+    return (
+        f"aggregate({sorted_arr},"
+        f" named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),"
+        f" (a, t) -> named_struct("
+        f"   'prev', t,"
+        f"   'run', IF(a.prev IS NULL OR t != a.prev, 1, a.run + 1),"
+        f"   'best', greatest(a.best,"
+        f"     IF(a.prev IS NULL OR t != a.prev, 1, a.run + 1))),"
+        f" a -> a.best)"
+    )
+
+
+def _dup_count_expr(sorted_arr: str) -> str:
+    """SQL expr: number of elements of a SORTED array whose value occurs more
+    than once (counting every copy) — run==2 contributes both members,
+    run>2 each further one."""
+    return (
+        f"aggregate({sorted_arr},"
+        f" named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'dup', 0),"
+        f" (a, t) -> named_struct("
+        f"   'prev', t,"
+        f"   'run', IF(a.prev IS NULL OR t != a.prev, 1, a.run + 1),"
+        f"   'dup', a.dup + CASE WHEN a.prev IS NOT NULL AND t = a.prev"
+        f"     THEN IF(a.run = 1, 2, 1) ELSE 0 END),"
+        f" a -> a.dup)"
+    )
+
+
+def repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the fraction
+    of tokens claimed by the most frequent token / 2-gram / 3-gram, and the
+    fraction of 2-grams that are duplicates. High values mark boilerplate
+    and degenerate generations — the standard curation cut alongside
+    `quality`.
+
+    Entirely per-row JVM folds over sorted shingle arrays (array_sort +
+    aggregate): no shuffle, no Python, linear in document length — the same
+    execution shape as `winnow`. Fractions are token-count-based (the
+    paper's character-weighted variants swap in by weighting each shingle
+    with its length — same fold, one more struct field). Oracle: unnest +
+    GROUP BY in DuckDB reproduces every count exactly."""
+    toks = f"array_sort(split({text_col}, ' '))"
+    g2 = f"array_sort({shingles_expr(text_col, 2)})"
+    g3 = f"array_sort({shingles_expr(text_col, 3)})"
+    n_toks = F.expr(f"size(split({text_col}, ' '))")
+    out = (
+        df.withColumn("_ntok", n_toks)
+        .withColumn("_top1", F.expr(_max_run_expr(toks)))
+        .withColumn("_top2", F.expr(_max_run_expr(g2)))
+        .withColumn("_top3", F.expr(_max_run_expr(g3)))
+        .withColumn("_dup2", F.expr(_dup_count_expr(g2)))
+        .withColumn("_n2", F.expr(f"size({g2})"))
+        .withColumn("_n3", F.expr(f"size({g3})"))
+    )
+    frac = lambda num, den: F.round(
+        F.col(num) / F.greatest(F.col(den), F.lit(1)), 4)
+    return out.select(
+        *df.columns,
+        F.col("_ntok").alias("n_tokens"),
+        frac("_top1", "_ntok").alias("top_token_frac"),
+        frac("_top2", "_n2").alias("top_2gram_frac"),
+        frac("_top3", "_n3").alias("top_3gram_frac"),
+        frac("_dup2", "_n2").alias("dup_2gram_frac"),
+    )
+
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+PII_CARD = "\\b[0-9]{13,16}\\b"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: emails, IPv4 addresses, long card-like
+    digit runs — counted with `regexp_count` and replaced with typed
+    placeholder tags, all JVM regex (patterns are RE2-safe: no
+    backreferences/lookarounds, so the DuckDB oracle runs them verbatim).
+
+    Generalizes the reference's commented-out scrub hook
+    (src/Watch.cc:381-396, a card-number substring guard) into the
+    curation-stage scrubber a web corpus needs; replacement order
+    (email → ipv4 → card) is part of the contract since a card pattern can
+    match digits inside neither of the others but tags must not cascade."""
+    c = F.col(text_col)
+    out = df.select(
+        "*",
+        F.regexp_count(c, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count(c, F.lit(PII_CARD)).alias("n_cards"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL, "[EMAIL]"),
+            PII_IPV4, "[IPV4]"),
+        PII_CARD, "[CARD]")
+    return out.withColumn("redacted", red).withColumn(
+        "has_pii",
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_cards")) > 0)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprint: lexicographic-min md5 over token n-gram shingles
     (a deterministic winnowing-style rolling-hash selection; md5 is identical

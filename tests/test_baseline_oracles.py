@@ -40,7 +40,8 @@ def test_baselines_match_oracles(spark, duck):
     qs = entrymod.baseline_queries()
     oracles = entrymod.baseline_oracle_sql()
     assert set(qs) == set(oracles) == {
-        "dedup_ngram_pairs", "dedup_embedding_pairs", "ann_topk",
+        "dedup_ngram_pairs", "dedup_simhash", "dedup_embedding_pairs",
+        "ann_topk", "text_repetition", "pii_scrub",
     }
     for name, fn in qs.items():
         scols, srows, slists = canon_pandas(fn(spark, SF_DIR).toPandas())

@@ -417,3 +417,37 @@ def test_lsh_band_params_bound_candidates(spark):
                                         bits_per_table=bits).collect()}
     captured = sum((i, n + i) in got for i in range(30))
     assert captured >= 27  # >=90% capture of planted dups at the 0.99 target
+
+
+def test_repetition_and_pii_on_crafted_rows(spark):
+    """Pin the Gopher-repetition fractions and PII redaction on hand-computed
+    rows (the sf0.01 oracle gate covers the corpus, which contains no PII)."""
+    from logport_spark.operators.textstats import pii_scrub, repetition
+
+    docs = spark.createDataFrame(
+        [(0, "contact me at bob@example.com or 10.0.0.1 thanks"),
+         (1, "card 4111111111111111 leaked and the the the"),
+         (2, "a"),
+         (3, "x y x y x y")],
+        "doc_id long, text string")
+
+    rep = {r["doc_id"]: r for r in repetition(docs).collect()}
+    # "x y x y x y": 2-grams [xy, yx, xy, yx, xy] -> top 3/5, all duplicated
+    assert rep[3]["top_token_frac"] == 0.5
+    assert rep[3]["top_2gram_frac"] == 0.6
+    assert rep[3]["dup_2gram_frac"] == 1.0
+    # "the the the" tail: top token 3/7
+    assert rep[1]["top_token_frac"] == round(3 / 7, 4)
+    # single token: degenerate but defined
+    assert rep[2]["n_tokens"] == 1 and rep[2]["top_token_frac"] == 1.0
+    assert rep[2]["top_2gram_frac"] == 0.0
+
+    pii = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert pii[0]["n_emails"] == 1 and pii[0]["n_ipv4"] == 1
+    assert pii[0]["redacted"] == "contact me at [EMAIL] or [IPV4] thanks"
+    assert pii[1]["n_cards"] == 1 and "[CARD]" in pii[1]["redacted"]
+    assert pii[1]["has_pii"] and not pii[2]["has_pii"]
+    # 18-digit run: no \b-delimited 13-16 window exists -> NOT a card match
+    long_run = spark.createDataFrame([(9, "id 123456789012345678 x")],
+                                     "doc_id long, text string")
+    assert pii_scrub(long_run).collect()[0]["n_cards"] == 0

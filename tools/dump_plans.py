@@ -67,6 +67,19 @@ ANNOTATED = {
         "scan; probed cells broadcast into the candidate join and only "
         "candidates reach the exact rerank."
     ),
+    "dedup_clusters": (
+        "Connected components: the returned labels read from an "
+        "InMemoryTableScan — every propagation round materializes ONE label "
+        "table (persist + fixpoint count) so lineage never stacks rounds; "
+        "each round is two shuffles (edge join on id, pointer-jump join on "
+        "label), O(log diameter) rounds total."
+    ),
+    "text_repetition": (
+        "Gopher repetition signals: the whole operator is a single Project "
+        "over the scan — sorted-shingle folds are per-row JVM aggregate() "
+        "lambdas, so there is NO exchange and NO Python in the plan; it "
+        "scales like a map."
+    ),
 }
 
 
@@ -76,7 +89,7 @@ def main() -> None:
     import __spark_entry__ as em
 
     spark = get_spark("dump_plans", cpus=8)
-    qs = em.queries()
+    qs = {**em.queries(), **getattr(em, "baseline_queries", dict)()}
     out = [
         "# PLANS — physical-plan evidence (sf0.01, regenerate via tools/dump_plans.py)",
         "",

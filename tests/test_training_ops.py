@@ -451,3 +451,36 @@ def test_repetition_and_pii_on_crafted_rows(spark):
     long_run = spark.createDataFrame([(9, "id 123456789012345678 x")],
                                      "doc_id long, text string")
     assert pii_scrub(long_run).collect()[0]["n_cards"] == 0
+
+
+def test_repetition_folds_equal_counter_math(spark):
+    """The sorted-array JVM folds must equal plain Counter arithmetic on 200
+    random documents (seeded) — one Spark round trip, per-row comparison."""
+    from collections import Counter
+
+    import numpy as np
+
+    from logport_spark.operators.textstats import repetition
+
+    rng = np.random.default_rng(11)
+    vocab = ["a", "b", "c", "dd", "e"]
+    rows = []
+    for i in range(200):
+        n = int(rng.integers(1, 30))
+        rows.append((i, " ".join(vocab[int(rng.integers(0, len(vocab)))]
+                                  for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition(docs).collect()}
+    for i, text in rows:
+        toks = text.split(" ")
+        g2 = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        c1, c2 = Counter(toks), Counter(g2)
+        r = got[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["top_token_frac"] == round(max(c1.values()) / len(toks), 4)
+        if g2:
+            assert r["top_2gram_frac"] == round(max(c2.values()) / len(g2), 4)
+            dup = sum(c for c in c2.values() if c > 1)
+            assert r["dup_2gram_frac"] == round(dup / len(g2), 4)
+        else:
+            assert r["top_2gram_frac"] == 0.0 and r["dup_2gram_frac"] == 0.0

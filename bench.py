@@ -138,7 +138,11 @@ def scaling_run(sf: str) -> dict:
 
     from logport_spark.session import get_spark
 
-    sf = os.environ.get("SPARK_GRAFT_SCALING_SF", sf)
+    # default to the 1M-page table regardless of the per-query bench's sf —
+    # at 100k pages the whole job is ~4 s and fixed overheads dominate
+    # (docstring above); r3 measured exactly that inversion when this
+    # defaulted to the bench sf.
+    sf = os.environ.get("SPARK_GRAFT_SCALING_SF", "1")
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
     pair = tuple(int(c) for c in
                  os.environ.get("SPARK_GRAFT_SCALING_CPUS", "8,32").split(","))
@@ -218,6 +222,18 @@ def dedup_scale_run() -> dict:
             e, threshold=0.9, n_tables=n_tables, bits_per_table=bits)
 
     qs["embedding_lsh_pairs"] = _emb_lsh
+
+    def _simhash_blocked(spark, sf_dir):
+        # Manku block-combination banding (dedup.simhash_pairs_blocked):
+        # same exact pair set as the contract query's 4x15 bands, ~6,500x
+        # fewer random-pair candidates — the variant a 10^9-doc corpus runs.
+        from logport_spark.operators.dedup import (
+            simhash_pairs_blocked, simhash_signatures)
+
+        return simhash_pairs_blocked(
+            simhash_signatures(em._docs(spark, sf_dir)), max_hamming=3)
+
+    qs["dedup_simhash_pairs"] = _simhash_blocked
     names = ["dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
              "embedding_lsh_pairs", "ann_ivf_topk", "doc_winnow", "corpus_clean"]
     sizes = [5_000, 50_000, 500_000]

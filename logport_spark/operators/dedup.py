@@ -24,7 +24,7 @@ story at corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import shingles_expr
@@ -323,11 +323,36 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text",
 def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by banded SimHash: hamming ≤ 3 over 60 bits ⇒ at least
     one of four 15-bit bands is equal (pigeonhole), so a 4-band bucket join
-    finds all such pairs with NO O(n²) comparison."""
-    bands = F.array(*[
-        F.shiftright(F.col("simhash"), 15 * k).bitwiseAND(F.lit(0x7FFF)) for k in range(4)
-    ])
-    banded = sig.select("doc_id", "simhash", F.posexplode(bands).alias("band", "key"))
+    finds all such pairs with NO O(n²) comparison.
+
+    SCALE CONTRACT: a random pair collides in a 15-bit band at 2^-15, so
+    candidates are ~4·n²/2^16 — fine to ~10^6 docs, quadratic cliff past
+    it. `simhash_pairs_blocked` keys on 30 bits (same EXACT pair set, 2^15×
+    fewer random collisions) and is the variant to run at corpus scale;
+    this narrow-band form stays the cheap small-input default (fewer
+    explode rows) and the shared oracle contract."""
+    return _simhash_banded(sig, [(15 * k, 15) for k in range(4)], max_hamming)
+
+
+def _simhash_banded(sig: DataFrame, band_slices, max_hamming: int,
+                    max_bucket: int | None = None) -> DataFrame:
+    """Shared banded-join core: band_slices is a list of per-table bit
+    selections, each a list of (shift, width) segments concatenated into one
+    join key. Exact: candidates are verified with the full hamming filter."""
+    def key_expr(segs) -> Column:
+        key, off = F.lit(0).cast("long"), 0
+        for shift, width in segs:
+            part = F.shiftright(F.col("simhash"), shift).bitwiseAND(
+                F.lit((1 << width) - 1))
+            key = key.bitwiseOR(F.shiftleft(part, off))
+            off += width
+        return key
+
+    slices = [s if isinstance(s, list) else [s] for s in band_slices]
+    bands = F.array(*[key_expr(s) for s in slices])
+    banded = sig.select("doc_id", "simhash",
+                        F.posexplode(bands).alias("band", "key"))
+    banded = cap_buckets(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
@@ -342,3 +367,24 @@ def simhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def simhash_pairs_blocked(sig: DataFrame, max_hamming: int = 3,
+                          max_bucket: int | None = None) -> DataFrame:
+    """SimHash near-dup pairs with Manku-style block-combination banding
+    (Manku/Jain/Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    WWW'07 §3): split the 60-bit signature into 6 blocks of 10 bits; ≤3
+    differing bits touch ≤3 blocks, so for every qualifying pair SOME
+    choice of 3 blocks is error-free — C(6,3)=20 tables, each keyed on a
+    30-bit concatenation, find the EXACT same pair set as the 4×15 scheme.
+
+    The trade that matters at 10^9+ docs: random-pair collisions drop from
+    2^-15 to 2^-30 per table (20·n²/2^31 vs 4·n²/2^16 expected candidates —
+    ~6,500× fewer) for 5× more explode rows through the band shuffle.
+    Linear shuffle growth buys a quadratic candidate cut; pytest pins
+    result equality with `simhash_pairs` and the candidate reduction."""
+    from itertools import combinations
+
+    blocks = [(10 * k, 10) for k in range(6)]
+    band_slices = [list(c) for c in combinations(blocks, 3)]
+    return _simhash_banded(sig, band_slices, max_hamming, max_bucket)

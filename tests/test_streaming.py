@@ -211,3 +211,49 @@ def test_kafka_sink_gate_and_row_shape(spark, pages_small):
     expect = {(r.url, r.record) for r in routed.select("url", "record").collect()}
     assert {k for k, _ in joined} == {u for u, _ in expect}
     assert joined == {(u, rec) for u, rec in expect}
+
+
+def test_stream_minhash_dedup_drops_cross_batch_neardups(spark, tmp_path_factory):
+    """Incremental LSH dedup (streaming/dedup_stream.py): batch 2 must drop a
+    near-dup of a batch-1 doc via persisted signature state, keep uniques,
+    and also drop in-batch near-dups; re-draining with the same checkpoint
+    is a no-op (exactly-once clean output)."""
+    import pandas as pd
+
+    from logport_spark.streaming.dedup_stream import run_stream_minhash_dedup
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango")
+    uniq = ("zulu yankee xray whiskey victor uniform tango sierra romeo "
+            "quebec papa oscar november mike lima kilo juliet india hotel golf")
+    # change the LAST token: affects exactly one 3-gram shingle, J = 17/19
+    near = base.replace("tango", "printf")
+    uniq2 = " ".join(reversed(uniq.split()))        # same tokens, reversed order
+
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    out = str(tmp_path_factory.mktemp("dedup_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+
+    def write(name, rows):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            f"{d}/{name}.parquet", index=False)
+
+    # batch 1: doc 1 near-dups doc 0 IN-batch; doc 2 unique
+    write("b1", [(0, base), (1, near), (2, uniq)])
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+    # batch 2 (new file): doc 10 near-dups doc 0 CROSS-batch, 11 is new
+    write("b2", [(10, base + " extra"), (11, uniq2 + " fresh words here")])
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+
+    clean = {r["doc_id"] for r in
+             spark.read.parquet(out + "/clean").select("doc_id").collect()}
+    assert clean == {0, 2, 11}, clean
+    # state holds exactly the kept docs' signatures
+    sig_ids = {r["doc_id"] for r in
+               spark.read.parquet(out + "/state/sigs").select("doc_id").collect()}
+    assert sig_ids == {0, 2, 11}
+    # re-drain: no new batches, clean output unchanged
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+    clean2 = {r["doc_id"] for r in
+              spark.read.parquet(out + "/clean").select("doc_id").collect()}
+    assert clean2 == clean

@@ -21,10 +21,14 @@ from ..operators import enrich as E
 from ..operators import route as R
 
 
-def parsed_routed(spark: SparkSession, pages: DataFrame, scrub_enabled: bool = False) -> DataFrame:
-    """Full parse→enrich→route DataFrame (no write). Columns: ROUTED_COLS + line."""
+def routed_from_lines(spark: SparkSession, lines: DataFrame,
+                      scrub_enabled: bool = False) -> DataFrame:
+    """Enrich→route→envelope over an already line-framed DataFrame
+    (url, warc_ts, lang, line_no, line) — the shared tail of the DAG, used
+    by the page path (below), the dead-letter replay union
+    (plans/ledger.replay_quarantine) and the adopt process-output source
+    (streaming/adopt.py), so every entry point ships IDENTICAL records."""
     lookups = E.load_lookups(spark)
-    lines = P.explode_lines(pages)
     lines = P.scrub(lines, enabled=scrub_enabled)
     lines = E.with_domain(lines)
     lines = E.enrich(lines, lookups)
@@ -36,6 +40,11 @@ def parsed_routed(spark: SparkSession, pages: DataFrame, scrub_enabled: bool = F
         prd_col=F.col("route_prd"),
         log_type_col=F.col("route_log_type"),
     )
+
+
+def parsed_routed(spark: SparkSession, pages: DataFrame, scrub_enabled: bool = False) -> DataFrame:
+    """Full parse→enrich→route DataFrame (no write). Columns: ROUTED_COLS + line."""
+    return routed_from_lines(spark, P.explode_lines(pages), scrub_enabled)
 
 
 def sink_metrics(routed: DataFrame) -> DataFrame:

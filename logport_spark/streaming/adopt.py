@@ -1,0 +1,115 @@
+"""S5 `adopt` — the process-output source, as a Spark streaming entry point.
+
+The reference's `logport adopt <cmd>` (src/LogPort.cc:1378-1806) forks a
+command, multiplexes its stdout/stderr through a pipe pair, and ships each
+line like a watched file — the one source SURVEY §2.1 had documented out of
+scope for lack of a table analog. The Spark-native analog is a LINE STREAM:
+any process can pipe its output to a socket (`cmd | nc host port` — the
+same pipe logport owns, externalized), and Spark's socket source turns it
+into micro-batches of lines. Everything downstream is the SHARED DAG tail
+(plans/pipeline.routed_from_lines): enrich, route, envelope — adopt lines
+ship byte-identical to file lines, exactly as the reference reuses
+Watch::filterLogLine for adopted processes.
+
+Shape mapping (reference → here):
+  - the adopted command's identity → `adopt://<name>/stdout` url; routes
+    can match the adopt host like any domain, unmatched → default route
+    (logport: adopt ships to the watch's topic or the default).
+  - pipe byte offsets → per-micro-batch arrival sequence (the socket source
+    is single-partition, so monotonically_increasing_id IS arrival order;
+    logport's undelivered-offset resume has no analog here because a
+    process pipe, like a socket, cannot be re-read — the reference drops
+    unflushed lines on crash too: src/LogPort.cc adopt loop has no ledger).
+  - stderr substream → a second adopt_stream on its own port/name
+    (logport tags the two pipes with distinct sources).
+
+The socket source is a dev/test-grade transport (no replay); a production
+deployment swaps it for Kafka with the same downstream
+(streaming/stream.run_stream_kafka shows the gated sink shape). That trade
+is the reference's own: a crashed adopt loses in-flight pipe bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.pipeline import routed_from_lines
+from .stream import SINK_COLS
+
+
+def adopt_stream(spark: SparkSession, host: str, port: int,
+                 name: str = "adopt") -> DataFrame:
+    """Raw line stream from a process piping to (host, port)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host).option("port", port)
+        .load()
+        .select(F.col("value").alias("line"))
+    )
+
+
+def adopt_lines(raw: DataFrame, name: str = "adopt",
+                fixed_ts: str | None = None) -> DataFrame:
+    """Frame raw adopt lines into the shared lines shape
+    (url, warc_ts, lang, line_no, line).
+
+    `fixed_ts` pins warc_ts for deterministic tests; production uses the
+    ingestion clock (the reference stamps adopt lines at read time too,
+    src/Watch.cc:377 filter loop). line_no is the arrival sequence within
+    the micro-batch — assign AFTER the batch materializes (foreachBatch)
+    since streaming DataFrames cannot row_number without a window state."""
+    ts = (F.lit(fixed_ts).cast("timestamp") if fixed_ts
+          else F.current_timestamp())
+    return (
+        raw.filter(F.length("line") > 0)  # P2 empty-line filter, same rule
+        .select(
+            F.lit(f"adopt://{name}/stdout").alias("url"),
+            ts.alias("warc_ts"),
+            F.lit("und").alias("lang"),
+            F.col("line"),
+        )
+    )
+
+
+def run_adopt(
+    spark: SparkSession,
+    host: str,
+    port: int,
+    out_dir: str,
+    checkpoint_dir: str,
+    name: str = "adopt",
+    fixed_ts: str | None = None,
+):
+    """Adopt loop: socket lines → shared enrich/route/envelope →
+    per-(batch, sink) idempotent writes. Returns the started query (caller
+    stops it — a process stream has no natural end, exactly like the
+    reference's adopt loop which runs until the child exits)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        # arrival order within the single-partition socket batch
+        lines = batch_df.withColumn(
+            "_seq", F.monotonically_increasing_id())
+        from pyspark.sql import Window
+
+        lines = lines.withColumn(
+            "line_no",
+            F.row_number().over(Window.orderBy("_seq")).cast("int")
+        ).drop("_seq")
+        routed = routed_from_lines(sp, lines)
+        (
+            routed.select(*SINK_COLS)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "sink")
+            .parquet(out_dir + "/sinks")
+        )
+
+    framed = adopt_lines(adopt_stream(spark, host, port, name), name, fixed_ts)
+    return (
+        framed.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

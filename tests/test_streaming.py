@@ -257,3 +257,77 @@ def test_stream_minhash_dedup_drops_cross_batch_neardups(spark, tmp_path_factory
     clean2 = {r["doc_id"] for r in
               spark.read.parquet(out + "/clean").select("doc_id").collect()}
     assert clean2 == clean
+
+
+def test_adopt_socket_source_ships_identical_records(spark, tmp_path_factory):
+    """S5 adopt (streaming/adopt.py): lines piped over a socket must ship
+    byte-identical to the same lines fed through the batch envelope path —
+    the reference reuses Watch::filterLogLine for adopted processes, we
+    reuse routed_from_lines."""
+    import socket
+    import threading
+    import time as _t
+
+    from logport_spark.plans.pipeline import routed_from_lines
+    from logport_spark.streaming.adopt import run_adopt
+
+    lines = [
+        '{"level":"info","msg":"adopted","code":7}',
+        "plain adopted line",
+        "",                         # dropped (P2)
+        "[1,2",                     # parse-fail branch
+        "GET /cache/1 200 77",
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            _t.sleep(30)  # keep the pipe open while the stream drains
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    out = str(tmp_path_factory.mktemp("adopt_out"))
+    ckpt = str(tmp_path_factory.mktemp("adopt_ckpt"))
+    q = run_adopt(spark, "127.0.0.1", port, out, ckpt,
+                  name="tail_test", fixed_ts="2024-08-01 00:00:00")
+    try:
+        deadline = _t.time() + 60
+        got = 0
+        while _t.time() < deadline and got < 4:
+            _t.sleep(1)
+            try:
+                got = spark.read.parquet(out + "/sinks").count()
+            except Exception:
+                got = 0
+        assert got == 4, f"drained {got} records"
+    finally:
+        q.stop()
+        srv.close()
+
+    shipped = spark.read.parquet(out + "/sinks")
+    # batch-path reference over the identical framed lines
+    import pandas as pd
+
+    ref_lines = spark.createDataFrame(
+        pd.DataFrame({
+            "url": ["adopt://tail_test/stdout"] * 4,
+            "warc_ts": pd.to_datetime(["2024-08-01 00:00:00"] * 4),
+            "lang": ["und"] * 4,
+            "line_no": [1, 2, 3, 4],
+            "line": [l for l in lines if l],
+        }))
+    ref = routed_from_lines(spark, ref_lines)
+    assert (
+        sorted(r["record"] for r in shipped.select("record").collect())
+        == sorted(r["record"] for r in ref.select("record").collect())
+    )
+    # parse-fail branch fired exactly once
+    assert shipped.filter("parse_fail").count() == 1

@@ -72,6 +72,37 @@ def adopt_lines(raw: DataFrame, name: str = "adopt",
     )
 
 
+def adopt_exit_event(
+    spark: SparkSession,
+    pid: int,
+    exit_code: int | None = None,
+    signal: int | None = None,
+    name: str = "adopt",
+    fixed_ts: str | None = None,
+) -> DataFrame:
+    """The child-exit message (reference src/LogPort.cc:1501-1539): when the
+    adopted process ends, logport ships one more line — byte-format
+    `logport: PID (<pid>) exited with status <n>` (or `killed by signal
+    <n>`) — with the watch source switched to `process_exit`, through the
+    SAME filter loop. One framed row through routed_from_lines; the caller
+    appends it to the sink after the stream stops (the Spark driver plays
+    the waitpid role — it knows the child's fate, the cluster does not)."""
+    if signal is not None:
+        text = f"logport: PID ({pid}) killed by signal {signal}"
+    else:
+        text = f"logport: PID ({pid}) exited with status {exit_code or 0}"
+    ts = (F.lit(fixed_ts).cast("timestamp") if fixed_ts
+          else F.current_timestamp())
+    one = spark.createDataFrame([(text,)], "line string").select(
+        F.lit(f"adopt://{name}/process_exit").alias("url"),
+        ts.alias("warc_ts"),
+        F.lit("und").alias("lang"),
+        F.lit(1).cast("int").alias("line_no"),
+        "line",
+    )
+    return routed_from_lines(spark, one)
+
+
 def run_adopt(
     spark: SparkSession,
     host: str,

@@ -331,3 +331,21 @@ def test_adopt_socket_source_ships_identical_records(spark, tmp_path_factory):
     )
     # parse-fail branch fired exactly once
     assert shipped.filter("parse_fail").count() == 1
+
+
+def test_adopt_exit_event_matches_reference_format(spark):
+    """Child-exit message (src/LogPort.cc:1501-1539): exact reference text,
+    process_exit source tag, shipped through the same envelope."""
+    import json
+
+    from logport_spark.streaming.adopt import adopt_exit_event
+
+    row = adopt_exit_event(spark, pid=4242, exit_code=3, name="job",
+                           fixed_ts="2024-08-01 00:00:00").collect()[0]
+    rec = json.loads(row["record"])
+    assert rec["log"] == "logport: PID (4242) exited with status 3"
+    assert rec["source"] == "adopt://job/process_exit"
+    assert not row["parse_fail"]
+
+    sig = adopt_exit_event(spark, pid=7, signal=9).collect()[0]
+    assert json.loads(sig["record"])["log"] == "logport: PID (7) killed by signal 9"

@@ -11,6 +11,7 @@ Spark job lifecycle, so what remains is:
     python -m logport_spark.cli routes                    # `logport watches`
     python -m logport_spark.cli settings [--set k=v ...]  # precedence demo
     python -m logport_spark.cli deliver --out <dir> --broker <dir>  # wire → mock broker
+    python -m logport_spark.cli adopt   --command 'cmd' --out <dir> # `logport adopt`
     python -m logport_spark.cli bench [--scaling]
 
 `run` processes only un-committed buckets (so `run` after a crash IS
@@ -50,6 +51,77 @@ def cmd_run(args) -> int:
         "bytes_shipped": b, "parse_failures": f,
         "sec": round(time.time() - t0, 2),
     }))
+    return 0
+
+
+def cmd_adopt(args) -> int:
+    """`logport adopt <cmd>` (src/LogPort.cc:1378-1806): fork the command,
+    ship every stdout/stderr line through the pipeline, ship the exit event.
+
+    The CLI plays logport's parent-process role: it owns the pipe (a
+    loopback socket bridging child stdout → the Spark socket source), waits
+    the child (waitpid analog), and ships the exit message after the stream
+    drains. Stdout and stderr are merged like `2>&1` (the reference tags
+    them separately; pass --name twice with two adopts for that)."""
+    import socket
+    import subprocess
+    import threading
+
+    from .streaming.adopt import adopt_exit_event, run_adopt
+
+    spark = _spark(args.cpus)
+    name = args.name or "adopt"
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    child = subprocess.Popen(
+        args.command, shell=True, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    sent = [0]
+    drained = threading.Event()
+
+    def bridge() -> None:
+        conn, _ = srv.accept()
+        with conn:
+            for line in child.stdout:
+                conn.sendall(line.encode())
+                if line.strip():
+                    sent[0] += 1
+            drained.wait(timeout=120)  # hold the socket until the query stops
+
+    t = threading.Thread(target=bridge, daemon=True)
+    t.start()
+
+    ckpt = args.out.rstrip("/") + "/_adopt_ckpt"
+    q = run_adopt(spark, "127.0.0.1", port, args.out, ckpt, name=name)
+    rc = child.wait()
+    # drain: the sink must hold every non-empty line the bridge forwarded
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(args.out + "/sinks").count() >= sent[0]:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    drained.set()
+    srv.close()
+
+    exit_df = adopt_exit_event(spark, child.pid, exit_code=rc, name=name)
+    from .streaming.stream import SINK_COLS
+    from pyspark.sql import functions as F
+
+    (exit_df.select(*SINK_COLS)
+     .withColumn("batch_id", F.lit(-1).cast("long"))
+     .write.mode("append").partitionBy("batch_id", "sink")
+     .parquet(args.out + "/sinks"))
+    shipped = spark.read.parquet(args.out + "/sinks").count()
+    print(json.dumps({"adopted": args.command, "pid": child.pid,
+                      "exit_code": rc, "records_shipped": shipped}))
     return 0
 
 
@@ -165,6 +237,12 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("settings")
     sp.add_argument("--set", action="append")
     sp.set_defaults(fn=cmd_settings)
+    sp = sub.add_parser("adopt")
+    sp.add_argument("--command", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--name", default=None)
+    common(sp)
+    sp.set_defaults(fn=cmd_adopt)
     sp = sub.add_parser("deliver")
     sp.add_argument("--out", required=True)
     sp.add_argument("--broker", required=True)

@@ -71,3 +71,27 @@ def test_cli_run_and_status(spark, pages_small, tmp_path, capsys, monkeypatch):
     rep = json.loads(capsys.readouterr().out)
     assert "nack" not in rep
     assert rep["ack"]["msgs"] == run_out["rows_routed"]
+
+
+def test_cli_adopt_end_to_end(spark, tmp_path, capsys):
+    """`adopt` forks a real command, ships its lines + the exit event."""
+    import json
+
+    from logport_spark.cli import main
+
+    out = str(tmp_path / "adopt_out")
+    rc = main(["adopt", "--command",
+               "printf 'one line\\n{\"k\":1}\\n'; exit 5",
+               "--out", out, "--name", "fixture"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["exit_code"] == 5
+    assert summary["records_shipped"] == 3  # 2 lines + exit event
+
+    sinks = spark.read.parquet(out + "/sinks")
+    recs = [json.loads(r["record"]) for r in sinks.select("record").collect()]
+    logs = {r.get("log") or json.dumps(r.get("log_obj")) for r in recs}
+    assert "one line" in logs
+    assert any("exited with status 5" in (r.get("log") or "") for r in recs)
+    srcs = {r["source"] for r in recs}
+    assert srcs == {"adopt://fixture/stdout", "adopt://fixture/process_exit"}

@@ -461,6 +461,26 @@ def _dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def _contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination check (dedup.py:ngram_contamination): fixture
+    split = even doc_ids as train, odd as test; n=3 for these short docs
+    (production uses the GPT-3 13-gram convention)."""
+    from logport_spark.operators.dedup import ngram_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return ngram_contamination(train, test, n=3)
+
+
+def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-100 (dedup.py:vocab_topk) — distributed top-k
+    (TakeOrderedAndProject), never a global vocabulary sort."""
+    from logport_spark.operators.dedup import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir).select("text"), k=100)
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters (dedup.py:connected_components): MinHash
     near-dup pairs closed under A~B,B~C — min-label propagation with pointer
@@ -794,6 +814,8 @@ def baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _ann_topk,  # brute top-k; scale paths are ann_lsh_topk / ann_ivf_topk
         "text_repetition": _text_repetition,  # Gopher repetition signals
         "pii_scrub": _pii_scrub,  # PII count + redaction
+        "contamination_scan": _contamination_scan,  # train/test n-gram overlap
+        "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
     }
 
 
@@ -1724,5 +1746,37 @@ def baseline_oracle_sql() -> dict[str, str]:
                     + len(regexp_extract_all(text, '{PII_CARD_SQL}'))) > 0
                        AS has_pii
             FROM documents
+        """,
+        # string-shingle re-derivation (the engine joins on xxhash64 of the
+        # same shingles — equal up to 64-bit collisions, the minhash-oracle
+        # argument)
+        "contamination_scan": """
+            WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                       FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(toks[i:i+2],' ') AS sh
+                   FROM t, unnest(range(1, greatest(len(toks)-2,0)+1)) AS r(i)),
+            tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 2 = 0),
+            te AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+            tot AS (SELECT doc_id, count(*) AS n_sh FROM te GROUP BY 1),
+            hits AS (SELECT doc_id, count(*) AS nh FROM te
+                     WHERE sh IN (SELECT sh FROM tr) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(tot.n_sh, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(hits.nh, 0) AS BIGINT) AS n_hits,
+                   round(coalesce(hits.nh, 0) * 1.0
+                         / greatest(coalesce(tot.n_sh, 0), 1), 4)
+                       AS contamination_frac
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            LEFT JOIN tot USING (doc_id) LEFT JOIN hits USING (doc_id)
+        """,
+        "vocab_topk": """
+            SELECT CAST(rank AS INT) AS rank, tok, cnt FROM (
+              SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+                     row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+              FROM (SELECT unnest(string_split(text,' ')) AS tok
+                    FROM documents)
+              WHERE length(tok) > 0 GROUP BY tok)
+            WHERE rank <= 100
         """,
     }

@@ -186,6 +186,66 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     )
 
 
+# ---------------------------------------------------------- contamination ----
+
+
+def ngram_contamination(train: DataFrame, test: DataFrame, n: int = 13,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Eval-set contamination scan — the standard n-gram-overlap check run
+    before training (GPT-3's 13-gram dedup between train and benchmarks;
+    n=13 is that convention, smaller n for short-document corpora): for
+    every TEST doc, the fraction of its n-gram shingles that appear
+    anywhere in TRAIN.
+
+    Returns (doc_id, n_shingles, n_hits, contamination_frac) for all test
+    docs (0.0 when clean). Plan shape: train collapses to DISTINCT 64-bit
+    shingle hashes (the big side, but hash-only — 8 B per unique shingle);
+    one shuffle on h64 joins test shingles against it (left semi), then a
+    per-doc count. No text crosses the shuffle; at 10^12 train docs the
+    distinct-hash table is the dedup-standard bloom/semi-join shape."""
+    tr = (doc_shingles(train, n, text_col, id_col)
+          .select(F.xxhash64(F.col("sh")).alias("h64")).distinct())
+    te = doc_shingles(test, n, text_col, id_col).select(
+        "doc_id", F.xxhash64(F.col("sh")).alias("h64"))
+    totals = te.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (te.join(tr, "h64", "left_semi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (
+        test.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                4).alias("contamination_frac"),
+        )
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus-wide vocabulary: top-k tokens by count (ties → lexicographic) —
+    the tokenizer-training / frequency-cut primitive. Partial aggregation
+    map-side; the final top-k sorts k rows, not the vocabulary."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # limit BEFORE ranking: orderBy+limit plans as TakeOrderedAndProject
+    # (distributed per-partition top-k + k-row merge on the driver) — the
+    # window then ranks k rows, never a global sort of the vocabulary
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "tok", "cnt"))
+
+
 # ------------------------------------------------- duplicate clustering ----
 
 

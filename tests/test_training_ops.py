@@ -529,3 +529,30 @@ def test_simhash_blocked_equals_narrow_bands(spark, docs):
     # blocked expects ~0.07
     assert blocked_c < narrow_c / 50
     assert blocked_c <= 2
+
+
+def test_contamination_and_vocab_planted(spark):
+    """Planted overlap: a test doc quoting a train passage verbatim is
+    flagged with the right shingle fractions; clean docs score 0."""
+    from logport_spark.operators.dedup import ngram_contamination, vocab_topk
+
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(1, "quote: quick brown fox jumps end"),   # 4-token quote
+         (3, "entirely novel words appear here only"),
+         (5, "xy")],                                 # shorter than n
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           ngram_contamination(train, test, n=3).collect()}
+    # doc 1: shingles of 6 tokens = 4; "quick brown fox","brown fox jumps" hit
+    assert got[1]["n_shingles"] == 4 and got[1]["n_hits"] == 2
+    assert got[1]["contamination_frac"] == 0.5
+    assert got[3]["n_hits"] == 0 and got[3]["contamination_frac"] == 0.0
+    assert got[5]["n_shingles"] == 0 and got[5]["contamination_frac"] == 0.0
+
+    top = vocab_topk(train.select("text"), k=3).collect()
+    assert [r["tok"] for r in top][0] == "the"   # count 2, rest are ties at 1
+    assert top[0]["cnt"] == 2 and top[0]["rank"] == 1

@@ -234,8 +234,22 @@ def dedup_scale_run() -> dict:
             simhash_signatures(em._docs(spark, sf_dir)), max_hamming=3)
 
     qs["dedup_simhash_pairs"] = _simhash_blocked
+
+    def _contamination(spark, sf_dir):
+        # even/odd split of the synthetic corpus — the train side collapses
+        # to distinct shingle hashes, so this measures the semi-join shape
+        from pyspark.sql import functions as F
+
+        from logport_spark.operators.dedup import ngram_contamination
+
+        docs = em._docs(spark, sf_dir).select("doc_id", "text")
+        return ngram_contamination(docs.filter(F.col("doc_id") % 2 == 0),
+                                   docs.filter(F.col("doc_id") % 2 == 1), n=3)
+
+    qs["contamination_scan"] = _contamination
     names = ["dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
-             "embedding_lsh_pairs", "ann_ivf_topk", "doc_winnow", "corpus_clean"]
+             "embedding_lsh_pairs", "ann_ivf_topk", "doc_winnow",
+             "corpus_clean", "contamination_scan"]
     sizes = [5_000, 50_000, 500_000]
     spark = get_spark("bench_dedup_scale", cpus=CPUS,
                       shuffle_partitions=max(CPUS, 8))

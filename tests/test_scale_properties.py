@@ -192,3 +192,23 @@ def test_wire_substream_rows_bounded_under_hot_domain(spark, pages_small):
     hot = max(by_sink.values(), key=sum)
     mean = sum(hot) / len(hot)
     assert max(hot) <= 3 * mean, f"hot-sink substreams: {sorted(hot, reverse=True)[:5]}"
+
+
+def test_iceberg_sink_gate_and_ddl_shape(spark, pages_small):
+    """Iceberg sink (plans/iceberg.py): gated off in this container (no
+    runtime on the classpath); the DDL pins the partition spec to the
+    parquet stand-in's directory layout and the write path raises with the
+    stand-in named."""
+    import pytest
+
+    from logport_spark.plans.iceberg import (
+        SINK_TABLE_DDL, iceberg_available, write_routed_iceberg)
+    from logport_spark.plans.ledger import with_bucket
+    from logport_spark.plans.pipeline import parsed_routed
+
+    assert not iceberg_available(spark)  # this container has no runtime
+    ddl = SINK_TABLE_DDL.format(table="cat.db.sinks")
+    assert "USING iceberg" in ddl and "PARTITIONED BY (bucket, sink)" in ddl
+    routed = with_bucket(parsed_routed(spark, pages_small))
+    with pytest.raises(NotImplementedError, match="ledger"):
+        write_routed_iceberg(routed, "cat.db.sinks")

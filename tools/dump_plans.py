@@ -80,6 +80,12 @@ ANNOTATED = {
         "lambdas, so there is NO exchange and NO Python in the plan; it "
         "scales like a map."
     ),
+    "contamination_scan": (
+        "Eval-contamination semi-join: train collapses to DISTINCT 64-bit "
+        "shingle hashes (HashAggregate, 8 B per unique shingle — no text), "
+        "test shingles LeftSemi-join on h64, then a per-doc count. One "
+        "shuffle keyed on the hash; the train side never rejoins."
+    ),
 }
 
 

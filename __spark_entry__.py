@@ -615,6 +615,46 @@ def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher-rule curation pass — corpus_clean (the contract row)
+    extended with the round-3 signals: exact dedup → quality ≥ 0.5 → lang
+    known → NOT has_pii → dup_2gram_frac ≤ 0.5 → top_token_frac ≤ 0.3 →
+    MinHash near-dup drop. Every per-text feature (md5, quality, lang,
+    repetition folds, PII counts) is ONE narrow pre-shuffle pass; the
+    dedup window then carries ~60 B/doc of metadata, never the text."""
+    from pyspark.sql import Window
+
+    from pyspark import StorageLevel
+
+    from logport_spark.operators.dedup import minhash_lsh_pairs
+    from logport_spark.operators.textstats import (
+        lang_id, pii_scrub, quality, repetition)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    feats = pii_scrub(repetition(lang_id(quality(docs)))).select(
+        "doc_id", F.md5("text").alias("text_md5"),
+        "pred_lang", "quality_score",
+        "top_token_frac", "dup_2gram_frac", "has_pii",
+    )
+    w = Window.partitionBy("text_md5").orderBy("doc_id")
+    d1meta = (feats.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn", "text_md5")
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    d1_docs = docs.join(d1meta.select("doc_id"), "doc_id", "left_semi")
+    drops = minhash_lsh_pairs(d1_docs, n=3, threshold=0.8).select(
+        F.col("d2").alias("doc_id")).distinct()
+    return (
+        d1meta.filter(
+            (F.col("quality_score") >= 0.5) & (F.col("pred_lang") != "und")
+            & ~F.col("has_pii")
+            & (F.col("dup_2gram_frac") <= 0.5)
+            & (F.col("top_token_frac") <= 0.3))
+        .join(drops, "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "quality_score",
+                "top_token_frac", "dup_2gram_frac")
+    )
+
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -816,6 +856,7 @@ def baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,  # PII count + redaction
         "contamination_scan": _contamination_scan,  # train/test n-gram overlap
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
+        "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
     }
 
 
@@ -1022,6 +1063,93 @@ def _corpus_clean_sql() -> str:
         SELECT q.doc_id, lg.pred_lang, q.quality_score, q.q_tokens
         FROM q JOIN lg USING (doc_id)
         WHERE q.quality_score >= 0.5 AND lg.pred_lang <> 'und'
+          AND q.doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+
+
+def _corpus_clean_v2_sql() -> str:
+    """corpus_clean's oracle extended with the repetition folds and PII
+    gates — one SQL statement re-deriving every signal over the deduped set."""
+    from logport_spark.operators.textstats import LANG_MARKERS, STOPWORDS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n            ".join(
+        f"len(list_filter(string_split(text,' '), t -> t IN ({_sql_in(LANG_MARKERS[l])}))) AS s_{l}"
+        for l in langs
+    )
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN g = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = g THEN '{l}'" for l in langs
+    ) + " END"
+    n_pii = (f"len(regexp_extract_all(text, '{PII_EMAIL_SQL}'))"
+             f" + len(regexp_extract_all(text, '{PII_IPV4_SQL}'))"
+             f" + len(regexp_extract_all(text, '{PII_CARD_SQL}'))")
+    return f"""
+        WITH d1 AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1
+        ), qb AS (
+          SELECT doc_id, length(text) AS q_chars,
+                 len(string_split(text,' ')) AS q_tokens,
+                 len(list_filter(string_split(text,' '),
+                     t -> t IN ({_sql_in(STOPWORDS)}))) AS n_stop,
+                 length(text) - length(regexp_replace(text,'[a-zA-Z]','','g')) AS n_alpha
+          FROM d1
+        ), q AS (
+          SELECT doc_id,
+                 round(0.4 * least(n_stop * 5.0 / greatest(q_tokens, 1), 1.0)
+                       + 0.3 * n_alpha * 1.0 / greatest(q_chars, 1)
+                       + 0.3 * least(q_tokens / 100.0, 1.0), 4) AS quality_score
+          FROM qb
+        ), ls AS (
+          SELECT doc_id,
+            {scores}
+          FROM d1
+        ), lg AS (
+          SELECT doc_id, {case} AS pred_lang
+          FROM (SELECT doc_id, {g} AS g, * EXCLUDE (doc_id) FROM ls)
+        ), tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM d1),
+        tok AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+        c1 AS (SELECT doc_id, max(c) AS top1 FROM
+                 (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+               GROUP BY 1),
+        gg2 AS (SELECT doc_id, array_to_string(toks[i:i+1],' ') AS gr
+                FROM tk, unnest(range(1, greatest(len(toks)-1,0)+1)) AS r(i)),
+        c2 AS (SELECT doc_id,
+                      sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup2,
+                      sum(c) AS n2
+               FROM (SELECT doc_id, gr, count(*) AS c FROM gg2 GROUP BY 1, 2)
+               GROUP BY 1),
+        rep AS (
+          SELECT tk.doc_id,
+                 round(c1.top1 * 1.0 / greatest(len(tk.toks), 1), 4)
+                     AS top_token_frac,
+                 round(coalesce(c2.dup2, 0) * 1.0
+                       / greatest(coalesce(c2.n2, 0), 1), 4) AS dup_2gram_frac
+          FROM tk JOIN c1 USING (doc_id) LEFT JOIN c2 USING (doc_id)
+        ), pii AS (
+          SELECT doc_id, ({n_pii}) > 0 AS has_pii FROM d1
+        ), t AS (SELECT doc_id, string_split(text,' ') AS toks FROM d1),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS sh
+               FROM t, unnest(range(1, greatest(len(toks)-2,0)+1)) AS r(i)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        drops AS (
+          SELECT DISTINCT b.doc_id
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          JOIN sizes s1 ON s1.doc_id = a.doc_id
+          JOIN sizes s2 ON s2.doc_id = b.doc_id
+          GROUP BY a.doc_id, b.doc_id, s1.n, s2.n
+          HAVING count(*) * 1.0 / (s1.n + s2.n - count(*)) >= 0.8
+        )
+        SELECT q.doc_id, lg.pred_lang, q.quality_score,
+               rep.top_token_frac, rep.dup_2gram_frac
+        FROM q JOIN lg USING (doc_id) JOIN rep USING (doc_id)
+        JOIN pii USING (doc_id)
+        WHERE q.quality_score >= 0.5 AND lg.pred_lang <> 'und'
+          AND NOT pii.has_pii
+          AND rep.dup_2gram_frac <= 0.5 AND rep.top_token_frac <= 0.3
           AND q.doc_id NOT IN (SELECT doc_id FROM drops)
     """
 
@@ -1779,4 +1907,5 @@ def baseline_oracle_sql() -> dict[str, str]:
               WHERE length(tok) > 0 GROUP BY tok)
             WHERE rank <= 100
         """,
+        "corpus_clean_v2": _corpus_clean_v2_sql(),
     }

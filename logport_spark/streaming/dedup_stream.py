@@ -36,6 +36,19 @@ dropped and uniques kept).
 Reference tie-in: logport's undelivered_log replays WHOLE lines after a
 crash (src/Watch.cc:180-200) — at-least-once delivery that *creates*
 duplicates; this operator is the corpus-scale consumer-side repair.
+
+SCALE NOTE — the per-batch state join: every micro-batch shuffle-joins its
+band rows against the FULL state/bands table; there is no partition
+pruning on (band, key) because parquet partitioning is by batch_id (the
+idempotence key). That is the known cost of incremental LSH without an
+index — per-batch work is linear in state size, fine while
+batch_rate × state_scan_cost fits the trigger interval. Past that, the
+documented upgrades (no code-shape change, same join): (a) state/bands in
+an Iceberg table sorted on (band, key) → data-skipping prunes row groups
+to the batch's key range; (b) bucketed state table on `key` → co-located
+join, no state-side shuffle; (c) compact state periodically (drop band
+rows of docs later superseded). The signature table is only touched for
+candidate ids (semi-joined), so it never bounds the batch.
 """
 
 from __future__ import annotations

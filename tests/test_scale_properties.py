@@ -235,3 +235,22 @@ def test_ensure_documents_deterministic(spark, tmp_path, monkeypatch):
     import numpy as np
     v36, v25 = np.array(emb[36]["embedding"]), np.array(emb[25]["embedding"])
     assert float(v36 @ v25) > 0.98  # planted near-dup: vec 36 perturbs vec 25
+
+
+def test_sketch_surface_tracks_exact(spark):
+    """The documented 100 TB swaps for the exact aggregates: percentile_approx
+    (KLL-style) within 2% of the exact percentile, approx_count_distinct
+    (HyperLogLog++) within 5% of the exact distinct count — on the real
+    events table, so the swap points in event_value_quantiles /
+    events_distinct_stats are executable claims, not comments."""
+    from pyspark.sql import functions as F2
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    row = ev.agg(
+        F2.expr("percentile(value, 0.95)").alias("exact_p"),
+        F2.expr("percentile_approx(value, 0.95, 10000)").alias("approx_p"),
+        F2.countDistinct("user_id").alias("exact_d"),
+        F2.approx_count_distinct("user_id", 0.02).alias("approx_d"),
+    ).collect()[0]
+    assert abs(row["approx_p"] - row["exact_p"]) <= 0.02 * abs(row["exact_p"])
+    assert abs(row["approx_d"] - row["exact_d"]) <= 0.05 * row["exact_d"]

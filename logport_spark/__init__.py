@@ -14,12 +14,16 @@ Layout:
                watches/settings tables, reference src/Database.cc:65-84)
   datagen    — deterministic synthetic `pages` table (input_hint shape)
   oracle     — pure-Python single-process reference oracle (envelope + counts)
-  operators/ — parse (hot path), grok, enrich, route, wire, asof, dedup,
+  operators/ — parse (hot path), grok, enrich, route, wire, transport,
+               asof, rangejoin, dedup (incl. clustering/contamination),
                similarity, textstats, multimodal
   sources/   — batch/streaming pages reader, testdata tables, lookups
   functions/ — stable column-kernel API (ts_string, jvm_json_quote, ...)
-  plans/     — pipeline assembly (the DAG), ledger/resume protocol
-  streaming/ — Structured Streaming variant (foreachBatch reuse of batch DAG)
+  plans/     — pipeline assembly (the DAG), ledger/resume protocol,
+               capability-gated Iceberg sink
+  streaming/ — Structured Streaming variant (foreachBatch reuse of batch
+               DAG), incremental cross-batch MinHash dedup, adopt
+               (process-output source), gated Kafka sink
 """
 
 __version__ = "0.1.0"

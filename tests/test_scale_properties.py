@@ -254,3 +254,14 @@ def test_sketch_surface_tracks_exact(spark):
     ).collect()[0]
     assert abs(row["approx_p"] - row["exact_p"]) <= 0.02 * abs(row["exact_p"])
     assert abs(row["approx_d"] - row["exact_d"]) <= 0.05 * row["exact_d"]
+
+
+def test_vocab_topk_plans_as_take_ordered(spark):
+    """vocab_topk must plan the limit as TakeOrderedAndProject (distributed
+    per-partition top-k), never a global sort of the vocabulary."""
+    from logport_spark.operators.dedup import vocab_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (vocab_topk(docs.select("text"), k=50)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan

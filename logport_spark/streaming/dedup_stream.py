@@ -128,7 +128,9 @@ def run_stream_minhash_dedup(
         kept = docs.join(drops, "doc_id", "left_anti")
         sig = doc_signatures(kept).persist()
         # 2. cross-batch candidates vs persisted bands, estimated-J verify
-        state_bands = _read_state(sp, bands_dir, "band long, key long, doc_id long")
+        # band is posexplode's pos column — IntegerType on disk; declare it
+        # so the read never depends on parquet type widening
+        state_bands = _read_state(sp, bands_dir, "band int, key long, doc_id long")
         state_sigs = _read_state(sp, sigs_dir, "doc_id long, sig array<long>")
         cands = (
             band_rows(sig).alias("n")

@@ -66,7 +66,7 @@ def scaled_buckets(n_rows: int, max_rows_per_stream: int = MAX_ROWS_PER_STREAM,
 
 LEDGER_SCHEMA = (
     "run_id string, bucket int, rows_routed long, bytes_shipped long, "
-    "parse_failures long, status string, commit_seq long"
+    "parse_failures long, status string, commit_seq long, input_fp long"
 )
 
 
@@ -128,6 +128,19 @@ def remaining_pages(
     return with_bucket(pages, n_buckets).join(F.broadcast(done), "bucket", "left_anti")
 
 
+def input_fingerprints(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """Per-bucket input fingerprint: sum(crc32(url)) + count — commutative,
+    so any partitioning/order of the same url set yields the same value.
+    One column-pruned aggregation over the input; the lineage half of the
+    ledger (the north rule's per-partition lineage + metrics)."""
+    return (
+        with_bucket(pages.select("url"), n_buckets)
+        .groupBy("bucket")
+        .agg((F.coalesce(F.sum(F.crc32(F.col("url").cast("binary"))), F.lit(0))
+              + F.count(F.lit(1))).alias("input_fp"))
+    )
+
+
 def _write_sinks(routed: DataFrame, out_dir: str) -> None:
     """Idempotent fan-out write: dynamic overwrite of (bucket, sink) dirs.
 
@@ -159,14 +172,32 @@ def run_with_ledger(
 
     Contract: an ``out_dir`` binds to ONE fixed input snapshot. Every bucket
     a run is responsible for gets a committed ledger row — including buckets
-    that held zero pages — so crash-resume over the same input converges. If
-    new pages later land in a bucket that was empty during an earlier run
-    against the same ``out_dir``, ``remaining_pages`` will (correctly, per
-    this contract) skip them: use a fresh ``out_dir`` per input snapshot, or
-    key commits on (bucket, input fingerprint) if incremental input is ever
-    needed. Mirrors the reference's one-undelivered_log-per-watched-file
-    binding (/root/reference/src/LogPort.cc watch table semantics)."""
-    done = {r.bucket for r in committed_buckets(spark, out_dir).collect()}
+    that held zero pages — so crash-resume over the same input converges.
+    The contract is ENFORCED, not just documented (ADVICE r2): each commit
+    stores the bucket's input fingerprint, and a later run whose input
+    differs inside any committed bucket raises instead of silently skipping
+    the new pages — use a fresh ``out_dir`` per input snapshot. Legacy
+    ledgers without fingerprints (NULL) skip the check. Mirrors the
+    reference's one-undelivered_log-per-watched-file binding
+    (/root/reference/src/LogPort.cc watch table semantics)."""
+    led = read_ledger(spark, out_dir).filter(F.col("status") == "committed")
+    stored_fp: dict[int, int | None] = {}
+    for r in led.select("bucket", "input_fp", "commit_seq").collect():
+        stored_fp[r["bucket"]] = r["input_fp"]
+    done = set(stored_fp)
+    cur_fp = {r["bucket"]: r["input_fp"]
+              for r in input_fingerprints(pages, n_buckets).collect()}
+    drifted = sorted(
+        b for b, fp in stored_fp.items()
+        if fp is not None and cur_fp.get(b, 0) != fp
+    )
+    if drifted:
+        raise ValueError(
+            f"input drift in committed buckets {drifted[:10]}"
+            f"{'...' if len(drifted) > 10 else ''}: this out_dir is bound to "
+            "a fixed input snapshot (ledger-resume contract); pages changed "
+            "inside already-committed buckets and would be silently skipped "
+            "— use a fresh out_dir for the new snapshot")
     todo = remaining_pages(spark, pages, out_dir, n_buckets)
     if only_buckets is not None:
         todo = todo.filter(F.col("bucket").isin(only_buckets))
@@ -204,7 +235,7 @@ def run_with_ledger(
           stats_rows[b]["rows_routed"] if b in stats_rows else 0,
           stats_rows[b]["bytes_shipped"] if b in stats_rows else 0,
           stats_rows[b]["parse_failures"] if b in stats_rows else 0,
-          "committed", seq) for b in universe],
+          "committed", seq, cur_fp.get(b, 0)) for b in universe],
         LEDGER_SCHEMA,
     )
     ledger_rows.coalesce(1).write.mode("append").parquet(ledger_path(out_dir))

@@ -109,3 +109,26 @@ def test_quarantine_replay(spark, pages_small):
     first = routed.filter(F.col("parse_fail")).select("url", "line_no", "record")
     again = df.select("url", "line_no", "record")
     assert again.exceptAll(first).count() == 0
+
+
+def test_resume_raises_on_input_drift(spark, tmp_path):
+    """The fixed-input-snapshot contract is enforced: pages landing in an
+    already-committed bucket on a later run raise instead of being silently
+    skipped (ADVICE r2); unchanged input keeps resuming normally."""
+    import pandas as pd
+    import pytest
+
+    from logport_spark import datagen
+    from logport_spark.plans.ledger import run_with_ledger
+
+    out = str(tmp_path / "drift_out")
+    base = spark.createDataFrame(
+        pd.DataFrame(datagen.gen_docs(range(80))), schema=datagen.PAGES_DDL)
+    run_with_ledger(spark, base, out, run_id="r1")
+    # same snapshot: resume is a no-op, no raise
+    run_with_ledger(spark, base, out, run_id="r2")
+    # grown snapshot: new pages land in committed buckets -> loud failure
+    grown = spark.createDataFrame(
+        pd.DataFrame(datagen.gen_docs(range(90))), schema=datagen.PAGES_DDL)
+    with pytest.raises(ValueError, match="input drift"):
+        run_with_ledger(spark, grown, out, run_id="r3")

@@ -481,6 +481,20 @@ def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_docs(spark, sf_dir).select("text"), k=100)
 
 
+SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-lang hash sampling (operators/sampling.py): keep
+    50% en, 25% de, 10% other — the reproducible training-mix primitive;
+    the oracle recomputes the md5 bucket digit-by-digit."""
+    from logport_spark.operators.sampling import sample_bucket, stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(docs, SAMPLE_RATES, default_rate=0.10).select(
+        "doc_id", "lang", sample_bucket().cast("int").alias("sample_bucket"))
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters (dedup.py:connected_components): MinHash
     near-dup pairs closed under A~B,B~C — min-label propagation with pointer
@@ -857,6 +871,7 @@ def baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_scan": _contamination_scan,  # train/test n-gram overlap
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
+        "stratified_sample": _stratified_sample,  # reproducible training mix
     }
 
 
@@ -1908,4 +1923,19 @@ def baseline_oracle_sql() -> dict[str, str]:
             WHERE rank <= 100
         """,
         "corpus_clean_v2": _corpus_clean_v2_sql(),
+        # md5-prefix bucket recomputed digit-by-digit (no conv() in DuckDB);
+        # coefficients are exact integer literals
+        "stratified_sample": (lambda coefs: f"""
+            WITH b AS (
+              SELECT doc_id, lang,
+                     CAST(({' + '.join(
+                         f"(strpos('0123456789abcdef', substr(md5('s42' || CAST(doc_id AS VARCHAR)), {j + 1}, 1)) - 1) * {c}"
+                         for j, c in enumerate(coefs))}) % 10000 AS BIGINT)
+                         AS sample_bucket
+              FROM documents)
+            SELECT doc_id, lang, CAST(sample_bucket AS INT) AS sample_bucket
+            FROM b
+            WHERE sample_bucket < CASE lang
+                WHEN 'de' THEN 2500 WHEN 'en' THEN 5000 ELSE 1000 END
+        """)([16 ** (7 - j) for j in range(8)]),
     }

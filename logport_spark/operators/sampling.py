@@ -1,0 +1,72 @@
+"""Deterministic sampling for training-data mixes.
+
+`df.sample()` is seed-dependent on partitioning (each partition draws its
+own stream), so the same corpus sampled on different cluster layouts yields
+different rows — useless for reproducible training mixes or A/B data
+ablations. Hash sampling fixes that: a row is kept iff
+md5(salt || key) mod 10000 < rate*10000 — a pure function of the ROW, so
+any partitioning, any cluster size, any engine selects the identical set
+(the SQL oracle reproduces it bit-for-bit; md5 rather than xxhash64
+because DuckDB has no xxhash). This is also how train/val/test splits stay
+disjoint and stable: disjoint bucket ranges of the same hash.
+
+Spark-first shape: one codegen'd expression per row — no shuffle, no
+Python, sampling composes with any downstream plan as a cheap Filter that
+Catalyst pushes around freely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_bucket(key_col: str = "doc_id", salt: str = "s42") -> Column:
+    """Deterministic bucket in [0, 10000) from md5(salt || key)."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+        F.lit(SAMPLE_BUCKETS),
+    )
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
+                salt: str = "s42") -> DataFrame:
+    """Keep ~rate of rows, deterministically (partition-independent)."""
+    return df.filter(sample_bucket(key_col, salt) < int(rate * SAMPLE_BUCKETS))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      default_rate: float = 0.0,
+                      strata_col: str = "lang",
+                      key_col: str = "doc_id",
+                      salt: str = "s42") -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix primitive
+    (e.g. keep 50% en, 25% de, 10% of everything else). The rate table is
+    a literal CASE expression (O(strata) branches, still pure codegen —
+    no join, no shuffle); swap for a broadcast join if strata are dynamic."""
+    thr = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    for s, r in sorted(rates.items()):
+        thr = F.when(F.col(strata_col) == s,
+                     F.lit(int(r * SAMPLE_BUCKETS))).otherwise(thr)
+    return df.filter(sample_bucket(key_col, salt) < thr)
+
+
+def train_val_test(df: DataFrame, val_frac: float = 0.01,
+                   test_frac: float = 0.01, key_col: str = "doc_id",
+                   salt: str = "split42") -> DataFrame:
+    """Disjoint, stable 3-way split: adds a `split` column from disjoint
+    bucket ranges of ONE hash — membership never changes as the corpus
+    grows (a doc's bucket is a pure function of its key), the property
+    random splits lack."""
+    b = sample_bucket(key_col, salt)
+    n_val = int(val_frac * SAMPLE_BUCKETS)
+    n_test = int(test_frac * SAMPLE_BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < n_val, F.lit("val"))
+         .when(b < n_val + n_test, F.lit("test"))
+         .otherwise(F.lit("train")),
+    )

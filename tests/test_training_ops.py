@@ -573,3 +573,31 @@ def test_connected_components_pointer_jump_accelerates(spark):
     got = connected_components(pairs, nodes, max_iter=15).collect()
     assert all(r["cluster_id"] == 1 for r in got)
     assert len(got) == n
+
+
+def test_hash_sampling_stable_and_disjoint(spark, docs):
+    """Hash sampling must be partition-independent (same rows at any
+    layout), strata rates must land near targets, and the 3-way split must
+    be disjoint, exhaustive, and stable under corpus growth."""
+    from logport_spark.operators.sampling import hash_sample, train_val_test
+
+    ids_1 = {r["doc_id"] for r in
+             hash_sample(docs.coalesce(1), 0.3).select("doc_id").collect()}
+    ids_8 = {r["doc_id"] for r in
+             hash_sample(docs.repartition(8), 0.3).select("doc_id").collect()}
+    assert ids_1 == ids_8                       # layout-independent
+    n = docs.count()
+    assert abs(len(ids_1) / n - 0.3) < 0.08     # near the target rate
+
+    split = train_val_test(docs, val_frac=0.1, test_frac=0.1)
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n            # exhaustive
+    # stability: membership of the first half is unchanged when the corpus grows
+    half = docs.filter(F.col("doc_id") < n / 2)
+    full_assign = {r["doc_id"]: r["split"] for r in
+                   split.select("doc_id", "split").collect()}
+    half_assign = {r["doc_id"]: r["split"] for r in
+                   train_val_test(half, 0.1, 0.1).select("doc_id", "split").collect()}
+    assert all(full_assign[k] == v for k, v in half_assign.items())

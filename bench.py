@@ -55,8 +55,10 @@ def _headline_queries():
         "lp_grok_summary", "lp_http_batches", "lp_resume_anti_join",
         "lp_observer_lines",
         "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
-        "embedding_lsh_pairs",
+        "embedding_lsh_pairs", "dedup_clusters",
         "text_quality", "doc_fingerprint", "doc_winnow",
+        "text_repetition", "pii_scrub", "contamination_scan",
+        "stratified_sample",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
         "mm_features", "corpus_clean", "asof_purchase_click",
         "events_distinct_stats",

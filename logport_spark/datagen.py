@@ -286,10 +286,12 @@ DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
 EMB_DDL = "vec_id long, embedding array<float>, label int"
 
 
-def ensure_documents(n_docs: int, spark) -> str:
+def ensure_documents(n_docs: int, spark, embeddings: bool = True) -> str:
     """Generate (once) an sf-dir-shaped directory holding documents.parquet
-    and embeddings.parquet at `n_docs` rows each; return its path. The
-    __spark_entry__ query functions accept it directly as `sf_dir`."""
+    (and embeddings.parquet unless embeddings=False — the 5M+ text-op
+    ladder points skip the 64-float vectors) at `n_docs` rows each; return
+    its path. The __spark_entry__ query functions accept it directly as
+    `sf_dir`."""
     import pandas as pd
 
     root = os.path.join(DATA_DIR, f"docs_{n_docs}")
@@ -307,8 +309,9 @@ def ensure_documents(n_docs: int, spark) -> str:
 
     (spark.range(0, n_docs, numPartitions=parts).mapInPandas(doc_batches, DOCS_DDL)
         .write.mode("overwrite").parquet(os.path.join(root, "documents.parquet")))
-    (spark.range(0, n_docs, numPartitions=parts).mapInPandas(emb_batches, EMB_DDL)
-        .write.mode("overwrite").parquet(os.path.join(root, "embeddings.parquet")))
+    if embeddings:
+        (spark.range(0, n_docs, numPartitions=parts).mapInPandas(emb_batches, EMB_DDL)
+            .write.mode("overwrite").parquet(os.path.join(root, "embeddings.parquet")))
     open(os.path.join(root, "_SUCCESS"), "w").close()
     return root
 

@@ -495,6 +495,14 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", sample_bucket().cast("int").alias("sample_bucket"))
 
 
+def _lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filter stand-in (textstats.py:unigram_logprob): mean
+    -log2 p(token) under the corpus's own unigram distribution."""
+    from logport_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters (dedup.py:connected_components): MinHash
     near-dup pairs closed under A~B,B~C — min-label propagation with pointer
@@ -872,6 +880,7 @@ def baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
         "stratified_sample": _stratified_sample,  # reproducible training mix
+        "lm_bits": _lm_bits,  # unigram bits/token (CCNet LM-filter stand-in)
     }
 
 
@@ -1923,6 +1932,20 @@ def baseline_oracle_sql() -> dict[str, str]:
             WHERE rank <= 100
         """,
         "corpus_clean_v2": _corpus_clean_v2_sql(),
+        "lm_bits": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS tok
+              FROM documents),
+            tk AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+            vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+            tot AS (SELECT sum(c) AS n FROM vocab),
+            lp AS (SELECT tok, log2(c * 1.0 / n) AS lp FROM vocab, tot)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_scored,
+                   round(avg(-lp), 4) AS bits_per_token
+            FROM tk JOIN lp USING (tok)
+            GROUP BY doc_id
+        """,
         # md5-prefix bucket recomputed digit-by-digit (no conv() in DuckDB);
         # coefficients are exact integer literals
         "stratified_sample": (lambda coefs: f"""

@@ -242,6 +242,40 @@ def repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """LM-based quality scoring (the CCNet/Gopher perplexity filter), with a
+    deterministic self-trained stand-in: per-doc mean -log2 p(token) under
+    the corpus's own unigram distribution. Documents full of corpus-typical
+    tokens score low bits/token; rare-token soup scores high — the same
+    decision axis a KenLM 5-gram provides, oracle-able exactly.
+
+    Production swap (same column contract, same gate pattern as
+    lang_id_model): score with a pretrained KenLM inside a vectorized
+    pandas UDF; `bits_per_token` keeps its meaning and the downstream
+    threshold just retunes.
+
+    Plan shape: one explode + count per token (partial agg), one shuffle
+    join tokens→logp keyed on the token, one per-doc mean — all linear; the
+    vocabulary count table is corpus-bounded, never collected."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.log2(F.col("c") / F.col("n")).alias("lp"))
+    return (
+        toks.join(logp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.avg(-F.col("lp")), 4).alias("bits_per_token"),
+        )
+    )
+
+
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 PII_CARD = "\\b[0-9]{13,16}\\b"

@@ -43,7 +43,7 @@ def test_baselines_match_oracles(spark, duck):
         "dedup_ngram_pairs", "dedup_simhash", "dedup_embedding_pairs",
         "ann_topk", "text_repetition", "pii_scrub",
         "contamination_scan", "vocab_topk", "corpus_clean_v2",
-        "stratified_sample",
+        "stratified_sample", "lm_bits",
     }
     for name, fn in qs.items():
         scols, srows, slists = canon_pandas(fn(spark, SF_DIR).toPandas())

@@ -601,3 +601,23 @@ def test_hash_sampling_stable_and_disjoint(spark, docs):
     half_assign = {r["doc_id"]: r["split"] for r in
                    train_val_test(half, 0.1, 0.1).select("doc_id", "split").collect()}
     assert all(full_assign[k] == v for k, v in half_assign.items())
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """bits/token on a 3-doc corpus, checked against hand arithmetic: doc 2
+    (all common tokens) must score strictly fewer bits than doc 3 (rare)."""
+    import math
+
+    from logport_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a a"), (3, "z")],
+        "doc_id long, text string")
+    # corpus tokens: a x5, b x1, z x1 -> n=7
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    lp_a, lp_b, lp_z = (math.log2(5 / 7), math.log2(1 / 7), math.log2(1 / 7))
+    assert got[1]["bits_per_token"] == round(-(2 * lp_a + lp_b) / 3, 4)
+    assert got[2]["bits_per_token"] == round(-lp_a, 4)
+    assert got[3]["bits_per_token"] == round(-lp_z, 4)
+    assert got[2]["bits_per_token"] < got[3]["bits_per_token"]
+    assert got[1]["n_scored"] == 3

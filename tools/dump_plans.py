@@ -86,6 +86,12 @@ ANNOTATED = {
         "test shingles LeftSemi-join on h64, then a per-doc count. One "
         "shuffle keyed on the hash; the train side never rejoins."
     ),
+    "lm_bits": (
+        "Unigram LM scoring: explode → partial-agg vocabulary → the "
+        "corpus-total via a BroadcastNestedLoopJoin of ONE row (the scalar "
+        "total) → token-keyed join back → per-doc mean. Vocabulary stays "
+        "distributed; the only broadcast is the single-row total."
+    ),
 }
 
 

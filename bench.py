@@ -251,7 +251,7 @@ def dedup_scale_run() -> dict:
     qs["contamination_scan"] = _contamination
     names = ["dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
              "embedding_lsh_pairs", "ann_ivf_topk", "doc_winnow",
-             "corpus_clean", "contamination_scan"]
+             "corpus_clean", "contamination_scan", "lm_bits"]
     sizes = [5_000, 50_000, 500_000]
     spark = get_spark("bench_dedup_scale", cpus=CPUS,
                       shuffle_partitions=max(CPUS, 8))

@@ -115,6 +115,17 @@ def lsh_band_params(n_vecs: int, threshold: float = 0.9,
     at the cap the achieved capture falls out of the same formula and rises
     steeply with cosine — e.g. n=500k, cos 0.90 → (64, 19) at capture ~0.97,
     cos 0.95 → capture ~0.999.
+
+    CORRELATED CORPORA: this sizing assumes non-neighbors agree on sign
+    bits at p≈0.5. A corpus with strong cluster structure agrees higher
+    (measured p≈0.535 on the 16-cluster bench corpus), and the background
+    candidate mass scales as (p_bg/0.5)^bits × the random estimate — at 5M
+    vectors the default sizing shuffled >80 GB of candidate-joined vectors
+    before aborting (BENCH/BASELINE.md). There, size bits so
+    p_bg^bits × L × n_pairs_correlated stays O(n), and pick L from the
+    capture formula at the cosine your near-dups ACTUALLY sit at: (8, 28)
+    ran 5M vectors in 76 s with measured capture within a point of the
+    formula's prediction.
     """
     import math
 

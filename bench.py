@@ -205,7 +205,7 @@ def dedup_scale_run() -> dict:
     from logport_spark import datagen
     from logport_spark.session import get_spark
 
-    qs = dict(em.queries())
+    qs = {**em.queries(), **getattr(em, 'baseline_queries', dict)()}
 
     def _emb_lsh(spark, sf_dir):
         # threshold 0.9 here (vs the contract query's 0.44): the synthetic

@@ -37,18 +37,29 @@ Reference tie-in: logport's undelivered_log replays WHOLE lines after a
 crash (src/Watch.cc:180-200) — at-least-once delivery that *creates*
 duplicates; this operator is the corpus-scale consumer-side repair.
 
-SCALE NOTE — the per-batch state join: every micro-batch shuffle-joins its
-band rows against the FULL state/bands table; there is no partition
-pruning on (band, key) because parquet partitioning is by batch_id (the
-idempotence key). That is the known cost of incremental LSH without an
-index — per-batch work is linear in state size, fine while
-batch_rate × state_scan_cost fits the trigger interval. Past that, the
-documented upgrades (no code-shape change, same join): (a) state/bands in
-an Iceberg table sorted on (band, key) → data-skipping prunes row groups
-to the batch's key range; (b) bucketed state table on `key` → co-located
-join, no state-side shuffle; (c) compact state periodically (drop band
-rows of docs later superseded). The signature table is only touched for
-candidate ids (semi-joined), so it never bounds the batch.
+SCALE NOTE — the per-batch state join: state/bands is partitioned by
+(batch_id, kb) where kb = pmod(key, n_state_buckets); each micro-batch
+collects its (bounded, ≤ n_state_buckets) distinct kb values and filters
+the state scan with a literal IN, so the band join reads only the key
+buckets the batch can actually hit — a small batch against month-deep
+state touches batch_kb/n_state_buckets of the band files instead of all
+of them (pytest asserts this via inputFiles). Remaining upgrades at
+Iceberg scale: sort state within kb on (band, key) for row-group
+skipping, or a bucketed table for a shuffle-free state side. The
+signature table is only touched for candidate ids (semi-joined), so it
+never bounds the batch. `compact_dedup_state` merges the per-batch
+partitions into one batch_id=-1 generation so state file count stays
+bounded over a long-lived stream.
+
+CRASH-REPLAY CONTRACT — a replayed micro-batch must NOT see the state it
+wrote before the crash: its own (sig, band) rows would self-match every
+kept doc at estimated J = 1.0 and the dynamic overwrite would replace
+clean/ with an empty partition (silent loss of the whole batch). State
+reads therefore keep batch_id and filter batch_id != current — a
+partition-level prune, so the replayed batch's own directories are never
+even scanned — making process() idempotent: same input + same prior
+state ⇒ same output, which is exactly what dynamic partition overwrite
+needs. Pinned by test_stream_minhash_dedup_crash_replay_is_lossless.
 """
 
 from __future__ import annotations
@@ -94,13 +105,30 @@ def estimated_jaccard(s1: str, s2: str):
     )
 
 
-def _read_state(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+def _read_state(spark: SparkSession, path: str, ddl: str,
+                exclude_batch: int) -> DataFrame:
+    """Read a state table, pruning the excluded batch's partitions at scan
+    level (the crash-replay contract — module docstring)."""
     from ..plans.ledger import _dir_exists
 
     if not _dir_exists(spark, path):
         return spark.createDataFrame([], ddl)
-    return spark.read.schema(
-        ddl + ", batch_id long").parquet(path).drop("batch_id")
+    return (spark.read.schema(ddl + ", batch_id long").parquet(path)
+            .filter(F.col("batch_id") != F.lit(exclude_batch))
+            .drop("batch_id"))
+
+
+def _pruned_state_bands(spark: SparkSession, bands_dir: str,
+                        exclude_batch: int, kbs: list) -> DataFrame:
+    """Band state scan pruned to the key buckets a batch can hit, with the
+    replaying batch's own partitions excluded. Both filters are literal
+    predicates on partition columns, so they prune directories, not rows."""
+    # band is posexplode's pos column — IntegerType on disk; declare it
+    # so the read never depends on parquet type widening
+    return _read_state(
+        spark, bands_dir, "band int, key long, doc_id long, kb int",
+        exclude_batch,
+    ).filter(F.col("kb").isin(kbs)).drop("kb")
 
 
 def run_stream_minhash_dedup(
@@ -111,6 +139,7 @@ def run_stream_minhash_dedup(
     threshold: float = 0.8,
     est_threshold: float = 0.7,
     max_files: int = 1,
+    n_state_buckets: int = 32,
 ) -> None:
     """Continuous corpus ingestion with in-batch exact and cross-batch
     estimated near-dup removal (module docstring). Drains available files
@@ -128,12 +157,15 @@ def run_stream_minhash_dedup(
         kept = docs.join(drops, "doc_id", "left_anti")
         sig = doc_signatures(kept).persist()
         # 2. cross-batch candidates vs persisted bands, estimated-J verify
-        # band is posexplode's pos column — IntegerType on disk; declare it
-        # so the read never depends on parquet type widening
-        state_bands = _read_state(sp, bands_dir, "band int, key long, doc_id long")
-        state_sigs = _read_state(sp, sigs_dir, "doc_id long, sig array<long>")
+        batch_bands = band_rows(sig).withColumn(
+            "kb", F.pmod(F.col("key"), F.lit(n_state_buckets)).cast("int"))
+        # bounded collect: ≤ n_state_buckets values, drives partition pruning
+        kbs = [r["kb"] for r in batch_bands.select("kb").distinct().collect()]
+        state_bands = _pruned_state_bands(sp, bands_dir, batch_id, kbs)
+        state_sigs = _read_state(
+            sp, sigs_dir, "doc_id long, sig array<long>", batch_id)
         cands = (
-            band_rows(sig).alias("n")
+            batch_bands.drop("kb").alias("n")
             .join(state_bands.alias("o"), ["band", "key"])
             .select(F.col("n.doc_id").alias("new_id"),
                     F.col("o.doc_id").alias("old_id"))
@@ -152,15 +184,17 @@ def run_stream_minhash_dedup(
         final = kept.join(cross_drops, "doc_id", "left_anti")
         final_sig = sig.join(cross_drops, "doc_id", "left_anti")
 
-        def _write(df: DataFrame, path: str) -> None:
+        def _write(df: DataFrame, path: str, *parts: str) -> None:
             (df.withColumn("batch_id", F.lit(batch_id).cast("long"))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("batch_id").parquet(path))
+             .partitionBy("batch_id", *parts).parquet(path))
 
         _write(final, clean_dir)
         _write(final_sig, sigs_dir)
-        _write(band_rows(final_sig), bands_dir)
+        final_bands = band_rows(final_sig).withColumn(
+            "kb", F.pmod(F.col("key"), F.lit(n_state_buckets)).cast("int"))
+        _write(final_bands, bands_dir, "kb")
         sig.unpersist()
         docs.unpersist()
 
@@ -176,3 +210,52 @@ def run_stream_minhash_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def _fs_swap(spark: SparkSession, tmp: str, dst: str) -> None:
+    """Replace `dst` with `tmp` via the Hadoop FileSystem API (works on any
+    supported store, not just local disk)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(dst).getFileSystem(conf)
+    fs.delete(hpath(dst), True)
+    if not fs.rename(hpath(tmp), hpath(dst)):
+        raise IOError(f"rename {tmp} -> {dst} failed")
+
+
+def compact_dedup_state(spark: SparkSession, out_dir: str,
+                        sig_files: int = 8) -> None:
+    """Offline state maintenance: merge every batch_id partition into one
+    compacted batch_id=-1 generation, so state file count stays bounded
+    over a long-lived stream (thousands of micro-batches → thousands of
+    tiny partitions otherwise). Bands keep their kb sub-partitioning (one
+    file per key bucket — the pruning contract is unchanged); sigs coalesce
+    to `sig_files`. Run with the stream stopped.
+
+    Crash safety: the new generation is written to a sibling `.compact`
+    dir and swapped in with delete+rename. If the swap itself dies between
+    the two operations, state is rebuildable — it is a pure function of
+    clean/ (signatures + band rows of the kept docs), no information lives
+    only in state/."""
+    sigs_dir = out_dir.rstrip("/") + "/state/sigs"
+    bands_dir = out_dir.rstrip("/") + "/state/bands"
+
+    bands = (spark.read
+             .schema("band int, key long, doc_id long, kb int, batch_id long")
+             .parquet(bands_dir)
+             .drop("batch_id").withColumn("batch_id", F.lit(-1).cast("long")))
+    (bands.repartition("kb")
+     .write.mode("overwrite").partitionBy("batch_id", "kb")
+     .parquet(bands_dir + ".compact"))
+
+    sigs = (spark.read
+            .schema("doc_id long, sig array<long>, batch_id long")
+            .parquet(sigs_dir)
+            .drop("batch_id").withColumn("batch_id", F.lit(-1).cast("long")))
+    (sigs.repartition(sig_files)
+     .write.mode("overwrite").partitionBy("batch_id")
+     .parquet(sigs_dir + ".compact"))
+
+    _fs_swap(spark, bands_dir + ".compact", bands_dir)
+    _fs_swap(spark, sigs_dir + ".compact", sigs_dir)

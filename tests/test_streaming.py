@@ -259,6 +259,151 @@ def test_stream_minhash_dedup_drops_cross_batch_neardups(spark, tmp_path_factory
     assert clean2 == clean
 
 
+_DEDUP_BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+               "juliet kilo lima mike november oscar papa quebec romeo "
+               "sierra tango")
+_DEDUP_UNIQ = ("zulu yankee xray whiskey victor uniform tango sierra romeo "
+               "quebec papa oscar november mike lima kilo juliet india "
+               "hotel golf")
+
+
+def _write_docs(d, name, rows):
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        f"{d}/{name}.parquet", index=False)
+
+
+def test_stream_minhash_dedup_crash_replay_is_lossless(spark, tmp_path_factory):
+    """A crash between state write and checkpoint commit replays the batch
+    against state that already contains the batch's OWN rows. Pre-fix, every
+    kept doc self-matched at estimated J=1.0 and the dynamic overwrite
+    replaced clean/ with an empty partition — silent loss of the whole
+    batch. The state read must exclude the current batch_id."""
+    import os
+
+    from logport_spark.streaming.dedup_stream import run_stream_minhash_dedup
+
+    d = str(tmp_path_factory.mktemp("docs_replay"))
+    out = str(tmp_path_factory.mktemp("dedup_replay_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_replay_ckpt"))
+    _write_docs(d, "b1", [(0, _DEDUP_BASE), (2, _DEDUP_UNIQ)])
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+    clean1 = {r["doc_id"] for r in
+              spark.read.parquet(out + "/clean").select("doc_id").collect()}
+    assert clean1 == {0, 2}
+
+    # simulate the crash: batch 0's state/clean partitions are on disk but
+    # its commit marker is not → availableNow re-executes batch 0
+    os.remove(ckpt + "/commits/0")
+    crc = ckpt + "/commits/.0.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+    clean2 = {r["doc_id"] for r in
+              spark.read.parquet(out + "/clean").select("doc_id").collect()}
+    assert clean2 == {0, 2}, f"replay lost docs: {clean2}"
+    sig_ids = {r["doc_id"] for r in
+               spark.read.parquet(out + "/state/sigs").select("doc_id").collect()}
+    assert sig_ids == {0, 2}
+
+
+def test_stream_dedup_state_scan_prunes_key_buckets(spark, tmp_path_factory):
+    """The band-state scan must touch only (a) batches other than the one
+    being (re)processed and (b) the kb key buckets the batch's own band keys
+    hash into — both are literal partition predicates, checked via
+    inputFiles on the exact DataFrame process() joins against."""
+    from logport_spark.streaming.dedup_stream import (
+        _pruned_state_bands,
+        band_rows,
+        doc_signatures,
+        run_stream_minhash_dedup,
+    )
+
+    d = str(tmp_path_factory.mktemp("docs_prune"))
+    out = str(tmp_path_factory.mktemp("dedup_prune_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_prune_ckpt"))
+    n_kb = 64
+    _write_docs(d, "b1", [(0, _DEDUP_BASE), (2, _DEDUP_UNIQ)])
+    _write_docs(d, "b2", [(5, " ".join(reversed(_DEDUP_UNIQ.split())) + " tail")])
+    run_stream_minhash_dedup(spark, d, out, ckpt, n_state_buckets=n_kb)
+
+    # one-doc hypothetical next batch → ≤16 band keys → ≤16 of 64 buckets
+    probe = spark.createDataFrame(
+        [(99, _DEDUP_BASE + " probe")], "doc_id long, text string")
+    bands = band_rows(doc_signatures(probe)).withColumn(
+        "kb", F.pmod(F.col("key"), F.lit(n_kb)).cast("int"))
+    kbs = sorted({r["kb"] for r in bands.select("kb").distinct().collect()})
+    assert len(kbs) <= 16 < n_kb
+
+    def files_read(df):
+        """numFiles of the executed plan's parquet scan — the files the
+        query ACTUALLY opened (inputFiles() ignores partition pruning)."""
+        df.collect()
+
+        def leaves(p):
+            ch = p.children()
+            if ch.size() == 0:
+                return [p]
+            got = []
+            for i in range(ch.size()):
+                got += leaves(ch.apply(i))
+            return got
+
+        return sum(
+            leaf.metrics().apply("numFiles").value()
+            for leaf in leaves(df._jdf.queryExecution().executedPlan())
+            if "Scan" in leaf.nodeName())
+
+    pruned = _pruned_state_bands(spark, out + "/state/bands",
+                                 exclude_batch=1, kbs=kbs)
+    n_pruned = files_read(pruned)
+    n_full = files_read(spark.read.parquet(out + "/state/bands"))
+    assert 0 < n_pruned < n_full, (n_pruned, n_full)
+    # excluding the replaying batch alone (no kb prune) must also shrink it:
+    # both predicates are partition-level, directories never opened
+    n_no_batch1 = files_read(_pruned_state_bands(
+        spark, out + "/state/bands", exclude_batch=1, kbs=list(range(n_kb))))
+    assert n_no_batch1 < n_full
+
+
+def test_compact_dedup_state_preserves_drops_and_bounds_files(
+        spark, tmp_path_factory):
+    """compact_dedup_state merges batch partitions into one batch_id=-1
+    generation: file count bounded, and a post-compaction batch still drops
+    a near-dup of a pre-compaction doc (state semantics unchanged)."""
+    import glob
+
+    from logport_spark.streaming.dedup_stream import (
+        compact_dedup_state,
+        run_stream_minhash_dedup,
+    )
+
+    d = str(tmp_path_factory.mktemp("docs_compact"))
+    out = str(tmp_path_factory.mktemp("dedup_compact_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_compact_ckpt"))
+    _write_docs(d, "b1", [(0, _DEDUP_BASE), (2, _DEDUP_UNIQ)])
+    _write_docs(d, "b2", [(5, " ".join(reversed(_DEDUP_UNIQ.split())) + " tail")])
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+
+    compact_dedup_state(spark, out, sig_files=2)
+    band_files = glob.glob(out + "/state/bands/**/*.parquet", recursive=True)
+    sig_files = glob.glob(out + "/state/sigs/**/*.parquet", recursive=True)
+    assert all("batch_id=-1" in f for f in band_files + sig_files)
+    assert len(sig_files) <= 2
+    # one file per key bucket present
+    kb_dirs = {f.split("kb=")[1].split("/")[0] for f in band_files}
+    assert len(band_files) == len(kb_dirs)
+
+    # batch 3 after compaction: near-dup of batch-1 doc 0 must still drop
+    _write_docs(d, "b3", [(10, _DEDUP_BASE + " extra"),
+                          (11, "totally different words " * 5)])
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+    clean = {r["doc_id"] for r in
+             spark.read.parquet(out + "/clean").select("doc_id").collect()}
+    assert clean == {0, 2, 5, 11}, clean
+
+
 def test_adopt_socket_source_ships_identical_records(spark, tmp_path_factory):
     """S5 adopt (streaming/adopt.py): lines piped over a socket must ship
     byte-identical to the same lines fed through the batch envelope path —

@@ -797,7 +797,8 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The original 50-slot contract set (pre-rotation; see queries())."""
     return {
         "lp_parse_lines": _lp_parse_lines,
         "lp_enrich": _lp_enrich,
@@ -852,23 +853,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Correctness baselines kept OUTSIDE the driver's 50-query contract.
-
-    The driver samples at most 50 entries of ``queries()`` (round 2 graded
-    exactly the first 50 of 53 registered, cutting the mm trio). These three
-    are exhaustive small-input baselines whose value semantics are already
-    enforced by their scale-path twins inside the contract —
-    ``dedup_ngram_pairs`` shares its oracle verbatim with
-    ``dedup_minhash_pairs``, ``dedup_embedding_pairs`` produces the same pair
-    set as ``embedding_lsh_pairs``, and ``ann_topk`` is the brute-force
-    reference that ``ann_lsh_topk``/``ann_ivf_topk`` are measured against.
-    They stay fully value-oracled here: ``tools/driver_sim.py`` merges this
-    dict into its run, and ``tests/test_baseline_oracles.py`` gates them in
-    pytest. The same escape hatch carries operators ADDED after the contract
-    filled its 50 slots (text_repetition, pii_scrub) — identical oracle
-    rigor, just graded via pytest instead of a driver row.
-    """
+def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry of value-oracled operators added after the 50-slot contract
+    filled (pre-rotation; see baseline_queries())."""
     return {
         "dedup_ngram_pairs": _dedup_ngram_pairs,  # all-pairs shingle join; scale path is dedup_minhash_pairs
         "dedup_simhash": _dedup_simhash,  # signature table; the contract row is dedup_simhash_pairs (recomputes it)
@@ -882,6 +869,58 @@ def baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample,  # reproducible training mix
         "lm_bits": _lm_bits,  # unigram bits/token (CCNet LM-filter stand-in)
     }
+
+
+# The driver grades at most 50 ``queries()`` entries. Round 4 rotates the
+# LLM-curation operators (the brief's headline work) INTO the graded
+# contract and moves OUT rows whose operator family keeps a stronger graded
+# representative. Nothing loses oracle rigor: rotated-out queries join
+# ``baseline_queries()``, which tools/driver_sim.py merges into its run and
+# tests/test_baseline_oracles.py value-checks in pytest.
+_ROTATE_IN = [
+    "contamination_scan",   # train/test n-gram overlap — no family twin
+    "corpus_clean_v2",      # full Gopher-rule pass (supersedes text_quality)
+    "lm_bits",              # unigram LM filter — no family twin
+    "vocab_topk",           # corpus vocabulary — no family twin
+    "text_repetition",      # Gopher repetition signals — no family twin
+    "pii_scrub",            # PII redaction — no family twin
+    "stratified_sample",    # deterministic sampling/splits — no family twin
+]
+_ROTATE_OUT = [
+    "dedup_exact",          # family graded via dedup_clusters (same DAG+)
+    "lp_grok_access",       # family graded via lp_grok_summary
+    "doc_fingerprint",      # family graded via doc_winnow
+    "mm_resize",            # same decode-oracle family as mm_features
+    "mm_frames",            # same decode-oracle family as mm_features
+    "q14_promo_revenue",    # join shape graded via q3/q5/q17
+    "text_quality",         # every gate graded inside corpus_clean_v2
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver-graded 50-query contract (registry minus rotated-out rows
+    plus the rotated-in curation operators)."""
+    base = _query_registry()
+    extra = _baseline_registry()
+    out = {k: v for k, v in base.items() if k not in _ROTATE_OUT}
+    out.update({k: extra[k] for k in _ROTATE_IN})
+    assert len(out) == 50, len(out)
+    return out
+
+
+def baseline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Value-oracled operators outside the driver's 50-query contract:
+    exhaustive small-input baselines whose scale-path twins are graded
+    (``dedup_ngram_pairs`` / ``dedup_embedding_pairs`` / ``ann_topk`` /
+    ``dedup_simhash``) plus the rows rotated out in favor of the curation
+    operators. All stay fully value-checked — ``tools/driver_sim.py``
+    merges this dict into its run and ``tests/test_baseline_oracles.py``
+    gates them in pytest; only the driver row moved."""
+    base = _query_registry()
+    extra = _baseline_registry()
+    out = {k: v for k, v in extra.items() if k not in _ROTATE_IN}
+    out.update({k: base[k] for k in _ROTATE_OUT})
+    return out
 
 
 # ------------------------------------------------------------- oracle SQL --
@@ -1399,7 +1438,7 @@ def _mm_frames_sql() -> str:
     """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_registry() -> dict[str, str]:
     return {
         "lp_parse_lines": _LINES_CTE + "SELECT url, line_no, line FROM lines",
         "lp_enrich": f"""
@@ -1812,9 +1851,7 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def baseline_oracle_sql() -> dict[str, str]:
-    """Value oracles for :func:`baseline_queries` (same DuckDB dialect/views
-    as :func:`oracle_sql`; consumed by driver_sim and pytest, not the driver)."""
+def _baseline_oracle_registry() -> dict[str, str]:
     return {
         "dedup_ngram_pairs": _JACCARD_PAIRS_SQL,
         "dedup_simhash": _SIMHASH_CTE + "SELECT doc_id, simhash FROM sig",
@@ -1962,3 +1999,23 @@ def baseline_oracle_sql() -> dict[str, str]:
                 WHEN 'de' THEN 2500 WHEN 'en' THEN 5000 ELSE 1000 END
         """)([16 ** (7 - j) for j in range(8)]),
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for the driver-graded contract — same rotation as
+    :func:`queries`, so every contract row has its matching oracle."""
+    base = _oracle_registry()
+    extra = _baseline_oracle_registry()
+    out = {k: v for k, v in base.items() if k not in _ROTATE_OUT}
+    out.update({k: extra[k] for k in _ROTATE_IN})
+    return out
+
+
+def baseline_oracle_sql() -> dict[str, str]:
+    """Value oracles for :func:`baseline_queries` (same DuckDB dialect/views
+    as :func:`oracle_sql`; consumed by driver_sim and pytest, not the driver)."""
+    base = _oracle_registry()
+    extra = _baseline_oracle_registry()
+    out = {k: v for k, v in extra.items() if k not in _ROTATE_IN}
+    out.update({k: base[k] for k in _ROTATE_OUT})
+    return out

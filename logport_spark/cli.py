@@ -56,13 +56,19 @@ def cmd_run(args) -> int:
 
 def cmd_adopt(args) -> int:
     """`logport adopt <cmd>` (src/LogPort.cc:1378-1806): fork the command,
-    ship every stdout/stderr line through the pipeline, ship the exit event.
+    ship every stdout AND stderr line through the pipeline as distinct
+    substreams (`adopt://<name>/stdout` / `.../stderr`), ship the exit
+    event — all from ONE invocation, like the reference's select loop over
+    both pipe fds (src/LogPort.cc:1585-1786).
 
-    The CLI plays logport's parent-process role: it owns the pipe (a
-    loopback socket bridging child stdout → the Spark socket source), waits
-    the child (waitpid analog), and ships the exit message after the stream
-    drains. Stdout and stderr are merged like `2>&1` (the reference tags
-    them separately; pass --name twice with two adopts for that)."""
+    The CLI plays logport's parent-process role: it owns the pipes (a
+    loopback socket bridging both → the Spark socket source, each line
+    tagged with a 1-byte substream prefix the stream strips), waits the
+    child (waitpid analog), and ships the exit message after the stream
+    drains. The drain check only starts once BOTH pipe pumps have hit EOF
+    (child.wait() returning does not mean the pipes are drained — a
+    grandchild can hold them open), so the sent-line count it compares
+    against is final, never partial."""
     import socket
     import subprocess
     import threading
@@ -79,26 +85,43 @@ def cmd_adopt(args) -> int:
 
     child = subprocess.Popen(
         args.command, shell=True, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True)
+        stderr=subprocess.PIPE, text=True)
     sent = [0]
+    send_lock = threading.Lock()
+    eof = {"O": threading.Event(), "E": threading.Event()}
     drained = threading.Event()
 
     def bridge() -> None:
         conn, _ = srv.accept()
+
+        def pump(pipe, tag: str) -> None:
+            for line in pipe:
+                body = line.rstrip("\n")
+                with send_lock:  # whole tagged lines, never interleaved
+                    conn.sendall((tag + body + "\n").encode())
+                    if body.strip():
+                        sent[0] += 1
+            eof[tag].set()
+
+        pumps = [threading.Thread(target=pump, args=(child.stdout, "O")),
+                 threading.Thread(target=pump, args=(child.stderr, "E"))]
+        for p in pumps:
+            p.start()
+        for p in pumps:
+            p.join()
         with conn:
-            for line in child.stdout:
-                conn.sendall(line.encode())
-                if line.strip():
-                    sent[0] += 1
             drained.wait(timeout=120)  # hold the socket until the query stops
 
     t = threading.Thread(target=bridge, daemon=True)
     t.start()
 
     ckpt = args.out.rstrip("/") + "/_adopt_ckpt"
-    q = run_adopt(spark, "127.0.0.1", port, args.out, ckpt, name=name)
+    q = run_adopt(spark, "127.0.0.1", port, args.out, ckpt, name=name,
+                  tagged=True)
     rc = child.wait()
-    # drain: the sink must hold every non-empty line the bridge forwarded
+    # both pumps at pipe EOF → sent[0] is final; only then start the drain
+    eof["O"].wait(timeout=120)
+    eof["E"].wait(timeout=120)
     deadline = time.time() + 120
     while time.time() < deadline:
         try:

@@ -308,6 +308,13 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
         labels = new
         if changed == 0:
             break
+    else:
+        # partially-propagated labels are WRONG clusters, not slightly-stale
+        # ones — never return them silently (a pathological pair graph with
+        # diameter > 2^max_iter is the only way here)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 

@@ -129,15 +129,26 @@ def remaining_pages(
 
 
 def input_fingerprints(pages: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
-    """Per-bucket input fingerprint: sum(crc32(url)) + count — commutative,
-    so any partitioning/order of the same url set yields the same value.
-    One column-pruned aggregation over the input; the lineage half of the
-    ledger (the north rule's per-partition lineage + metrics)."""
+    """Per-bucket input fingerprint — commutative (any partitioning/order of
+    the same url multiset yields the same value), so it's computable with
+    one column-pruned partial-aggregating pass. The per-row 64-bit
+    xxhash64(url) values are summed in decimal(38,0) (no overflow, no ANSI
+    trap, duplicates never cancel the way XOR would) and the sum+count pair
+    is collapsed through xxhash64 again, so colliding two different url
+    multisets needs a full 64-bit birthday, not the 32-bit additive-crc32
+    one the first version had. The lineage half of the ledger (the north
+    rule's per-partition lineage + metrics)."""
     return (
         with_bucket(pages.select("url"), n_buckets)
         .groupBy("bucket")
-        .agg((F.coalesce(F.sum(F.crc32(F.col("url").cast("binary"))), F.lit(0))
-              + F.count(F.lit(1))).alias("input_fp"))
+        .agg(
+            F.coalesce(F.sum(F.xxhash64(F.col("url")).cast("decimal(38,0)")),
+                       F.lit(0).cast("decimal(38,0)")).alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .select("bucket",
+                F.xxhash64(F.col("_s").cast("string"),
+                           F.col("_c")).alias("input_fp"))
     )
 
 

@@ -20,8 +20,13 @@ Shape mapping (reference → here):
     logport's undelivered-offset resume has no analog here because a
     process pipe, like a socket, cannot be re-read — the reference drops
     unflushed lines on crash too: src/LogPort.cc adopt loop has no ledger).
-  - stderr substream → a second adopt_stream on its own port/name
-    (logport tags the two pipes with distinct sources).
+  - stderr substream → the SAME socket, line-tagged: the CLI bridge
+    prefixes each line with one byte ('O' stdout / 'E' stderr) and
+    `adopt_lines(tagged=True)` parses the tag into the url substream
+    (`adopt://<name>/stdout` vs `.../stderr`) and strips it — one stream,
+    one checkpoint, both pipes multiplexed through one filter loop exactly
+    as the reference's adopt loop does (src/LogPort.cc:1585-1786 selects
+    over both pipe fds and tags the source per line).
 
 The socket source is a dev/test-grade transport (no replay); a production
 deployment swaps it for Kafka with the same downstream
@@ -50,7 +55,8 @@ def adopt_stream(spark: SparkSession, host: str, port: int,
 
 
 def adopt_lines(raw: DataFrame, name: str = "adopt",
-                fixed_ts: str | None = None) -> DataFrame:
+                fixed_ts: str | None = None,
+                tagged: bool = False) -> DataFrame:
     """Frame raw adopt lines into the shared lines shape
     (url, warc_ts, lang, line_no, line).
 
@@ -58,13 +64,28 @@ def adopt_lines(raw: DataFrame, name: str = "adopt",
     ingestion clock (the reference stamps adopt lines at read time too,
     src/Watch.cc:377 filter loop). line_no is the arrival sequence within
     the micro-batch — assign AFTER the batch materializes (foreachBatch)
-    since streaming DataFrames cannot row_number without a window state."""
+    since streaming DataFrames cannot row_number without a window state.
+
+    `tagged=True` enables the stdout/stderr multiplex: the first byte of
+    each socket line is the substream tag ('E' → stderr, anything else →
+    stdout) and the remainder is the verbatim pipe line — so tab- or
+    anything-containing content survives untouched (byte-identity holds on
+    the stripped line)."""
     ts = (F.lit(fixed_ts).cast("timestamp") if fixed_ts
           else F.current_timestamp())
+    if tagged:
+        sub = F.when(F.substring("line", 1, 1) == "E", "stderr") \
+               .otherwise("stdout")
+        url = F.concat(F.lit(f"adopt://{name}/"), sub)
+        content = F.substring(F.col("line"), 2, 2147483647)
+        raw = raw.select(url.alias("url"), content.alias("line"))
+    else:
+        raw = raw.select(F.lit(f"adopt://{name}/stdout").alias("url"),
+                         "line")
     return (
         raw.filter(F.length("line") > 0)  # P2 empty-line filter, same rule
         .select(
-            F.lit(f"adopt://{name}/stdout").alias("url"),
+            "url",
             ts.alias("warc_ts"),
             F.lit("und").alias("lang"),
             F.col("line"),
@@ -111,6 +132,7 @@ def run_adopt(
     checkpoint_dir: str,
     name: str = "adopt",
     fixed_ts: str | None = None,
+    tagged: bool = False,
 ):
     """Adopt loop: socket lines → shared enrich/route/envelope →
     per-(batch, sink) idempotent writes. Returns the started query (caller
@@ -119,14 +141,17 @@ def run_adopt(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        # arrival order within the single-partition socket batch
+        # arrival order within the single-partition socket batch, numbered
+        # per substream url (stdout and stderr each count from 1, like the
+        # reference's two independent pipe offsets)
         lines = batch_df.withColumn(
             "_seq", F.monotonically_increasing_id())
         from pyspark.sql import Window
 
         lines = lines.withColumn(
             "line_no",
-            F.row_number().over(Window.orderBy("_seq")).cast("int")
+            F.row_number().over(
+                Window.partitionBy("url").orderBy("_seq")).cast("int")
         ).drop("_seq")
         routed = routed_from_lines(sp, lines)
         (
@@ -138,7 +163,8 @@ def run_adopt(
             .parquet(out_dir + "/sinks")
         )
 
-    framed = adopt_lines(adopt_stream(spark, host, port, name), name, fixed_ts)
+    framed = adopt_lines(adopt_stream(spark, host, port, name), name,
+                         fixed_ts, tagged=tagged)
     return (
         framed.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

@@ -74,24 +74,33 @@ def test_cli_run_and_status(spark, pages_small, tmp_path, capsys, monkeypatch):
 
 
 def test_cli_adopt_end_to_end(spark, tmp_path, capsys):
-    """`adopt` forks a real command, ships its lines + the exit event."""
+    """`adopt` forks a real command and ships stdout AND stderr as distinct
+    substreams plus the exit event — one invocation, like the reference's
+    select loop over both pipe fds (src/LogPort.cc:1585-1786)."""
     import json
 
     from logport_spark.cli import main
 
     out = str(tmp_path / "adopt_out")
     rc = main(["adopt", "--command",
-               "printf 'one line\\n{\"k\":1}\\n'; exit 5",
+               "printf 'one line\\n{\"k\":1}\\n';"
+               " printf 'err: boom\\n' >&2; exit 5",
                "--out", out, "--name", "fixture"])
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["exit_code"] == 5
-    assert summary["records_shipped"] == 3  # 2 lines + exit event
+    assert summary["records_shipped"] == 4  # 2 stdout + 1 stderr + exit event
 
     sinks = spark.read.parquet(out + "/sinks")
     recs = [json.loads(r["record"]) for r in sinks.select("record").collect()]
     logs = {r.get("log") or json.dumps(r.get("log_obj")) for r in recs}
     assert "one line" in logs
+    assert "err: boom" in logs
     assert any("exited with status 5" in (r.get("log") or "") for r in recs)
     srcs = {r["source"] for r in recs}
-    assert srcs == {"adopt://fixture/stdout", "adopt://fixture/process_exit"}
+    assert srcs == {"adopt://fixture/stdout", "adopt://fixture/stderr",
+                    "adopt://fixture/process_exit"}
+    by_src = {(r["source"], r.get("log") or json.dumps(r.get("log_obj")))
+              for r in recs}
+    assert ("adopt://fixture/stderr", "err: boom") in by_src
+    assert ("adopt://fixture/stdout", "one line") in by_src

@@ -213,13 +213,18 @@ def dedup_scale_run() -> dict:
         # above 0.44, which would swamp the ladder with genuine output
         # volume; at 0.9 only the ~4% planted near-dups match, so output
         # stays O(n) and the timing isolates the banded join itself.
-        # Band params scale with n (similarity.lsh_band_params): the fixed
-        # 16x4 oracle-fixture default is O(n^2) in candidates — the exact
-        # failure mode this ladder exists to catch.
+        # Band params are auto-sized end-to-end from MEASURED background
+        # agreement (similarity.measure_band_agreement +
+        # lsh_band_params_measured): the fixed 16x4 oracle-fixture default
+        # is O(n^2) in candidates, and the p=0.5-assuming lsh_band_params
+        # underprices clustered corpora (the r3 5M disk-exhaustion) — the
+        # two failure modes this ladder exists to catch.
         from logport_spark.operators import similarity
 
         e = em._emb(spark, sf_dir)
-        n_tables, bits = similarity.lsh_band_params(e.count(), threshold=0.9)
+        p_bg = similarity.measure_band_agreement(e)
+        n_tables, bits = similarity.lsh_band_params_measured(
+            e.count(), threshold=0.9, p_bg=p_bg)
         return similarity.embedding_lsh_pairs(
             e, threshold=0.9, n_tables=n_tables, bits_per_table=bits)
 

@@ -138,6 +138,91 @@ def lsh_band_params(n_vecs: int, threshold: float = 0.9,
     return min(max_tables, max(1, math.ceil(need))), bits
 
 
+def measure_band_agreement(emb: DataFrame, n_sample: int = 2048,
+                           dim: int = 64, n_probe_planes: int = 256,
+                           seed: int = LSH_SEED + 1,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> np.ndarray:
+    """Measured background sign-bit agreement — the input
+    `lsh_band_params_measured` needs on corpora with cluster structure.
+
+    `lsh_band_params` assumes non-neighbor pairs agree on a random
+    hyperplane bit at p≈0.5; real embedding corpora are clustered, and
+    same-cluster non-neighbors agree higher (up to ~0.62 on the bench
+    corpus — the MEAN stays ≈0.5 because clusters sit symmetrically on the
+    sphere, but candidate mass is E[p_pair^bits], which the heavy tail
+    dominates), inflating band candidates by E[(p_pair/0.5)^bits] — at 5M
+    vectors the 0.5 assumption shuffled >80 GB before aborting
+    (BENCH/BASELINE.md "correlated-corpus band sizing"). This estimator
+    replaces the assumption with a one-job measurement:
+
+    - sample `n_sample` vectors by hash order (TakeOrdered — a per-partition
+      top-k then a driver merge; no shuffle of the corpus, the sample is
+      tiny and seed-deterministic),
+    - project onto `n_probe_planes` probe hyperplanes (disjoint seed from
+      the production tables so the measurement never reuses their planes),
+    - pair the sample via a seeded permutation and return each pair's
+      bit-agreement fraction.
+
+    Returns the PER-PAIR array, not its mean: candidate mass is
+    E[p_pair^bits], and Jensen's inequality makes mean(p)^bits an
+    underestimate exactly when the corpus is clustered (the distribution is
+    the signal — on the bench corpus mean(p^20) is >3× the 0.5^20 the
+    uniform assumption would price)."""
+    rows = (emb.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(n_sample).collect())
+    m = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_probe_planes, m.shape[1]))
+    bits = (m @ planes.T) > 0  # (n_sample, n_probe_planes)
+    perm = rng.permutation(len(m))
+    half = len(m) // 2
+    a, b = bits[perm[:half]], bits[perm[half:2 * half]]
+    return (a == b).mean(axis=1)
+
+
+def lsh_band_params_measured(n_vecs: int, threshold: float,
+                             p_bg, target_capture: float = 0.99,
+                             max_tables: int = 64,
+                             candidate_factor: float = 4.0) -> tuple[int, int]:
+    """(n_tables, bits_per_table) sized against MEASURED background
+    agreement instead of the p=0.5 assumption — the code form of the manual
+    (8, 28) procedure that fixed the 5M disk-exhaustion failure.
+
+    Sizing rule: pick the smallest `bits` ≥ ceil(log2 n) whose expected
+    background candidate mass
+        C(n,2) · L(bits) · mean(p_pair^bits)
+    stays ≤ candidate_factor · n (candidates linear in the corpus — the
+    scale invariant), where L(bits) is the table count the capture formula
+    1-(1-p_sig^bits)^L ≥ target_capture demands at `threshold` (capped at
+    `max_tables`; past the cap capture degrades gracefully and rises
+    steeply with cosine, exactly as in `lsh_band_params`). mean(p^bits) is
+    computed over the measured per-pair agreement array, so clustered
+    (bimodal) corpora are priced by their heavy tail, not their mean."""
+    import math
+
+    p_bg = np.atleast_1d(np.asarray(p_bg, dtype=np.float64))
+    p_sig = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    n_pairs = n_vecs * (n_vecs - 1) / 2.0
+
+    def tables_for(bits: int) -> int:
+        pb = p_sig ** bits
+        if pb >= 1.0:
+            return 1
+        need = (math.log(max(1.0 - target_capture, 1e-12))
+                / math.log(1.0 - pb))
+        return min(max_tables, max(1, math.ceil(need)))
+
+    lo = max(4, math.ceil(math.log2(max(n_vecs, 2))))
+    for bits in range(lo, 64):
+        tables = tables_for(bits)
+        mass = n_pairs * tables * float(np.mean(p_bg ** bits))
+        if mass <= candidate_factor * n_vecs:
+            return tables, bits
+    return tables_for(63), 63
+
+
 def lsh_signatures(emb: DataFrame, dim: int = 64, n_tables: int = 16,
                    bits_per_table: int = 4, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:

@@ -265,3 +265,53 @@ def test_vocab_topk_plans_as_take_ordered(spark):
     plan = (vocab_topk(docs.select("text"), k=50)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_measured_lsh_sizing_bounds_candidates_and_holds_capture(spark):
+    """Auto-sized band params from MEASURED background agreement (the code
+    form of r3's manual (8,28) fix): on the clustered 5k-vector corpus the
+    candidate set stays O(n·L) and ≥85% of planted near-dups survive."""
+    import math
+
+    from logport_spark import datagen
+    from logport_spark.operators import similarity
+
+    sf_dir = datagen.ensure_documents(5000, spark)
+    emb = spark.read.parquet(sf_dir + "/embeddings.parquet")
+    n = emb.count()
+
+    p_bg = similarity.measure_band_agreement(emb, n_sample=1024)
+    # the bench corpus IS correlated — not in the MEAN (clusters sit
+    # symmetrically on the sphere, so mean agreement stays ≈0.5) but in the
+    # same-cluster TAIL, which is what band-candidate mass E[p^bits] prices
+    # and what the p=0.5 assumption underestimates
+    import numpy as np
+
+    assert float(np.mean(p_bg ** 20)) > 3 * 0.5 ** 20
+    tables, bits = similarity.lsh_band_params_measured(
+        n, threshold=0.9, p_bg=p_bg)
+    assert bits >= math.ceil(math.log2(n))
+
+    # pre-verify candidate count: the quantity the sizing rule bounds
+    sigs = similarity.lsh_signatures(emb, 64, tables, bits)
+    banded = sigs.select(
+        "doc_id", F.posexplode_outer("sig").alias("t", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    n_cands = (
+        a.join(b, (F.col("a.t") == F.col("b.t"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct().count())
+    # sizing targets candidate_factor=4·n in expectation; 8·n gives slack
+    # for estimator variance while still killing any O(n^2) regression
+    # (16x4 default produced ~8M candidates at this n — three orders worse)
+    assert n_cands <= 8 * n, n_cands
+
+    # capture on the planted near-dups (vec_id % 25 == 11 ↔ vec_id - 11)
+    pairs = similarity.embedding_lsh_pairs(
+        emb, threshold=0.9, n_tables=tables, bits_per_table=bits)
+    got = {(r["d1"], r["d2"]) for r in pairs.select("d1", "d2").collect()}
+    planted = {(i - 11, i) for i in range(11, n) if i % 25 == 11}
+    capture = len(got & planted) / len(planted)
+    assert capture >= 0.85, capture

@@ -255,23 +255,31 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     pandas UDF; `bits_per_token` keeps its meaning and the downstream
     threshold just retunes.
 
-    Plan shape: one explode + count per token (partial agg), one shuffle
-    join tokens→logp keyed on the token, one per-doc mean — all linear; the
-    vocabulary count table is corpus-bounded, never collected."""
+    Plan shape: explode → (doc_id, tok) count — the JOIN INPUT IS PER-DOC
+    DISTINCT TOKENS, not per occurrence: "the" reaches the token-keyed
+    shuffle once per document instead of once per use, cutting join input
+    ~3-10× and blunting the Zipf hot-key skew (the r3 plan audit's one
+    remaining agg nit). The vocab is the sum of those partial counts, the
+    per-doc score the count-weighted mean — bit-identical to the
+    per-occurrence avg. All linear; the vocabulary count table is
+    corpus-bounded, never collected."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    doc_toks = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tc"))
+    vocab = doc_toks.groupBy("tok").agg(F.sum("tc").alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
     logp = vocab.crossJoin(F.broadcast(total)).select(
         "tok", F.log2(F.col("c") / F.col("n")).alias("lp"))
     return (
-        toks.join(logp, "tok")
+        doc_toks.join(logp, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_scored"),
-            F.round(F.avg(-F.col("lp")), 4).alias("bits_per_token"),
+            F.sum("tc").alias("n_scored"),
+            F.round(F.sum(F.col("tc") * -F.col("lp")) / F.sum("tc"), 4)
+             .alias("bits_per_token"),
         )
     )
 
@@ -343,6 +351,26 @@ def _hf_tokenizers_available() -> bool:
     import importlib.util
 
     return importlib.util.find_spec("tokenizers") is not None
+
+
+def _kenlm_available() -> bool:
+    """Capability probe: real LM perplexity needs kenlm (absent here)."""
+    import importlib.util
+
+    return importlib.util.find_spec("kenlm") is not None
+
+
+def fake_lm_bits_py(text: str | None) -> float | None:
+    """Deterministic stand-in LM scorer for plumbing tests: per-token
+    'bits' from a tiny rolling byte hash (0..16), averaged — stable across
+    partitionings/batch shapes, NULL-safe, no model file. NOT a quality
+    signal; the oracle contract for quality is unigram_logprob."""
+    toks = [t for t in (text or "").split(" ") if t]
+    if not toks:
+        return None
+    bits = [1.0 + (sum((i + 1) * b for i, b in enumerate(t.encode())) % 16)
+            for t in toks]
+    return round(sum(bits) / len(bits), 4)
 
 
 def heuristic_lang_py(text: str | None) -> str:
@@ -430,3 +458,50 @@ def token_counts_model(df: DataFrame, text_col: str = "text",
                 [(t or "") for t in texts.tolist()])])
 
     return df.withColumn("bpe_tokens", _count(F.col(text_col)))
+
+
+def lm_bits_model(df: DataFrame, text_col: str = "text",
+                  model_path: str | None = None, fake: bool = False) -> DataFrame:
+    """LM perplexity scoring via a vectorized pandas UDF — the KenLM swap
+    point `unigram_logprob`'s docstring promises. Adds `bits_per_token`
+    (same column contract as the self-trained unigram stand-in, so the
+    downstream quality threshold just retunes). fake=True scores with
+    fake_lm_bits_py per Arrow batch (real batching, real NULL handling,
+    deterministic); otherwise gates on the kenlm package — present → the
+    .arpa/.bin model is loaded once per executor process and reused across
+    batches (CCNet's wiki-LM filter shape), absent → NotImplementedError."""
+    if not fake and not _kenlm_available():
+        raise NotImplementedError(
+            "lm_bits_model requires kenlm — not available in this "
+            "container; pass fake=True for the deterministic fake scorer, "
+            "or use unigram_logprob() (the oracle contract)"
+        )
+
+    @F.pandas_udf("double")
+    def _score(texts):  # pd.Series -> pd.Series
+        if fake:
+            return texts.map(fake_lm_bits_py)
+        # pragma: no cover — model libs absent in this container
+        global _KENLM
+        try:
+            _KENLM
+        except NameError:
+            import kenlm
+
+            _KENLM = kenlm.Model(model_path)
+        import math
+
+        import pandas as pd
+
+        out = []
+        for t in texts.tolist():
+            toks = [w for w in (t or "").split(" ") if w]
+            if not toks:
+                out.append(None)
+                continue
+            # kenlm.score returns log10 prob of the whole sentence
+            out.append(-_KENLM.score(" ".join(toks)) / len(toks)
+                       / math.log10(2.0))
+        return pd.Series(out)
+
+    return df.withColumn("bits_per_token", _score(F.col(text_col)))

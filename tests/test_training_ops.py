@@ -296,6 +296,36 @@ def test_token_counts_model_gate_and_plumbing(spark):
     assert jvm == udf
 
 
+def test_lm_bits_model_gate_and_plumbing(spark):
+    """KenLM swap point (unigram_logprob's promised production path): gated
+    without the lib; the fake scorer UDF must be deterministic across
+    partitionings (Arrow batch shape must not leak into scores), NULL-safe,
+    and keep the bits_per_token column contract."""
+    from logport_spark.operators.textstats import (
+        _kenlm_available, fake_lm_bits_py, lm_bits_model,
+    )
+
+    if not _kenlm_available():
+        with pytest.raises(NotImplementedError):
+            lm_bits_model(spark.range(1).selectExpr("'x' AS text"))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    one = {r.doc_id: r.bits_per_token
+           for r in lm_bits_model(docs.coalesce(1), fake=True)
+           .select("doc_id", "bits_per_token").collect()}
+    many = {r.doc_id: r.bits_per_token
+            for r in lm_bits_model(docs.repartition(16), fake=True)
+            .select("doc_id", "bits_per_token").collect()}
+    assert one == many
+    # UDF output equals the pure-Python scorer row-for-row
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert one == {i: fake_lm_bits_py(t) for i, t in texts.items()}
+    nulls = spark.createDataFrame([(1, None), (2, "")],
+                                  "doc_id long, text string")
+    got = lm_bits_model(nulls, fake=True).collect()
+    assert all(r.bits_per_token is None for r in got)
+
+
 def test_ivf_kmeans_centroids_beat_standin(spark):
     """Trained centroids through the same plan-literal interface: on
     clustered data, KMeans cells must reach at least the stand-in's recall

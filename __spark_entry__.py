@@ -363,7 +363,7 @@ def _lp_http_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     of logport's one-producer-per-watch batching."""
     from logport_spark.operators.wire import batch_messages
     from logport_spark.plans.ledger import (
-        EST_RECORDS_PER_PAGE, scaled_buckets, with_bucket,
+        EST_RECORDS_PER_PAGE, estimated_pages, scaled_buckets, with_bucket,
     )
     from logport_spark.plans.pipeline import parsed_routed
 
@@ -371,10 +371,11 @@ def _lp_http_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = parsed_routed(spark, pages)
     datagen.ensure_fixtures(datagen.sf_of_dir(sf_dir))  # oracle joins url_buckets
     # Sub-stream count scales with the input (SURVEY §9) instead of a fixed
-    # 64: pages.count() is a parquet-metadata count, and the pow2 clamp keeps
-    # sf0.01 at the oracle fixture's 64 while 10^12 records get ~131k
+    # 64: estimated_pages is a zero-job metadata estimate (scan size /
+    # bytes-per-page — no count() job in the wire path), and the pow2 clamp
+    # keeps sf0.01 at the oracle fixture's 64 while 10^12 records get ~131k
     # bounded window-sort tasks.
-    n_buckets = scaled_buckets(pages.count() * EST_RECORDS_PER_PAGE)
+    n_buckets = scaled_buckets(estimated_pages(pages) * EST_RECORDS_PER_PAGE)
     rec = with_bucket(routed.select("sink", "url", "line_no", "record"), n_buckets)
     return batch_messages(rec, stream_col="bucket")
 

@@ -48,6 +48,22 @@ MAX_ROWS_PER_STREAM = 4_000_000
 EST_RECORDS_PER_PAGE = 20
 
 
+EST_BYTES_PER_PAGE = 512  # compressed parquet footprint of one page row
+
+
+def estimated_pages(df) -> int:
+    """Zero-job page-count estimate for bucket sizing: the optimized plan's
+    sizeInBytes (the sum of scan file sizes, already known from the listing
+    the read performed) divided by a conservative per-page footprint.
+    Bucket sizing needs only order-of-magnitude accuracy — scaled_buckets
+    clamps to powers of two, so a 2-3× misestimate moves nothing at small
+    scale and at most one pow2 step at large scale — and unlike
+    ``df.count()`` it never spends an extra job touching every file footer,
+    which at 10^12 rows is a real scan."""
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return max(1, size // EST_BYTES_PER_PAGE)
+
+
 def scaled_buckets(n_rows: int, max_rows_per_stream: int = MAX_ROWS_PER_STREAM,
                    lo: int = DEFAULT_BUCKETS, hi: int = 131_072) -> int:
     """Bucket count scaled to the input, SURVEY §9's 10-100k-bucket rule.

@@ -315,3 +315,20 @@ def test_measured_lsh_sizing_bounds_candidates_and_holds_capture(spark):
     planted = {(i - 11, i) for i in range(11, n) if i % 25 == 11}
     capture = len(got & planted) / len(planted)
     assert capture >= 0.85, capture
+
+
+def test_estimated_pages_sizes_buckets_without_a_count_job(spark):
+    """estimated_pages must land within an order of magnitude of the true
+    row count (pow2 clamping absorbs that) and reproduce the oracle
+    fixture's 64-bucket modulus at sf0.01 — while reading only plan
+    statistics, never running a job."""
+    from logport_spark.plans.ledger import (
+        EST_RECORDS_PER_PAGE, estimated_pages, scaled_buckets,
+    )
+
+    pages = spark.read.parquet("/root/repo/data/pages_sf0.01")
+    est = estimated_pages(pages)
+    true_n = pages.count()
+    assert true_n / 8 <= est <= true_n * 8, (est, true_n)
+    assert scaled_buckets(est * EST_RECORDS_PER_PAGE) == \
+        scaled_buckets(true_n * EST_RECORDS_PER_PAGE) == 64

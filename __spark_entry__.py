@@ -798,6 +798,23 @@ def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _line_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus line dedup over the pages table (18% of sf0.01 lines
+    are cross-page repeats — boilerplate in the wild)."""
+    from logport_spark.operators.dedup import dedup_lines_corpus
+
+    pages = _pages(spark, sf_dir).select("url", "text")
+    return (dedup_lines_corpus(pages, text_col="text", id_col="url")
+            .withColumnRenamed("doc_id", "url"))
+
+
+def _url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL snapshot dedup (keep newest crawl per canonical url)."""
+    from logport_spark.operators.dedup import url_dedup
+
+    return url_dedup(_pages(spark, sf_dir))
+
+
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The original 50-slot contract set (pre-rotation; see queries())."""
     return {
@@ -869,6 +886,8 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
         "stratified_sample": _stratified_sample,  # reproducible training mix
         "lm_bits": _lm_bits,  # unigram bits/token (CCNet LM-filter stand-in)
+        "line_dedup_corpus": _line_dedup_corpus,  # C4 corpus-level line dedup
+        "url_dedup": _url_dedup,  # canonical-URL snapshot dedup
     }
 
 
@@ -1852,8 +1871,48 @@ def _oracle_registry() -> dict[str, str]:
     }
 
 
+def _canon_url_steps_sql(src_cte: str) -> str:
+    """The canonical_url regex chain as stepwise CTEs — the SAME RE2-safe
+    patterns the Spark column runs, DuckDB dialect ('g' flag = Spark's
+    replace-all default, \\1 backrefs = $1)."""
+    return f"""
+        , s1 AS (SELECT *, regexp_replace(url, '#.*', '', 'g') AS c FROM {src_cte})
+        , s2 AS (SELECT * REPLACE (regexp_replace(c,
+            '([?&])(?:utm_[a-z]+|fbclid|gclid|msclkid|ref)=[^&#]*',
+            '\\1', 'g') AS c) FROM s1)
+        , s3 AS (SELECT * REPLACE (regexp_replace(c, '[?&]+$', '', 'g') AS c) FROM s2)
+        , s4 AS (SELECT * REPLACE (regexp_replace(c, '([?&])&+', '\\1', 'g') AS c) FROM s3)
+        , s5 AS (SELECT * REPLACE (
+            lower(regexp_extract(c, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+            || regexp_replace(c, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS c) FROM s4)
+        , canon AS (SELECT * REPLACE (regexp_replace(c,
+            '^(https?://[^/?#:]+):(?:80|443)([/?#]|$)', '\\1\\2', 'g') AS c) FROM s5)
+    """
+
+
 def _baseline_oracle_registry() -> dict[str, str]:
     return {
+        "line_dedup_corpus": _LINES_CTE + """
+            , kept AS (
+              SELECT url, line_no, line FROM lines
+              QUALIFY row_number() OVER (
+                  PARTITION BY line ORDER BY url, line_no) = 1
+            )
+            SELECT url, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY line_no) AS text
+            FROM kept GROUP BY url
+        """,
+        "url_dedup": f"""
+            WITH p AS (SELECT url, warc_ts FROM {_PAGES})
+            {_canon_url_steps_sql('p')}
+            SELECT canon_url, url, warc_ts, n_crawls FROM (
+              SELECT c AS canon_url, url, warc_ts,
+                     count(*) OVER (PARTITION BY c) AS n_crawls,
+                     row_number() OVER (
+                         PARTITION BY c
+                         ORDER BY warc_ts DESC, url DESC) AS rn
+              FROM canon) WHERE rn = 1
+        """,
         "dedup_ngram_pairs": _JACCARD_PAIRS_SQL,
         "dedup_simhash": _SIMHASH_CTE + "SELECT doc_id, simhash FROM sig",
         "dedup_embedding_pairs": _EMB_NORM_CTE + f"""

@@ -189,6 +189,102 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
 # ---------------------------------------------------------- contamination ----
 
 
+def dedup_lines_corpus(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """C4-style CORPUS-level line dedup (Raffel et al. 2020 §2.2: any
+    three-sentence span occurring more than once in C4 is kept once; here
+    the unit is the line, the web-text natural boundary): every distinct
+    non-empty line survives exactly once — in the document where it first
+    occurs (lowest (doc_id, line_no)) — and every later occurrence across
+    the whole corpus is dropped. Documents are rebuilt from their surviving
+    lines in original order; documents losing every line drop out.
+
+    Plan shape (the part that matters at 10^12 docs): NO window over the
+    line key and NO self-join —
+      1. posexplode lines (narrow),
+      2. groupBy(line).agg(min(struct(doc_id, line_no))) — ONE shuffle with
+         map-side partial aggregation, so a boilerplate line repeated on
+         10^9 pages combines to one row per map task before the exchange
+         (a row_number window over the same key would ship every copy to
+         one reducer — the classic hot-key cliff),
+      3. groupBy(doc_id) rebuild — second shuffle, doc-sized.
+    The aggregate's value IS the kept set; no join back against the corpus.
+
+    The reference never dedups (SURVEY §2.6) — this is the C4 half of the
+    curation story, complementing minhash (near-dup docs) and
+    ngram_contamination (train/test overlap)."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    ).filter(F.length("line") > 0).select(
+        "doc_id", (F.col("idx") + 1).alias("line_no"), "line")
+    kept = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"),
+                F.col("w.line_no").alias("line_no"), "line")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda x: x["line"]),
+                "\n").alias("text"),
+        )
+    )
+
+
+CANON_TRACKING_PARAMS = "utm_[a-z]+|fbclid|gclid|msclkid|ref"
+
+
+def canonical_url(url_col: str = "url") -> Column:
+    """Canonical form of a web URL, as one JVM regex chain (RE2-safe, so
+    the DuckDB oracle runs the identical patterns):
+
+      1. strip the #fragment,
+      2. strip tracking query params (utm_*, fbclid, gclid, msclkid, ref),
+      3. tidy the query string ('&&'→'&', trailing '?'/'&' dropped),
+      4. lowercase the scheme://host prefix,
+      5. drop explicit default ports (:80 http, :443 https).
+
+    Path + meaningful query are preserved byte-for-byte — canonicalization
+    must never merge genuinely different resources."""
+    c = F.regexp_replace(F.col(url_col), "#.*", "")
+    c = F.regexp_replace(c, f"([?&])(?:{CANON_TRACKING_PARAMS})=[^&#]*", "$1")
+    c = F.regexp_replace(c, "[?&]+$", "")
+    c = F.regexp_replace(c, "([?&])&+", "$1")
+    c = F.concat(F.lower(F.regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)),
+                 F.regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""))
+    # no lookarounds (RE2-safe): capture the delimiter and re-emit it
+    c = F.regexp_replace(c, "^(https?://[^/?#:]+):(?:80|443)([/?#]|$)", "$1$2")
+    return c
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url",
+              ts_col: str = "warc_ts") -> DataFrame:
+    """URL-level snapshot dedup — the Common-Crawl recrawl cure: group
+    pages by canonical URL (see canonical_url) and keep the NEWEST crawl
+    (max (warc_ts, url) — url as the deterministic tiebreak), counting how
+    many snapshots collapsed.
+
+    One shuffle via groupBy + min/max-struct partial aggregation (the same
+    skew-proof shape as dedup_lines_corpus: a URL recrawled daily for a
+    year combines map-side). Output (canon_url, url, warc_ts, n_crawls);
+    join back on url to materialize the deduplicated corpus."""
+    return (
+        pages.select(canonical_url(url_col).alias("canon_url"),
+                     F.col(url_col).alias("url"), F.col(ts_col).alias("warc_ts"))
+        .groupBy("canon_url")
+        .agg(F.max(F.struct("warc_ts", "url")).alias("w"),
+             F.count(F.lit(1)).alias("n_crawls"))
+        .select("canon_url", F.col("w.url").alias("url"),
+                F.col("w.warc_ts").alias("warc_ts"), "n_crawls")
+    )
+
+
 def ngram_contamination(train: DataFrame, test: DataFrame, n: int = 13,
                         text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Eval-set contamination scan — the standard n-gram-overlap check run

@@ -47,6 +47,7 @@ def test_baselines_match_oracles(spark, duck):
         "ann_topk",
         "dedup_exact", "lp_grok_access", "doc_fingerprint",
         "mm_resize", "mm_frames", "q14_promo_revenue", "text_quality",
+        "line_dedup_corpus", "url_dedup",  # added r4, contract already full
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -651,3 +651,64 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[3]["bits_per_token"] == round(-lp_z, 4)
     assert got[2]["bits_per_token"] < got[3]["bits_per_token"]
     assert got[1]["n_scored"] == 3
+
+
+def test_dedup_lines_corpus_semantics(spark):
+    """C4 corpus line dedup: a line survives once, in its first-occurrence
+    document; docs rebuild in original line order; all-dup docs vanish."""
+    from logport_spark.operators.dedup import dedup_lines_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "alpha\nboiler\nbeta"),
+         (2, "boiler\ngamma"),          # 'boiler' already in doc 1
+         (3, "boiler"),                 # loses its only line -> drops out
+         (4, "delta\n\nepsilon"),       # empty line dropped, not deduped
+         (5, "gamma\nalpha\nzeta")],    # both repeats dropped, zeta kept
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_kept, r.text)
+           for r in dedup_lines_corpus(docs).collect()}
+    assert got == {
+        1: (3, "alpha\nboiler\nbeta"),
+        2: (1, "gamma"),
+        4: (2, "delta\nepsilon"),
+        5: (1, "zeta"),
+    }
+
+
+def test_canonical_url_and_url_dedup(spark):
+    """Canonicalization merges fragment/tracking-param/case/port variants
+    and NEVER merges genuinely different resources; url_dedup keeps the
+    newest crawl and counts collapsed snapshots."""
+    from logport_spark.operators.dedup import canonical_url, url_dedup
+
+    rows = [
+        # one resource, five spellings
+        ("https://Ex.COM/a?x=1&utm_source=tw", "2024-01-01 00:00:00"),
+        ("https://ex.com/a?x=1#frag",          "2024-01-03 00:00:00"),
+        ("HTTPS://ex.com:443/a?x=1",           "2024-01-02 00:00:00"),
+        ("https://ex.com/a?x=1&utm_b=2",       "2024-01-01 12:00:00"),
+        ("https://ex.com/a?x=1&fbclid=abc",    "2024-01-02 12:00:00"),
+        # different resources — must survive separately
+        ("https://ex.com/a?x=2",               "2024-01-01 00:00:00"),
+        ("https://ex.com/a?x=1&page=2",        "2024-01-01 00:00:00"),  # real param kept
+        ("https://ex.com/A",                   "2024-01-01 00:00:00"),  # path case matters
+        ("http://ex.com/a?x=1",                "2024-01-01 00:00:00"),  # scheme matters
+        ("https://ex.com:8443/a?x=1",          "2024-01-01 00:00:00"),  # non-default port
+    ]
+    pages = spark.createDataFrame(rows, "url string, warc_ts string") \
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+
+    canon = {r.url: r.c for r in
+             pages.select("url", canonical_url().alias("c")).collect()}
+    assert canon["https://Ex.COM/a?x=1&utm_source=tw"] == "https://ex.com/a?x=1"
+    assert canon["HTTPS://ex.com:443/a?x=1"] == "https://ex.com/a?x=1"
+    assert canon["https://ex.com/a?x=1&utm_b=2"] == "https://ex.com/a?x=1"
+    assert canon["https://ex.com/a?x=1&page=2"] == "https://ex.com/a?x=1&page=2"
+    assert canon["https://ex.com:8443/a?x=1"] == "https://ex.com:8443/a?x=1"
+
+    out = {r.canon_url: r for r in url_dedup(pages).collect()}
+    merged = out["https://ex.com/a?x=1"]
+    assert merged.n_crawls == 5
+    assert merged.url == "https://ex.com/a?x=1#frag"  # newest crawl wins
+    assert out["https://ex.com/A"].n_crawls == 1
+    assert out["http://ex.com/a?x=1"].n_crawls == 1

@@ -815,6 +815,38 @@ def _url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(_pages(spark, sf_dir))
 
 
+def _strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal over the pages table (10 lines at sf0.01
+    occur on ≥20 pages; the worst on 2,238 — the generator's nav/footer)."""
+    from logport_spark.operators.dedup import strip_boilerplate_lines
+
+    pages = _pages(spark, sf_dir).select("url", "text")
+    return (strip_boilerplate_lines(pages, min_docs=20,
+                                    text_col="text", id_col="url")
+            .withColumnRenamed("doc_id", "url"))
+
+
+def _domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.textstats import domain_stats
+
+    return domain_stats(_docs(spark, sf_dir))
+
+
+def _domain_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-gated corpus: drop every doc of sources failing the
+    short-doc-fraction / mean-length gates (6 of 20 sf0.01 sources fail)."""
+    from logport_spark.operators.textstats import domain_filter
+
+    return domain_filter(_docs(spark, sf_dir), min_mean_chars=260.0,
+                         max_short_frac=0.1).select("doc_id", "source")
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), window_tokens=512, n_shards=8)
+
+
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The original 50-slot contract set (pre-rotation; see queries())."""
     return {
@@ -888,6 +920,10 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bits": _lm_bits,  # unigram bits/token (CCNet LM-filter stand-in)
         "line_dedup_corpus": _line_dedup_corpus,  # C4 corpus-level line dedup
         "url_dedup": _url_dedup,  # canonical-URL snapshot dedup
+        "strip_boilerplate": _strip_boilerplate,  # high-df line removal
+        "domain_stats": _domain_stats,  # per-domain corpus statistics
+        "domain_filter_docs": _domain_filter_docs,  # domain-level gate
+        "pack_sequences": _pack_sequences,  # deterministic sequence packing
     }
 
 
@@ -1890,8 +1926,68 @@ def _canon_url_steps_sql(src_cte: str) -> str:
     """
 
 
+_HEX8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr({{h}}, {j + 1}, 1)) - 1)"
+    f" * {16 ** (7 - j)}" for j in range(8))
+
+
 def _baseline_oracle_registry() -> dict[str, str]:
     return {
+        "strip_boilerplate": _LINES_CTE + """
+            , df AS (
+              SELECT line, count(DISTINCT url) AS df FROM lines GROUP BY line
+            ), kept AS (
+              SELECT url, line_no, line FROM lines
+              WHERE line NOT IN (SELECT line FROM df WHERE df >= 20)
+            )
+            SELECT url, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY line_no) AS text
+            FROM kept GROUP BY url
+        """,
+        "domain_stats": """
+            SELECT source AS domain, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS mean_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   round(avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 4)
+                       AS short_frac
+            FROM documents GROUP BY source
+        """,
+        "domain_filter_docs": """
+            WITH s AS (
+              SELECT source, avg(n_chars) AS mean_chars,
+                     avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END)
+                         AS short_frac
+              FROM documents GROUP BY source
+            )
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.source NOT IN (
+              SELECT source FROM s
+              WHERE mean_chars < 260.0 OR short_frac > 0.1)
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(({_HEX8.format(
+                         h="md5('pack' || CAST(doc_id AS VARCHAR))")}) % 8
+                         AS INT) AS shard,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          x -> len(x) > 0)) AS BIGINT)
+                         AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum_tokens
+              FROM t
+            )
+            SELECT doc_id, shard,
+                   CAST(floor((cum_tokens - n_tokens) / 512) AS BIGINT)
+                       AS pack_id,
+                   n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c
+        """,
         "line_dedup_corpus": _LINES_CTE + """
             , kept AS (
               SELECT url, line_no, line FROM lines

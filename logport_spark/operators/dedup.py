@@ -237,6 +237,45 @@ def dedup_lines_corpus(docs: DataFrame, text_col: str = "text",
     )
 
 
+def strip_boilerplate_lines(docs: DataFrame, min_docs: int = 10,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Boilerplate removal, the CCNet/C4 companion to dedup_lines_corpus:
+    a line occurring in ≥ `min_docs` DISTINCT documents (nav bars, cookie
+    banners, footers) is boilerplate and is removed from EVERY document —
+    including its first occurrence, which is what distinguishes this from
+    line dedup (keep-one) — then documents are rebuilt in original line
+    order (docs losing every line drop out).
+
+    Plan shape: (doc, line) distinct-ified with a groupBy (map-side
+    combine), line doc-frequencies by a second partial agg, and the
+    boilerplate set — tiny by construction, it's the lines above a
+    high-frequency threshold — broadcast anti-joins the line stream. No
+    window over the line key, no O(corpus) set on the driver."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    ).filter(F.length("line") > 0).select(
+        "doc_id", (F.col("idx") + 1).alias("line_no"), "line")
+    doc_freq = (
+        lines.groupBy("doc_id", "line").agg(F.lit(1))
+        .groupBy("line").agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = doc_freq.filter(F.col("df") >= min_docs).select("line")
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda x: x["line"]),
+                "\n").alias("text"),
+        )
+    )
+
+
 CANON_TRACKING_PARAMS = "utm_[a-z]+|fbclid|gclid|msclkid|ref"
 
 

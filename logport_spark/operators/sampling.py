@@ -70,3 +70,50 @@ def train_val_test(df: DataFrame, val_frac: float = 0.01,
          .when(b < n_val + n_test, F.lit("test"))
          .otherwise(F.lit("train")),
     )
+
+
+def pack_sequences(docs: DataFrame, window_tokens: int = 2048,
+                   n_shards: int = 1024, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic sequence packing — the pretraining-loader step that
+    concatenates documents into fixed-token-budget packs (GPT-style "pack
+    to 2048 and split on document boundaries"). Assigns every doc a
+    (shard, pack_id) such that consecutive docs of a pack fit the token
+    window (a doc longer than the window gets a pack of its own).
+
+    Determinism + distribution come from sharding: docs land in
+    `n_shards` hash shards (pure row function — stable under any
+    partitioning, like everything in this module), and the greedy
+    running-total packing runs INSIDE each shard as a cumulative-sum
+    window partitioned BY shard — n_shards independent bounded sorts, no
+    global order, no driver state. pack_id = floor(cum_tokens_before /
+    window) is the textbook first-fit-in-order rule: a pack may overflow
+    its budget by at most one doc's remainder, never silently drop or
+    split a doc (loaders split on the boundary downstream).
+
+    Output: (doc_id, shard, pack_id, n_tokens, cum_tokens). The oracle
+    reproduces it with the same integer window arithmetic."""
+    from pyspark.sql import Window
+
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack"),
+                                          F.col(id_col).cast("string"))),
+                           1, 8), 16, 10).cast("long"),
+        F.lit(n_shards)).cast("int")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda t: F.length(t) > 0)).cast("long")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens"))
+                    / F.lit(window_tokens)).cast("long"))
+        .select("doc_id", "shard", "pack_id", "n_tokens", "cum_tokens")
+    )

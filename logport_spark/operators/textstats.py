@@ -505,3 +505,41 @@ def lm_bits_model(df: DataFrame, text_col: str = "text",
         return pd.Series(out)
 
     return df.withColumn("bits_per_token", _score(F.col(text_col)))
+
+
+# ------------------------------------------------------ domain-level view --
+
+
+def domain_stats(docs: DataFrame, domain_col: str = "source") -> DataFrame:
+    """Per-domain corpus statistics — the aggregation level web curation
+    actually acts at (refinedweb/Gopher both gate whole domains: one spam
+    domain poisons every page it serves). One partial-aggregating shuffle
+    on the domain key; the distinct-lang count is Spark's two-phase
+    distinct aggregate, still combiner-friendly.
+
+    Columns: n_docs, mean_chars, n_langs, short_frac (docs under 100
+    chars — the boilerplate/stub-page tell)."""
+    return docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg((F.col("n_chars") < 100).cast("double")), 4)
+         .alias("short_frac"),
+    )
+
+
+def domain_filter(docs: DataFrame, min_docs: int = 1,
+                  min_mean_chars: float = 0.0,
+                  max_short_frac: float = 1.0,
+                  domain_col: str = "source") -> DataFrame:
+    """Domain-level gate: drop EVERY document of a failing domain. The
+    verdict table is domain-sized (tiny next to the corpus), so the drop
+    set broadcasts and the doc stream is filtered without a shuffle —
+    the same broadcast-anti-join shape as route resolution."""
+    bad = domain_stats(docs, domain_col).filter(
+        (F.col("n_docs") < min_docs)
+        | (F.col("mean_chars") < min_mean_chars)
+        | (F.col("short_frac") > max_short_frac)
+    ).select("domain")
+    return docs.join(
+        F.broadcast(bad), docs[domain_col] == bad["domain"], "left_anti")

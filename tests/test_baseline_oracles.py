@@ -48,6 +48,8 @@ def test_baselines_match_oracles(spark, duck):
         "dedup_exact", "lp_grok_access", "doc_fingerprint",
         "mm_resize", "mm_frames", "q14_promo_revenue", "text_quality",
         "line_dedup_corpus", "url_dedup",  # added r4, contract already full
+        "strip_boilerplate", "domain_stats", "domain_filter_docs",
+        "pack_sequences",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

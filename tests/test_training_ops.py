@@ -712,3 +712,69 @@ def test_canonical_url_and_url_dedup(spark):
     assert merged.url == "https://ex.com/a?x=1#frag"  # newest crawl wins
     assert out["https://ex.com/A"].n_crawls == 1
     assert out["http://ex.com/a?x=1"].n_crawls == 1
+
+
+def test_strip_boilerplate_lines_semantics(spark):
+    """Boilerplate removal drops EVERY occurrence (unlike line dedup's
+    keep-one), leaves rare lines alone, and rebuilds in order."""
+    from logport_spark.operators.dedup import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "cookie banner\nreal content one"),
+         (2, "cookie banner\nreal content two"),
+         (3, "cookie banner\nshared rare line"),
+         (4, "shared rare line\nmore content"),
+         (5, "cookie banner")],          # only boilerplate -> drops out
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_kept, r.text)
+           for r in strip_boilerplate_lines(docs, min_docs=3).collect()}
+    assert got == {
+        1: (1, "real content one"),
+        2: (1, "real content two"),
+        3: (1, "shared rare line"),      # df=2 < 3: kept in BOTH docs
+        4: (2, "shared rare line\nmore content"),
+    }
+
+
+def test_domain_filter_drops_whole_domains(spark):
+    """A failing domain loses every doc; healthy domains keep all."""
+    from logport_spark.operators.textstats import domain_filter, domain_stats
+
+    rows = [(i, "x" * 500, "en", "good.com", 500) for i in range(10)]
+    rows += [(100 + i, "x" * (20 if i < 8 else 500), "en", "stub.com",
+              20 if i < 8 else 500) for i in range(10)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    stats = {r.domain: r for r in domain_stats(docs).collect()}
+    assert stats["stub.com"].short_frac == 0.8
+    kept = domain_filter(docs, max_short_frac=0.5)
+    assert {r.source for r in kept.select("source").distinct().collect()} \
+        == {"good.com"}
+    assert kept.count() == 10
+    # plan: the verdict side must broadcast, never shuffle the doc stream
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Packing invariants on the real corpus: cum_tokens is the exact
+    per-shard running total in doc_id order; pack boundaries follow the
+    first-fit rule (a pack starts iff the previous docs filled the
+    window); repartitioning never changes the assignment."""
+    from logport_spark.operators.sampling import pack_sequences
+
+    window = 128
+    out = pack_sequences(docs, window_tokens=window, n_shards=4)
+    rows = sorted(out.collect(), key=lambda r: (r.shard, r.doc_id))
+    cum = {}
+    for r in rows:
+        prev = cum.get(r.shard, 0)
+        assert r.cum_tokens == prev + r.n_tokens       # exact running total
+        assert r.pack_id == prev // window             # first-fit rule
+        cum[r.shard] = r.cum_tokens
+    # partition-independence (the df.sample() failure mode this avoids)
+    again = pack_sequences(docs.repartition(13), window_tokens=window,
+                           n_shards=4)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}

@@ -87,10 +87,30 @@ ANNOTATED = {
         "shuffle keyed on the hash; the train side never rejoins."
     ),
     "lm_bits": (
-        "Unigram LM scoring: explode → partial-agg vocabulary → the "
-        "corpus-total via a BroadcastNestedLoopJoin of ONE row (the scalar "
-        "total) → token-keyed join back → per-doc mean. Vocabulary stays "
-        "distributed; the only broadcast is the single-row total."
+        "Unigram LM scoring: explode → (doc_id, tok) partial agg (r4: the "
+        "join input is per-doc DISTINCT tokens, not occurrences — 'the' "
+        "crosses the token shuffle once per doc) → partial-agg vocabulary "
+        "→ the corpus-total via a BroadcastNestedLoopJoin of ONE row → "
+        "token-keyed join back → count-weighted per-doc mean. Vocabulary "
+        "stays distributed; the only broadcast is the single-row total."
+    ),
+    "line_dedup_corpus": (
+        "C4 corpus line dedup: posexplode → HashAggregate min(struct) on "
+        "the line key (map-side combine — no window, so a boilerplate "
+        "line repeated corpus-wide combines before the exchange) → "
+        "doc-sized rebuild agg. Two exchanges total, both aggregating."
+    ),
+    "strip_boilerplate": (
+        "Boilerplate removal: (doc, line) distinct agg → line doc-freq "
+        "agg → the ≥min_docs set (tiny) BROADCAST anti-joins the line "
+        "stream — the doc stream never shuffles for the filter; only the "
+        "rebuild agg exchanges on doc_id."
+    ),
+    "pack_sequences": (
+        "Sequence packing: hash shard (pure row function) → ONE exchange "
+        "on shard → per-shard Window running sum (n_shards independent "
+        "bounded sorts, no global order) → first-fit pack_id as a "
+        "codegen'd projection."
     ),
 }
 

@@ -62,6 +62,8 @@ def _headline_queries():
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
         "mm_features", "corpus_clean", "asof_purchase_click",
         "events_distinct_stats",
+        "line_dedup_corpus", "url_dedup",          # r4 corpus-level dedup
+        "domain_filter_docs", "pack_sequences",    # r4 curation/packing
     ):
         if opt in qs:
             names.append(opt)

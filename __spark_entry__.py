@@ -847,6 +847,17 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), window_tokens=512, n_shards=8)
 
 
+def _semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: within-cell exact-cosine near-dup pairs (embedding-space
+    complement to the lexical MinHash path)."""
+    from logport_spark.operators.similarity import semantic_dedup_pairs
+
+    # 0.44 is the driver fixture's near-dup regime (its max corpus cosine is
+    # ~0.51 — same setting as the embedding_lsh_pairs contract row); real
+    # corpora run 0.9+ thresholds, pinned by the planted-dup pytest
+    return semantic_dedup_pairs(_emb(spark, sf_dir), threshold=0.44, nlist=16)
+
+
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The original 50-slot contract set (pre-rotation; see queries())."""
     return {
@@ -924,6 +935,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": _domain_stats,  # per-domain corpus statistics
         "domain_filter_docs": _domain_filter_docs,  # domain-level gate
         "pack_sequences": _pack_sequences,  # deterministic sequence packing
+        "semantic_dedup_pairs": _semantic_dedup_pairs,  # SemDeDup within-cell
     }
 
 
@@ -1859,6 +1871,32 @@ def _oracle_registry() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
               FROM sc)
             WHERE rank <= 10
+        """,
+        "semantic_dedup_pairs": _EMB_NORM_CTE + f"""
+            , c AS (SELECT vec_id AS cid, embedding AS cv FROM e
+                    ORDER BY vec_id LIMIT 16),
+            sc AS (
+              SELECT e.vec_id, c.cid,
+                     {_DOT64.format(a='e.embedding', b='c.cv')}
+                       / sqrt(list_sum(list_transform(c.cv,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS s
+              FROM e CROSS JOIN c),
+            mx AS (SELECT vec_id, cid, s,
+                          max(s) OVER (PARTITION BY vec_id) AS m FROM sc),
+            cells AS (SELECT vec_id, min(cid) AS cell
+                      FROM mx WHERE s = m GROUP BY vec_id),
+            cand AS (
+              SELECT a.vec_id AS d1, b.vec_id AS d2
+              FROM cells a JOIN cells b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id)
+            SELECT d1, d2,
+                   round({_DOT64.format(a='e1.embedding', b='e2.embedding')}
+                         / (n1.nm * n2.nm), 4) AS cos
+            FROM cand
+            JOIN e e1 ON e1.vec_id = d1 JOIN e e2 ON e2.vec_id = d2
+            JOIN n n1 ON n1.vec_id = d1 JOIN n n2 ON n2.vec_id = d2
+            WHERE {_DOT64.format(a='e1.embedding', b='e2.embedding')}
+                  / (n1.nm * n2.nm) >= 0.44
         """,
         "ann_ivf_topk": _EMB_NORM_CTE + f"""
             , c AS (SELECT vec_id AS cid, embedding AS cv FROM e

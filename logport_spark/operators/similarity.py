@@ -334,6 +334,33 @@ def kmeans_centroids(emb: DataFrame, nlist: int, seed: int = 42,
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def _centroid_scores(emb: DataFrame, cents: list[list[float]],
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(_id, _sc): per-vector array of normalized dot products against the
+    centroid set, embedded as plan LITERALS — cell assignment is a pure
+    narrow map, zero shuffle, no broadcast exchange. Sequential sums match
+    the oracle's left-fold list_sum exactly."""
+    cnorm = []
+    for c in cents:
+        s = 0.0
+        for x in c:
+            s += x * x
+        cnorm.append(s ** 0.5)
+    vd = f"transform({vec_col}, x -> cast(x as double))"
+    per = []
+    for c, nm in zip(cents, cnorm):
+        lits = ", ".join(repr(x) for x in c)
+        per.append(
+            f"aggregate(zip_with({vd}, array({lits}), (x, y) -> x * y),"
+            f" cast(0.0 as double), (a, p) -> a + p) / {nm!r}"
+        )
+    return emb.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"array({', '.join(per)})").alias("_sc"),
+    )
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
              nlist: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -353,28 +380,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
 
     cents = centroids if centroids is not None else \
         lowest_id_centroids(emb, nlist, id_col, vec_col)
-    # sequential sums (match the oracle's left-fold list_sum exactly)
-    cnorm = []
-    for c in cents:
-        s = 0.0
-        for x in c:
-            s += x * x
-        cnorm.append(s ** 0.5)
-
-    def scores_expr(v: str) -> "F.Column":
-        vd = f"transform({v}, x -> cast(x as double))"
-        per = []
-        for c, nm in zip(cents, cnorm):
-            lits = ", ".join(repr(x) for x in c)
-            per.append(
-                f"aggregate(zip_with({vd}, array({lits}), (x, y) -> x * y),"
-                f" cast(0.0 as double), (a, p) -> a + p) / {nm!r}"
-            )
-        return F.expr(f"array({', '.join(per)})")
-
-    scored = emb.select(
-        F.col(id_col).alias("_id"), scores_expr(vec_col).alias("_sc"),
-    )
+    scored = _centroid_scores(emb, cents, id_col, vec_col)
     cell = F.array_position(F.col("_sc"), F.array_max("_sc")).cast("int")
     corpus = scored.select("_id", cell.alias("cell"))
     # query side: nprobe best cells each (tiny — broadcast)
@@ -407,6 +413,60 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
+def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.95,
+                         nlist: int = 16,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         centroids: list[list[float]] | None = None,
+                         max_cell: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-quantize the
+    corpus into nlist cells, then exact-cosine pairs ≥ threshold WITHIN
+    each cell — semantic near-dups found without any all-pairs product,
+    the embedding-space complement to MinHash (lexical) near-dup.
+
+    Semantics: a pair is reported iff both ends quantize to the same cell
+    AND exact cos ≥ threshold (d1 < d2). Cross-cell near-dups are missed
+    by construction — SemDeDup's documented trade; raise nlist quality via
+    kmeans_centroids (same interface as ivf_topk) or lower nlist to trade
+    candidate volume for capture.
+
+    Scale contract: candidate volume is Σ cell_size²/2, so nlist must grow
+    with the corpus — n/nlist ≈ a few thousand keeps per-cell joins
+    bounded (the paper runs 50k clusters on 5B embeddings for the same
+    reason). Cell assignment is a zero-shuffle narrow map (centroids are
+    plan literals); the self-join shuffles bare (cell, id) pairs only;
+    vectors rejoin by id for the exact verify — the embedding_lsh_pairs
+    tail. `max_cell` caps degenerate cells (cap_buckets guardrail)."""
+    from .dedup import cap_buckets
+
+    cents = centroids if centroids is not None else \
+        lowest_id_centroids(emb, nlist, id_col, vec_col)
+    scored = _centroid_scores(emb, cents, id_col, vec_col)
+    cell = F.array_position(F.col("_sc"), F.array_max("_sc")).cast("int")
+    corpus = scored.select(F.col("_id").alias("doc_id"), cell.alias("cell"))
+    corpus = cap_buckets(corpus, ["cell"], max_cell)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    cands = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+    vecs = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_id"), F.col("_vecd").alias("_v"),
+        F.col("norm").alias("_nm"))
+    dot = F.expr(
+        "aggregate(zip_with(v1, v2, (x,y)->x*y), cast(0.0 as double), (a,v)->a+v)")
+    return (
+        cands
+        .join(vecs.select(F.col("_id").alias("d1"), F.col("_v").alias("v1"),
+                          F.col("_nm").alias("n1")), "d1")
+        .join(vecs.select(F.col("_id").alias("d2"), F.col("_v").alias("v2"),
+                          F.col("_nm").alias("n2")), "d2")
+        .withColumn("cos", dot / (F.col("n1") * F.col("n2")))
+        .filter(F.col("cos") >= threshold)
+        .select("d1", "d2", F.round("cos", 4).alias("cos"))
     )
 
 

@@ -106,6 +106,12 @@ ANNOTATED = {
         "stream — the doc stream never shuffles for the filter; only the "
         "rebuild agg exchanges on doc_id."
     ),
+    "semantic_dedup_pairs": (
+        "SemDeDup: plan-literal centroid scoring (narrow map, no "
+        "exchange) -> cell self-join on bare (cell, id) -> vectors "
+        "re-joined by id for the exact-cosine verify — the "
+        "embedding_lsh_pairs tail with cells instead of bands."
+    ),
     "pack_sequences": (
         "Sequence packing: hash shard (pure row function) → ONE exchange "
         "on shard → per-shard Window running sum (n_shards independent "

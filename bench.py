@@ -64,6 +64,7 @@ def _headline_queries():
         "events_distinct_stats",
         "line_dedup_corpus", "url_dedup",          # r4 corpus-level dedup
         "domain_filter_docs", "pack_sequences",    # r4 curation/packing
+        "semantic_dedup_pairs",                    # r4 SemDeDup cells
     ):
         if opt in qs:
             names.append(opt)

@@ -6,8 +6,14 @@ and runs inside whole-stage codegen — no Python in any of them. The two
 sizing helpers return plain ints (plan-construction time, not runtime).
 """
 
+from ..operators.dedup import canonical_url
 from ..operators.parse import json_quote, jvm_json_quote, ts_string
-from ..operators.similarity import lsh_band_params
+from ..operators.sampling import sample_bucket
+from ..operators.similarity import (
+    lsh_band_params,
+    lsh_band_params_measured,
+    measure_band_agreement,
+)
 from ..operators.textstats import _dup_count_expr as dup_count_expr
 from ..operators.textstats import _max_run_expr as max_run_expr
 from ..operators.textstats import shingles_expr
@@ -27,4 +33,8 @@ __all__ = [
     "estimated_jaccard",  # matching-minhash fraction of two signature cols
     "scaled_buckets",   # input-sized sub-stream bucket count (power of two)
     "lsh_band_params",  # corpus-sized (n_tables, bits) for hyperplane LSH
+    "lsh_band_params_measured",  # same, sized from MEASURED bg agreement
+    "measure_band_agreement",    # per-pair background bit-agreement sample
+    "canonical_url",    # canonical web-URL form (RE2-safe regex chain)
+    "sample_bucket",    # md5 bucket in [0,10000) — deterministic sampling
 ]

@@ -847,6 +847,32 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), window_tokens=512, n_shards=8)
 
 
+def _web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 web-curation composite, end-to-end over the pages table:
+    canonical-URL snapshot dedup (keep newest crawl) → boilerplate-line
+    removal (≥20-page lines) → C4 corpus line dedup (first occurrence
+    survives) → min-surviving-lines gate. One DAG, one SQL oracle
+    re-deriving every stage — the pages-table sibling of corpus_clean_v2.
+
+    Stage costs: the url stage is one keep-max agg; both line stages are
+    the skew-proof agg shapes documented on their operators; the only
+    joins are a left-semi on url and the broadcast boilerplate anti-join."""
+    from logport_spark.operators.dedup import (
+        dedup_lines_corpus,
+        strip_boilerplate_lines,
+        url_dedup,
+    )
+
+    pages = _pages(spark, sf_dir).select("url", "warc_ts", "text")
+    surv = url_dedup(pages).select("url")
+    base = pages.join(surv, "url", "left_semi").select("url", "text")
+    nb = (strip_boilerplate_lines(base, min_docs=20, id_col="url")
+          .withColumnRenamed("doc_id", "url"))
+    dd = (dedup_lines_corpus(nb.select("url", "text"), id_col="url")
+          .withColumnRenamed("doc_id", "url"))
+    return dd.filter(F.col("n_kept") >= 2)
+
+
 def _semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: within-cell exact-cosine near-dup pairs (embedding-space
     complement to the lexical MinHash path)."""
@@ -936,6 +962,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_filter_docs": _domain_filter_docs,  # domain-level gate
         "pack_sequences": _pack_sequences,  # deterministic sequence packing
         "semantic_dedup_pairs": _semantic_dedup_pairs,  # SemDeDup within-cell
+        "web_curation": _web_curation,  # url-dedup + boilerplate + line-dedup
     }
 
 
@@ -1872,32 +1899,6 @@ def _oracle_registry() -> dict[str, str]:
               FROM sc)
             WHERE rank <= 10
         """,
-        "semantic_dedup_pairs": _EMB_NORM_CTE + f"""
-            , c AS (SELECT vec_id AS cid, embedding AS cv FROM e
-                    ORDER BY vec_id LIMIT 16),
-            sc AS (
-              SELECT e.vec_id, c.cid,
-                     {_DOT64.format(a='e.embedding', b='c.cv')}
-                       / sqrt(list_sum(list_transform(c.cv,
-                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS s
-              FROM e CROSS JOIN c),
-            mx AS (SELECT vec_id, cid, s,
-                          max(s) OVER (PARTITION BY vec_id) AS m FROM sc),
-            cells AS (SELECT vec_id, min(cid) AS cell
-                      FROM mx WHERE s = m GROUP BY vec_id),
-            cand AS (
-              SELECT a.vec_id AS d1, b.vec_id AS d2
-              FROM cells a JOIN cells b
-                ON a.cell = b.cell AND a.vec_id < b.vec_id)
-            SELECT d1, d2,
-                   round({_DOT64.format(a='e1.embedding', b='e2.embedding')}
-                         / (n1.nm * n2.nm), 4) AS cos
-            FROM cand
-            JOIN e e1 ON e1.vec_id = d1 JOIN e e2 ON e2.vec_id = d2
-            JOIN n n1 ON n1.vec_id = d1 JOIN n n2 ON n2.vec_id = d2
-            WHERE {_DOT64.format(a='e1.embedding', b='e2.embedding')}
-                  / (n1.nm * n2.nm) >= 0.44
-        """,
         "ann_ivf_topk": _EMB_NORM_CTE + f"""
             , c AS (SELECT vec_id AS cid, embedding AS cv FROM e
                     ORDER BY vec_id LIMIT 16),
@@ -1971,6 +1972,64 @@ _HEX8 = " + ".join(
 
 def _baseline_oracle_registry() -> dict[str, str]:
     return {
+        "web_curation": f"""
+            WITH p AS (SELECT url, warc_ts, text FROM {_PAGES})
+            {{CANON}}
+            , surv AS (
+              SELECT url FROM (
+                SELECT url, row_number() OVER (
+                    PARTITION BY c ORDER BY warc_ts DESC, url DESC) AS rn
+                FROM canon) WHERE rn = 1
+            ), sp AS (
+              SELECT url, string_split(text, chr(10)) AS parts FROM p
+              WHERE url IN (SELECT url FROM surv)
+            ), numbered AS (
+              SELECT url, unnest(generate_series(1, len(parts))) AS line_no,
+                     unnest(parts) AS line
+              FROM sp
+            ), lines AS (
+              SELECT url, CAST(line_no AS INT) AS line_no, line
+              FROM numbered WHERE length(line) > 0
+            ), dfq AS (
+              SELECT line, count(DISTINCT url) AS df FROM lines GROUP BY line
+            ), nb AS (
+              SELECT url, line_no, line FROM lines
+              WHERE line NOT IN (SELECT line FROM dfq WHERE df >= 20)
+            ), kept AS (
+              SELECT url, line_no, line FROM nb
+              QUALIFY row_number() OVER (
+                  PARTITION BY line ORDER BY url, line_no) = 1
+            )
+            SELECT url, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY line_no) AS text
+            FROM kept GROUP BY url HAVING count(*) >= 2
+        """.replace("{CANON}", _canon_url_steps_sql('p')),
+        "semantic_dedup_pairs": _EMB_NORM_CTE + f"""
+            , c AS (SELECT vec_id AS cid, embedding AS cv FROM e
+                    ORDER BY vec_id LIMIT 16),
+            sc AS (
+              SELECT e.vec_id, c.cid,
+                     {_DOT64.format(a='e.embedding', b='c.cv')}
+                       / sqrt(list_sum(list_transform(c.cv,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS s
+              FROM e CROSS JOIN c),
+            mx AS (SELECT vec_id, cid, s,
+                          max(s) OVER (PARTITION BY vec_id) AS m FROM sc),
+            cells AS (SELECT vec_id, min(cid) AS cell
+                      FROM mx WHERE s = m GROUP BY vec_id),
+            cand AS (
+              SELECT a.vec_id AS d1, b.vec_id AS d2
+              FROM cells a JOIN cells b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id)
+            SELECT d1, d2,
+                   round({_DOT64.format(a='e1.embedding', b='e2.embedding')}
+                         / (n1.nm * n2.nm), 4) AS cos
+            FROM cand
+            JOIN e e1 ON e1.vec_id = d1 JOIN e e2 ON e2.vec_id = d2
+            JOIN n n1 ON n1.vec_id = d1 JOIN n n2 ON n2.vec_id = d2
+            WHERE {_DOT64.format(a='e1.embedding', b='e2.embedding')}
+                  / (n1.nm * n2.nm) >= 0.44
+        """,
         "strip_boilerplate": _LINES_CTE + """
             , df AS (
               SELECT line, count(DISTINCT url) AS df FROM lines GROUP BY line

@@ -302,6 +302,24 @@ def canonical_url(url_col: str = "url") -> Column:
     return c
 
 
+def canonical_url_py(url: str) -> str:
+    """Pure-Python twin of canonical_url — same patterns, same order
+    (pytest pins equality against the Spark column on adversarial URLs;
+    hypothesis pins idempotence, the property a canonicalizer must have:
+    canon(canon(u)) == canon(u))."""
+    import re
+
+    c = re.sub(r"#.*", "", url)
+    c = re.sub(rf"([?&])(?:{CANON_TRACKING_PARAMS})=[^&#]*", r"\1", c)
+    c = re.sub(r"[?&]+$", "", c)
+    c = re.sub(r"([?&])&+", r"\1", c)
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", c)
+    if m:
+        c = m.group(0).lower() + c[m.end():]
+    c = re.sub(r"^(https?://[^/?#:]+):(?:80|443)([/?#]|$)", r"\1\2", c)
+    return c
+
+
 def url_dedup(pages: DataFrame, url_col: str = "url",
               ts_col: str = "warc_ts") -> DataFrame:
     """URL-level snapshot dedup — the Common-Crawl recrawl cure: group

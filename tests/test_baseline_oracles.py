@@ -49,7 +49,7 @@ def test_baselines_match_oracles(spark, duck):
         "mm_resize", "mm_frames", "q14_promo_revenue", "text_quality",
         "line_dedup_corpus", "url_dedup",  # added r4, contract already full
         "strip_boilerplate", "domain_stats", "domain_filter_docs",
-        "pack_sequences", "semantic_dedup_pairs",
+        "pack_sequences", "semantic_dedup_pairs", "web_curation",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -69,3 +69,24 @@ def test_timestamp_format(sec, micros):
     out = format_timestamp(ts)
     s, _, ns = out.partition(".")
     assert int(s) == sec and len(ns) == 9 and int(ns) == micros * 1000
+
+
+_URL_CHARS = st.text(
+    alphabet="abcXYZ019-._~/?&=#%:@+", min_size=0, max_size=40)
+
+
+@given(st.sampled_from(["http", "https", "ftp", "HTTPS"]),
+       st.text(alphabet="abcEX019.-", min_size=1, max_size=20),
+       st.sampled_from(["", ":80", ":443", ":8080"]),
+       _URL_CHARS)
+@settings(max_examples=500, deadline=None)
+def test_canonical_url_idempotent(scheme, host, port, tail):
+    """canon(canon(u)) == canon(u) — the property a canonicalizer must
+    have, else url_dedup's grouping key depends on how many times the
+    pipeline ran. Exercises scheme/host case, default and non-default
+    ports, and arbitrary path/query/fragment tails."""
+    from logport_spark.operators.dedup import canonical_url_py
+
+    u = f"{scheme}://{host}{port}/{tail}"
+    once = canonical_url_py(u)
+    assert canonical_url_py(once) == once

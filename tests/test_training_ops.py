@@ -700,6 +700,11 @@ def test_canonical_url_and_url_dedup(spark):
 
     canon = {r.url: r.c for r in
              pages.select("url", canonical_url().alias("c")).collect()}
+    # the pure-Python twin (hypothesis-tested idempotent) matches the column
+    from logport_spark.operators.dedup import canonical_url_py
+
+    for u, c in canon.items():
+        assert canonical_url_py(u) == c, u
     assert canon["https://Ex.COM/a?x=1&utm_source=tw"] == "https://ex.com/a?x=1"
     assert canon["HTTPS://ex.com:443/a?x=1"] == "https://ex.com/a?x=1"
     assert canon["https://ex.com/a?x=1&utm_b=2"] == "https://ex.com/a?x=1"

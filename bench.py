@@ -65,6 +65,7 @@ def _headline_queries():
         "line_dedup_corpus", "url_dedup",          # r4 corpus-level dedup
         "domain_filter_docs", "pack_sequences",    # r4 curation/packing
         "semantic_dedup_pairs",                    # r4 SemDeDup cells
+        "web_curation",                            # r4 end-to-end composite
     ):
         if opt in qs:
             names.append(opt)

@@ -112,6 +112,13 @@ ANNOTATED = {
         "re-joined by id for the exact-cosine verify — the "
         "embedding_lsh_pairs tail with cells instead of bands."
     ),
+    "web_curation": (
+        "End-to-end pages curation: url keep-max agg -> left-semi on url "
+        "-> boilerplate doc-freq aggs + BROADCAST anti-join -> line-key "
+        "min(struct) agg -> doc rebuild agg -> n_kept filter. Every wide "
+        "step is an aggregating exchange with map-side combine; no "
+        "window over a content key anywhere."
+    ),
     "pack_sequences": (
         "Sequence packing: hash shard (pure row function) → ONE exchange "
         "on shard → per-shard Window running sum (n_shards independent "

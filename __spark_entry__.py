@@ -847,6 +847,14 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), window_tokens=512, n_shards=8)
 
 
+def _span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. span-duplication fractions (w=4 on the short fixture
+    docs; production runs w=50-token windows)."""
+    from logport_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs(spark, sf_dir), w=4)
+
+
 def _web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r4 web-curation composite, end-to-end over the pages table:
     canonical-URL snapshot dedup (keep newest crawl) → boilerplate-line
@@ -963,6 +971,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences,  # deterministic sequence packing
         "semantic_dedup_pairs": _semantic_dedup_pairs,  # SemDeDup within-cell
         "web_curation": _web_curation,  # url-dedup + boilerplate + line-dedup
+        "span_dup_stats": _span_dup_stats,  # Lee et al. span duplication
     }
 
 
@@ -1972,6 +1981,20 @@ _HEX8 = " + ".join(
 
 def _baseline_oracle_registry() -> dict[str, str]:
     return {
+        "span_dup_stats": """
+            WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, array_to_string(toks[i:i+3],' ') AS sp
+                  FROM t, unnest(range(1, greatest(len(toks)-4,-1)+2)) AS r(i)),
+            f AS (SELECT sp FROM s GROUP BY sp HAVING count(*) >= 2),
+            tot AS (SELECT doc_id, count(*) AS n_spans FROM s GROUP BY 1),
+            hits AS (SELECT doc_id, count(*) AS nd FROM s
+                     WHERE sp IN (SELECT sp FROM f) GROUP BY doc_id)
+            SELECT tot.doc_id, CAST(tot.n_spans AS BIGINT) AS n_spans,
+                   round(coalesce(hits.nd, 0) * 1.0 / tot.n_spans, 4)
+                       AS dup_span_frac
+            FROM tot LEFT JOIN hits USING (doc_id)
+        """,
         "web_curation": f"""
             WITH p AS (SELECT url, warc_ts, text FROM {_PAGES})
             {{CANON}}

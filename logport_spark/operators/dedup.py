@@ -302,6 +302,42 @@ def canonical_url(url_col: str = "url") -> Column:
     return c
 
 
+def duplicate_span_stats(docs: DataFrame, w: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Span-level duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): the
+    fraction of a document's w-token windows (stride 1, multiplicity
+    preserved) whose content occurs MORE THAN ONCE anywhere in the corpus
+    — the substring-dedup decision signal, computed corpus-wide without a
+    suffix array.
+
+    Plan shape: windows hash to 8-byte xxhash64 immediately (no text
+    crosses a shuffle), corpus frequencies by partial agg on the hash, the
+    ≥2 set semi-joins the window stream back on the hash (the
+    contamination_scan shape), then two per-doc counts. Two shuffles, both
+    keyed on the 64-bit hash — linear at any corpus size. Docs shorter
+    than w tokens have no windows and drop out (same contract as the
+    oracle).
+
+    Output: (doc_id, n_spans, dup_span_frac)."""
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(shingles_expr(text_col, w))).alias("sp"),
+    ).select("doc_id", F.xxhash64("sp").alias("h"))
+    dup = (spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= 2).select("h"))
+    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    hits = (spans.join(dup, "h", "left_semi")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup")))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select("doc_id", "n_spans",
+                F.round(F.coalesce(F.col("n_dup"), F.lit(0))
+                        / F.col("n_spans"), 4).alias("dup_span_frac"))
+    )
+
+
 def canonical_url_py(url: str) -> str:
     """Pure-Python twin of canonical_url — same patterns, same order
     (pytest pins equality against the Spark column on adversarial URLs;

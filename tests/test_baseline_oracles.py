@@ -50,6 +50,7 @@ def test_baselines_match_oracles(spark, duck):
         "line_dedup_corpus", "url_dedup",  # added r4, contract already full
         "strip_boilerplate", "domain_stats", "domain_filter_docs",
         "pack_sequences", "semantic_dedup_pairs", "web_curation",
+        "span_dup_stats",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

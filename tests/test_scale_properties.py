@@ -332,3 +332,48 @@ def test_estimated_pages_sizes_buckets_without_a_count_job(spark):
     assert true_n / 8 <= est <= true_n * 8, (est, true_n)
     assert scaled_buckets(est * EST_RECORDS_PER_PAGE) == \
         scaled_buckets(true_n * EST_RECORDS_PER_PAGE) == 64
+
+
+def test_r4_dedup_plans_avoid_content_key_windows(spark):
+    """The r4 corpus-dedup family must never plan a Window over a content
+    key (line/url) — the hot-key cliff their groupBy+min/max-struct shape
+    exists to avoid — and must keep their exchange counts at the documented
+    minimum (all aggregating, map-side combinable)."""
+    from logport_spark.operators.dedup import (
+        dedup_lines_corpus, strip_boilerplate_lines, url_dedup,
+    )
+
+    pages = spark.read.parquet("/root/repo/data/pages_sf0.01") \
+        .select("url", "warc_ts", "text")
+
+    ld = dedup_lines_corpus(pages.select("url", "text"), id_col="url")
+    plan = ld._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # line agg + rebuild
+
+    ud = url_dedup(pages)
+    plan = ud._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # canon-key agg only
+
+    sb = strip_boilerplate_lines(pages.select("url", "text"), min_docs=20,
+                                 id_col="url")
+    plan = sb._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the boilerplate set must BROADCAST into the anti join, never shuffle
+    # the line stream for the filter
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing is one exchange on the shard key; the running-sum window is
+    partitioned BY shard (bounded per-shard sorts), never a global sort."""
+    from logport_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = pack_sequences(docs, window_tokens=512, n_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert plan.count("windowspecdefinition(shard") == 1

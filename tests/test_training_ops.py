@@ -817,3 +817,22 @@ def test_semantic_dedup_captures_planted_pairs(spark):
     trained_capture = len(pairs_t & planted) / len(planted)
     assert trained_capture >= 0.95, trained_capture
     assert trained_capture >= standin_capture
+
+
+def test_duplicate_span_stats_semantics(spark):
+    """A span is 'duplicated' iff its content occurs >=2 times corpus-wide
+    (cross-doc OR within-doc, multiplicity preserved); docs shorter than w
+    drop out; fractions are per-position."""
+    from logport_spark.operators.dedup import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),        # spans: "a b c", "b c d", "c d e"
+         (2, "x y z a b c"),      # shares "a b c" with doc 1
+         (3, "p q r p q r p q"),  # within-doc repeat: "p q r" x2
+         (4, "t u")],             # < w tokens -> no rows
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_spans, r.dup_span_frac)
+           for r in duplicate_span_stats(docs, w=3).collect()}
+    # doc 3 spans: pqr qrp rpq pqr qrp rpq = each repeated -> frac 1.0
+    assert got == {1: (3, 0.3333), 2: (4, 0.25), 3: (6, 1.0)}
+    assert 4 not in got

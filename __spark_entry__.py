@@ -989,6 +989,9 @@ _ROTATE_IN = [
     "text_repetition",      # Gopher repetition signals — no family twin
     "pii_scrub",            # PII redaction — no family twin
     "stratified_sample",    # deterministic sampling/splits — no family twin
+    "line_dedup_corpus",    # C4 corpus line dedup — no family twin
+    "web_curation",         # end-to-end pages composite — no family twin
+    "semantic_dedup_pairs", # SemDeDup — embedding-space near-dup family
 ]
 _ROTATE_OUT = [
     "dedup_exact",          # family graded via dedup_clusters (same DAG+)
@@ -998,6 +1001,10 @@ _ROTATE_OUT = [
     "mm_frames",            # same decode-oracle family as mm_features
     "q14_promo_revenue",    # join shape graded via q3/q5/q17
     "text_quality",         # every gate graded inside corpus_clean_v2
+    "mm_binary_meta",       # metadata columns re-derived inside mm_features
+    "events_hourly",        # date_trunc+agg shape graded via q1/rollup
+    "daily_running_revenue",  # cumulative window; ranking/gap windows keep
+                              # graded rows (top3, sessionize)
 ]
 
 

@@ -45,17 +45,19 @@ def test_baselines_match_oracles(spark, duck):
     assert set(qs) == set(oracles) == {
         "dedup_ngram_pairs", "dedup_simhash", "dedup_embedding_pairs",
         "ann_topk",
+        # rotated out (family keeps a stronger graded representative)
         "dedup_exact", "lp_grok_access", "doc_fingerprint",
         "mm_resize", "mm_frames", "q14_promo_revenue", "text_quality",
-        "line_dedup_corpus", "url_dedup",  # added r4, contract already full
-        "strip_boilerplate", "domain_stats", "domain_filter_docs",
-        "pack_sequences", "semantic_dedup_pairs", "web_curation",
-        "span_dup_stats",
+        "mm_binary_meta", "events_hourly", "daily_running_revenue",
+        # r4 additions that did not claim a contract slot
+        "url_dedup", "strip_boilerplate", "domain_stats",
+        "domain_filter_docs", "pack_sequences", "span_dup_stats",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",
                  "vocab_topk", "text_repetition", "pii_scrub",
-                 "stratified_sample"):
+                 "stratified_sample", "line_dedup_corpus", "web_curation",
+                 "semantic_dedup_pairs"):
         assert name in entrymod.queries() and name in entrymod.oracle_sql()
     for name, fn in qs.items():
         scols, srows, slists = canon_pandas(fn(spark, SF_DIR).toPandas())

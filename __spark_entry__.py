@@ -892,6 +892,55 @@ def _semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(_emb(spark, sf_dir), threshold=0.44, nlist=16)
 
 
+def _html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → main-text extraction over the raw binary html column (the
+    trafilatura-stage stand-in; 11/1000 sf0.001 and ~1% of sf0.01 pages
+    carry invalid UTF-8 and yield NULLs)."""
+    from logport_spark.operators.parse import html_to_text
+
+    return html_to_text(_pages(spark, sf_dir))
+
+
+def _span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. substring-dedup REMOVAL (w=4, matching span_dup_stats):
+    drop tokens covered by corpus-duplicated windows, rebuild the text."""
+    from logport_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), w=4)
+
+
+def _corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logport_spark.operators.sampling import corpus_shuffle
+
+    return corpus_shuffle(_docs(spark, sf_dir), n_shards=8)
+
+
+def _snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl delta: old/new snapshots carved deterministically
+    out of the pages table by md5 bucket (old = buckets <9000; new =
+    buckets >=2000, with 2000-3999 texts perturbed). Statuses exercised:
+    changed (2000-3999), unchanged (4000-8999), new (9000+)."""
+    from logport_spark.operators.dedup import snapshot_delta
+    from logport_spark.operators.sampling import sample_bucket
+
+    pages = _pages(spark, sf_dir).select("url", "text")
+    b = sample_bucket("url", salt="snap")
+    old = pages.filter(b < 9000)
+    new = (pages.filter(b >= 2000)
+           .withColumn("text",
+                       F.when(b < 4000,
+                              F.concat(F.col("text"), F.lit(" updated")))
+                       .otherwise(F.col("text"))))
+    return snapshot_delta(old, new)
+
+
+def _lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity terciles per language."""
+    from logport_spark.operators.textstats import lm_buckets
+
+    return lm_buckets(_docs(spark, sf_dir))
+
+
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The original 50-slot contract set (pre-rotation; see queries())."""
     return {
@@ -972,6 +1021,11 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_pairs": _semantic_dedup_pairs,  # SemDeDup within-cell
         "web_curation": _web_curation,  # url-dedup + boilerplate + line-dedup
         "span_dup_stats": _span_dup_stats,  # Lee et al. span duplication
+        "html_extract": _html_extract,  # html->text extraction (binary col)
+        "span_dedup_docs": _span_dedup_docs,  # Lee et al. span removal
+        "corpus_shuffle": _corpus_shuffle,  # deterministic shuffle/sharding
+        "snapshot_delta": _snapshot_delta,  # incremental-crawl delta
+        "lm_buckets": _lm_buckets,  # CCNet perplexity terciles
     }
 
 
@@ -2250,6 +2304,134 @@ def _baseline_oracle_registry() -> dict[str, str]:
                     FROM documents)
               WHERE length(tok) > 0 GROUP BY tok)
             WHERE rank <= 100
+        """,
+        # html_extract: DuckDB 1.0 has no null-on-invalid utf8 decode, so
+        # validity is read off the blob cast's \xHH escaping — exact here
+        # because every byte >= 0x80 escapes, literal backslashes escape to
+        # \x5C, and every valid fixture page is pure ASCII (the engine's
+        # is_valid_utf8 agrees on such corpora); decode() is CASE-guarded
+        # (lazy per-row, measured). Strip/entity/whitespace chain mirrors
+        # parse.HTML_* verbatim.
+        "html_extract": f"""
+            WITH v AS (
+              SELECT url,
+                NOT regexp_matches(try_cast(html AS VARCHAR),
+                                   '\\\\x[89A-F][0-9A-F]') AS utf8_valid,
+                CASE WHEN NOT regexp_matches(try_cast(html AS VARCHAR),
+                                             '\\\\x[89A-F][0-9A-F]')
+                     THEN decode(html) END AS s
+              FROM {_PAGES})
+            SELECT url, utf8_valid,
+              regexp_extract(s, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+              body,
+              CAST(length(body) AS INT) AS body_chars
+            FROM (
+              SELECT url, utf8_valid, s,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(
+                      regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(s,
+                        '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+                        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                      '<[^>]*>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                  '[ \\t\\n\\f\\r]+', ' ', 'g')) AS body
+              FROM v)
+        """,
+        # span_dedup_docs: string-span re-derivation of the xxhash64-keyed
+        # engine (w=4, the span_dup_stats window contract)
+        "span_dedup_docs": """
+            WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, i, array_to_string(toks[i:i+3],' ') AS sp
+                  FROM t, unnest(range(1, greatest(len(toks)-4,-1)+2)) AS r(i)),
+            f AS (SELECT sp FROM s GROUP BY sp HAVING count(*) >= 2),
+            ds AS (SELECT doc_id, i AS st FROM s
+                   WHERE sp IN (SELECT sp FROM f)),
+            tok AS (SELECT doc_id, unnest(toks) AS tk,
+                           unnest(generate_series(1, len(toks))) AS p
+                    FROM t),
+            kept AS (
+              SELECT k.doc_id, k.p, k.tk FROM tok k
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ds WHERE ds.doc_id = k.doc_id
+                AND ds.st <= k.p AND k.p < ds.st + 4))
+            SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+                   CAST(len(t.toks) - count(k.p) AS INT) AS n_removed,
+                   coalesce(string_agg(k.tk, ' ' ORDER BY k.p), '')
+                       AS clean_text
+            FROM t LEFT JOIN kept k USING (doc_id)
+            GROUP BY t.doc_id, len(t.toks)
+        """,
+        "corpus_shuffle": f"""
+            WITH t AS (SELECT doc_id,
+                              md5('shuf42' || CAST(doc_id AS VARCHAR)) AS h
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         CAST(({_HEX8.format(h='h')}) % 8 AS INT) AS shard, h
+                  FROM t)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+            FROM s
+        """,
+        # snapshot_delta: old/new carved by the same md5-bucket arithmetic,
+        # canonical chain applied once on the tagged union (CTE names are
+        # single-use), old side collapsed by the same max(struct) order
+        "snapshot_delta": f"""
+            WITH p0 AS (
+              SELECT url, text,
+                     CAST(({_HEX8.format(h="md5('snap' || url)")}) % 10000
+                          AS BIGINT) AS b
+              FROM {_PAGES}),
+            u AS (
+              SELECT 'old' AS side, url, md5(text) AS digest
+              FROM p0 WHERE b < 9000
+              UNION ALL
+              SELECT 'new', url,
+                     md5(CASE WHEN b < 4000 THEN text || ' updated'
+                              ELSE text END)
+              FROM p0 WHERE b >= 2000)
+            {{CANON}}
+            , ok AS (
+              SELECT c AS canon_url, digest AS old_digest FROM (
+                SELECT c, digest, row_number() OVER (
+                    PARTITION BY c ORDER BY url DESC, digest DESC) AS rn
+                FROM canon WHERE side = 'old') WHERE rn = 1)
+            SELECT n.url, n.c AS canon_url,
+                   CASE WHEN ok.old_digest IS NULL THEN 'new'
+                        WHEN ok.old_digest = n.digest THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM (SELECT * FROM canon WHERE side = 'new') n
+            LEFT JOIN ok ON ok.canon_url = n.c
+        """.replace("{CANON}", _canon_url_steps_sql('u')),
+        "lm_buckets": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS tok
+              FROM documents),
+            tk AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+            vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+            tot AS (SELECT sum(c) AS n FROM vocab),
+            lp AS (SELECT tok, log2(c * 1.0 / n) AS lp FROM vocab, tot),
+            sc AS (SELECT doc_id, round(avg(-lp), 4) AS bits_per_token
+                   FROM tk JOIN lp USING (tok) GROUP BY doc_id),
+            sl AS (SELECT sc.doc_id, d.lang, sc.bits_per_token
+                   FROM sc JOIN documents d USING (doc_id)),
+            cuts AS (SELECT lang,
+                            quantile_cont(bits_per_token, {1.0 / 3!r})
+                                AS cut_head,
+                            quantile_cont(bits_per_token, {2.0 / 3!r})
+                                AS cut_mid
+                     FROM sl GROUP BY lang)
+            SELECT sl.doc_id, sl.lang, sl.bits_per_token,
+                   CASE WHEN sl.bits_per_token <= cut_head THEN 'head'
+                        WHEN sl.bits_per_token <= cut_mid THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sl JOIN cuts USING (lang)
         """,
         "corpus_clean_v2": _corpus_clean_v2_sql(),
         "lm_bits": """

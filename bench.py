@@ -66,6 +66,9 @@ def _headline_queries():
         "domain_filter_docs", "pack_sequences",    # r4 curation/packing
         "semantic_dedup_pairs",                    # r4 SemDeDup cells
         "web_curation",                            # r4 end-to-end composite
+        "html_extract", "span_dedup_docs",         # r4 extraction + span dedup
+        "corpus_shuffle", "snapshot_delta",        # r4 export/delta
+        "lm_buckets",                              # r4 CCNet terciles
     ):
         if opt in qs:
             names.append(opt)

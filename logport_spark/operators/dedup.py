@@ -338,6 +338,105 @@ def duplicate_span_stats(docs: DataFrame, w: int = 8,
     )
 
 
+def remove_duplicate_spans(docs: DataFrame, w: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Substring-level dedup REMOVAL (the action half of Lee et al. 2022,
+    arXiv:2107.06499, whose decision signal is duplicate_span_stats): drop
+    from every document each token covered by at least one w-token window
+    whose content occurs >=2 times corpus-wide, and rebuild the text from
+    the surviving tokens. Same window contract as duplicate_span_stats
+    (stride 1, split-on-space tokens, docs shorter than w contribute no
+    windows and keep all tokens).
+
+    Plan shape — no suffix array, three bounded shuffles: (1) windows hash
+    to 8-byte xxhash64 before anything shuffles, corpus frequency by
+    partial agg on the hash; (2) the >=2 set semi-joins the window stream
+    back (the contamination_scan shape) and collapses to a per-doc
+    duplicated-start list (collect_list bounded by windows-per-doc, i.e.
+    doc length); (3) the start list joins back to the doc stream on doc_id
+    and the rebuild is a single JVM higher-order expression
+    (filter+exists over the token array) — no Python, no text ever
+    crosses a shuffle. The per-doc exists() scan is O(tokens x dup-starts)
+    worst case; a pathological fully-duplicated doc pays O(len^2) locally
+    — merging starts into intervals first (sorted, linear) is the
+    documented upgrade if such docs dominate.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text)."""
+    toks_expr = f"split({text_col}, ' ')"
+    wins = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(
+            f"CASE WHEN size({toks_expr}) >= {w} THEN "
+            f"transform(sequence(1, size({toks_expr}) - {w - 1}), "
+            f"i -> struct(i AS s, "
+            f"xxhash64(array_join(slice({toks_expr}, i, {w}), ' ')) AS h)) "
+            f"ELSE array() END")).alias("sw"),
+    ).select("doc_id", F.col("sw.s").alias("s"), F.col("sw.h").alias("h"))
+    dup = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= 2).select("h"))
+    starts = (wins.join(dup, "h", "left_semi")
+              .groupBy("doc_id").agg(F.collect_list("s").alias("ds")))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.expr(toks_expr).alias("toks"))
+    kept = (f"filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS p)), "
+            f"x -> NOT exists(ds, s -> s <= x.p AND x.p < s + {w}))")
+    return (
+        base.join(starts, "doc_id", "left")
+        .withColumn("ds", F.coalesce(F.col("ds"),
+                                     F.array().cast("array<int>")))
+        .withColumn("kept", F.expr(kept))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            (F.size("toks") - F.size("kept")).alias("n_removed"),
+            F.array_join(F.expr("transform(kept, x -> x.t)"), " ")
+             .alias("clean_text"),
+        )
+    )
+
+
+def snapshot_delta(old: DataFrame, new: DataFrame, url_col: str = "url",
+                   text_col: str = "text") -> DataFrame:
+    """Incremental-crawl delta — classify every page of a NEW crawl
+    snapshot against the previous corpus without reprocessing it:
+    ``new`` (canonical URL never seen), ``unchanged`` (seen with identical
+    content digest — skip the whole curation DAG for it), or ``changed``
+    (seen, content moved — re-curate and supersede). The batch complement
+    of the streaming dedup state: how a 10^12-doc corpus ingests a monthly
+    Common-Crawl snapshot as a delta instead of a full rebuild.
+
+    Plan shape: the old corpus collapses to (canon_url, digest) — 48
+    bytes/row, no text — via a deterministic max(struct) partial agg (an
+    already-url-deduped corpus collapses to itself; run url_dedup first to
+    make "newest" the keeper); one equi-join on canon_url against the new
+    snapshot
+    (AQE-broadcastable when the delta is small relative to the corpus;
+    sort-merge with both sides hash-keyed otherwise). Digest = md5(text),
+    a pure row function, so the comparison never ships page bodies.
+
+    Output: (url, canon_url, status) for every new-snapshot page."""
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(url_col).alias("url"),
+            canonical_url(url_col).alias("canon_url"),
+            F.md5(F.col(text_col)).alias("digest"),
+        )
+
+    old_k = (keyed(old).groupBy("canon_url")
+             .agg(F.max(F.struct("url", "digest")).alias("w"))
+             .select("canon_url", F.col("w.digest").alias("old_digest")))
+    return (
+        keyed(new).join(old_k, "canon_url", "left")
+        .select(
+            "url", "canon_url",
+            F.when(F.col("old_digest").isNull(), F.lit("new"))
+             .when(F.col("old_digest") == F.col("digest"), F.lit("unchanged"))
+             .otherwise(F.lit("changed")).alias("status"),
+        )
+    )
+
+
 def canonical_url_py(url: str) -> str:
     """Pure-Python twin of canonical_url — same patterns, same order
     (pytest pins equality against the Spark column on adversarial URLs;

@@ -116,6 +116,68 @@ def jvm_json_quote(col: Column) -> Column:
     return F.when(has_special, q).otherwise(F.concat(F.lit('"'), col, F.lit('"')))
 
 
+# --- HTML → text extraction (the web-corpus step upstream of every text
+# operator). RE2-safe patterns (no backreferences/lookarounds) so the DuckDB
+# oracle runs them verbatim; whitespace is an explicit class because Java's
+# \s includes \x0B where RE2's does not.
+HTML_SCRIPT_RE = "(?is)<script[^>]*>.*?</script>"
+HTML_STYLE_RE = "(?is)<style[^>]*>.*?</style>"
+HTML_COMMENT_RE = "(?s)<!--.*?-->"
+HTML_HEAD_RE = "(?is)<head[^>]*>.*?</head>"
+HTML_TITLE_RE = "(?is)<title[^>]*>(.*?)</title>"
+HTML_TAG_RE = "<[^>]*>"
+HTML_WS_RE = "[ \\t\\n\\f\\r]+"
+# entity decode order is part of the contract: &amp; LAST, so entity-encoded
+# entities ("&amp;lt;") decode one level per pass like a real parser
+HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def html_to_text(pages: DataFrame, html_col: str = "html",
+                 keep_cols: tuple[str, ...] = ("url",)) -> DataFrame:
+    """Main-content extraction from the raw `html: binary` column — the
+    trafilatura/jusText stage of a Common-Crawl pipeline, as a deterministic
+    regex stand-in (title captured first, then the whole head block plus
+    script/style/comments stripped, tags dropped, the six core entities
+    decoded, whitespace collapsed). Pages whose bytes are not valid
+    UTF-8 yield NULL title/body (real pipelines drop undecodable fetches);
+    `utf8_valid` carries the verdict.
+
+    Spark-first shape: `cast(binary AS string)` reinterprets the bytes
+    without validation, `is_valid_utf8` (Spark 4) gates them, and the whole
+    strip/decode chain is JVM regexp/replace inside one WholeStageCodegen
+    span — a narrow map, zero Python, zero shuffle; at 100 TB this runs at
+    scan speed and `html` is read exactly once. The model swap (a real
+    boilerplate-aware extractor) would follow the lang_id_model gate
+    pattern; the column contract is identical.
+
+    Oracle note: DuckDB 1.0 cannot null-on-invalid decode, so the SQL twin
+    detects non-ASCII bytes via the blob cast's \\xHH escaping (exact
+    because every byte >= 0x80 escapes and literal backslashes escape to
+    \\x5C) and CASE-guards `decode()` — equivalent to is_valid_utf8 on this
+    corpus, where every valid page is pure ASCII by construction.
+
+    Output: keep_cols + (utf8_valid, title, body, body_chars)."""
+    s = F.col(html_col).cast("string")
+    valid = F.is_valid_utf8(s)
+    title = F.regexp_extract(s, HTML_TITLE_RE, 1)
+    body = s
+    for pat in (HTML_HEAD_RE, HTML_SCRIPT_RE, HTML_STYLE_RE,
+                HTML_COMMENT_RE):
+        body = F.regexp_replace(body, pat, " ")
+    body = F.regexp_replace(body, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        body = F.replace(body, F.lit(ent), F.lit(ch))
+    body = F.trim(F.regexp_replace(body, HTML_WS_RE, " "))
+    return pages.select(
+        *keep_cols,
+        valid.alias("utf8_valid"),
+        F.when(valid, title).alias("title"),
+        F.when(valid, body).alias("body"),
+        F.when(valid, F.length(body)).cast("int").alias("body_chars"),
+    )
+
+
 @F.pandas_udf(MID_RESULT)
 def json_mid_udf(line: pd.Series) -> pd.DataFrame:
     """JSON-candidate fragment builder — the ONLY Python in the pipeline.

@@ -72,6 +72,39 @@ def train_val_test(df: DataFrame, val_frac: float = 0.01,
     )
 
 
+def corpus_shuffle(df: DataFrame, n_shards: int = 64,
+                   key_col: str = "doc_id",
+                   salt: str = "shuf42") -> DataFrame:
+    """Deterministic global corpus shuffle + sharding — the training-export
+    step that fixes the batch order a pretraining run sees. A plain
+    `orderBy(rand())` is neither reproducible nor scalable (one global
+    sort, seed tied to partitioning); here every doc gets a pure-row-function
+    position: shard = md5-bucket of the key, in-shard position = rank of
+    the full md5 hash — so any engine, any partitioning, any corpus subset
+    produces the identical (shard, pos) assignment, and re-running with a
+    new salt is a fresh epoch-level reshuffle.
+
+    Plan shape: the hash and shard are codegen'd row functions; the only
+    wide operation is the per-shard row_number — n_shards independent
+    bounded sorts (exactly pack_sequences' shape), never a global order.
+    At 10^12 docs set n_shards ~ 100k so a shard sort stays ~10M rows;
+    writers then emit one file per (shard) partition in pos order.
+
+    Output: key + (shard, pos)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy("sort_key", key_col)
+    return (
+        df.select(F.col(key_col), shard.alias("shard"), h.alias("sort_key"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(key_col, "shard", "pos")
+    )
+
+
 def pack_sequences(docs: DataFrame, window_tokens: int = 2048,
                    n_shards: int = 1024, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

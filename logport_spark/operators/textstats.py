@@ -284,6 +284,49 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     )
 
 
+def lm_buckets(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               strata_col: str | None = "lang") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    split each language's documents into head / middle / tail terciles of
+    LM bits-per-token. CCNet keeps `head` (and often `middle`) as the
+    quality-filtered corpus; the bucket column is the mixture knob.
+
+    Composes unigram_logprob (the oracle-able LM stand-in; lm_bits_model
+    is the KenLM-gated swap with the identical column contract) with
+    per-stratum EXACT percentile cuts: the cut table is O(strata) rows —
+    computed with one tiny partial+final agg and broadcast back, so the
+    doc stream pays one hash join against a 2-double row per language and
+    no extra shuffle beyond unigram_logprob's own. At 10^12 docs CCNet
+    computes these cuts from a sample; the exact percentile here is the
+    same single-pass JVM `percentile` that event_value_quantiles pins
+    against quantile_cont.
+
+    Output: (doc_id, [strata], bits_per_token, bucket)."""
+    scores = unigram_logprob(docs, text_col=text_col, id_col=id_col)
+    if strata_col is not None:
+        scores = scores.join(
+            docs.select(F.col(id_col).alias("doc_id"), strata_col), "doc_id")
+        grp = scores.groupBy(strata_col)
+        join_on = [strata_col]
+    else:
+        grp = scores.groupBy()
+        join_on = []
+    cuts = grp.agg(
+        F.percentile("bits_per_token", 1.0 / 3).alias("cut_head"),
+        F.percentile("bits_per_token", 2.0 / 3).alias("cut_mid"),
+    )
+    joined = (scores.join(F.broadcast(cuts), join_on)
+              if join_on else scores.crossJoin(F.broadcast(cuts)))
+    return joined.select(
+        "doc_id", *join_on, "bits_per_token",
+        F.when(F.col("bits_per_token") <= F.col("cut_head"), F.lit("head"))
+         .when(F.col("bits_per_token") <= F.col("cut_mid"), F.lit("middle"))
+         .otherwise(F.lit("tail")).alias("bucket"),
+    )
+
+
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 PII_CARD = "\\b[0-9]{13,16}\\b"

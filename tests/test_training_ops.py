@@ -836,3 +836,113 @@ def test_duplicate_span_stats_semantics(spark):
     # doc 3 spans: pqr qrp rpq pqr qrp rpq = each repeated -> frac 1.0
     assert got == {1: (3, 0.3333), 2: (4, 0.25), 3: (6, 1.0)}
     assert 4 not in got
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """Tokens covered by any corpus-duplicated w-window are removed; short
+    docs and unique docs pass through untouched; within-doc repeats count."""
+    from logport_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),        # "a b c" duplicated (doc 2) -> drop a b c
+         (2, "x y z a b c"),      # tail "a b c" dropped, "x y z" survives?
+         (3, "p q r p q r p q"),  # every window repeated -> all removed
+         (4, "t u"),              # < w tokens: no windows, kept whole
+         (5, "q w e r t")],       # unique windows, kept whole
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in remove_duplicate_spans(docs, w=3).collect()}
+    # doc 2: windows xyz yza zab abc; only "a b c" is duplicated -> tokens
+    # 4..6 covered; "x y z" survives
+    assert got[1] == (5, 3, "d e")
+    assert got[2] == (6, 3, "x y z")
+    assert got[3] == (8, 8, "")
+    assert got[4] == (2, 0, "t u")
+    assert got[5] == (5, 0, "q w e r t")
+
+
+def test_html_to_text_extraction_and_invalid_utf8(spark):
+    """Script/style/comment stripped, tags dropped, entities decoded once,
+    whitespace collapsed; invalid-UTF-8 pages yield NULLs with
+    utf8_valid=false."""
+    from logport_spark.operators.parse import html_to_text
+
+    rows = [
+        (1, bytearray(b"<html><head><title>T1</title>"
+                      b"<script>var x=1;</script><style>p{}</style></head>"
+                      b"<body><!-- c --><p>Hello &amp;\n <b>world</b>"
+                      b" &lt;tag&gt; &#39;q&#39;</p></body></html>")),
+        (2, bytearray(b"plain text no tags")),
+        (3, bytearray(b"<p>bad \xff\xfe bytes</p>")),
+    ]
+    df = spark.createDataFrame(rows, "url long, html binary")
+    got = {r.url: r for r in html_to_text(df, keep_cols=("url",)).collect()}
+    assert got[1].utf8_valid and got[1].title == "T1"
+    assert got[1].body == "Hello & world <tag> 'q'"
+    assert got[1].body_chars == len(got[1].body)
+    assert got[2].utf8_valid and got[2].title == "" \
+        and got[2].body == "plain text no tags"
+    assert not got[3].utf8_valid
+    assert got[3].title is None and got[3].body is None \
+        and got[3].body_chars is None
+
+
+def test_corpus_shuffle_deterministic_and_partition_invariant(spark, docs):
+    """(shard, pos) is a pure function of the key: identical under any
+    input partitioning; positions are contiguous 1..k per shard."""
+    from logport_spark.operators.sampling import corpus_shuffle
+
+    a = {r.doc_id: (r.shard, r.pos)
+         for r in corpus_shuffle(docs, n_shards=8).collect()}
+    b = {r.doc_id: (r.shard, r.pos)
+         for r in corpus_shuffle(docs.repartition(7), n_shards=8).collect()}
+    assert a == b and len(a) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) <= set(range(8))
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+
+
+def test_snapshot_delta_statuses(spark):
+    """new / unchanged / changed classification, with canonical-URL merge:
+    a recrawl under a tracking-param variant still matches its old page."""
+    from logport_spark.operators.dedup import snapshot_delta
+
+    old = spark.createDataFrame(
+        [("https://a.com/1", "alpha"),
+         ("https://a.com/2", "beta"),
+         ("https://a.com/3", "gamma")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("https://a.com/1", "alpha"),            # unchanged
+         ("https://a.com/2?utm_source=x", "beta2"),  # canon match, changed
+         ("https://a.com/4", "delta")],           # never seen
+        "url string, text string")
+    got = {r.url: r.status for r in snapshot_delta(old, new).collect()}
+    assert got == {
+        "https://a.com/1": "unchanged",
+        "https://a.com/2?utm_source=x": "changed",
+        "https://a.com/4": "new",
+    }
+
+
+def test_lm_buckets_order_and_coverage(spark, docs):
+    """Within every language the bucket boundaries are order-consistent
+    (max(head) <= min(middle) <= ... modulo boundary ties) and every doc
+    lands in exactly one bucket."""
+    from logport_spark.operators.textstats import lm_buckets
+
+    rows = lm_buckets(docs).collect()
+    assert len(rows) == docs.count()
+    by_lang: dict[str, dict[str, list[float]]] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, []) \
+            .append(r.bits_per_token)
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}, lang
+        if "head" in buckets and "middle" in buckets:
+            assert max(buckets["head"]) <= min(buckets["middle"]), lang
+        if "middle" in buckets and "tail" in buckets:
+            assert max(buckets["middle"]) <= min(buckets["tail"]), lang

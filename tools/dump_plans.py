@@ -125,6 +125,40 @@ ANNOTATED = {
         "bounded sorts, no global order) → first-fit pack_id as a "
         "codegen'd projection."
     ),
+    "html_extract": (
+        "HTML→text extraction: ZERO exchanges — cast-reinterpret + "
+        "is_valid_utf8 gate + the whole strip/entity/collapse regexp chain "
+        "in one WholeStageCodegen Project over the scan (runtime "
+        "subexpression elimination shares the repeated chain between body "
+        "and body_chars). The plan you want for a scan-speed narrow map "
+        "over 100 TB of html."
+    ),
+    "span_dedup_docs": (
+        "Span-dedup removal: windows hash to xxhash64 pre-shuffle; corpus "
+        "freq = hash-keyed partial+final agg; ≥2 set semi-joins back "
+        "(broadcast at this SF, SMJ at scale); duplicated starts collapse "
+        "per doc (collect_list bounded by doc length); rebuild is a "
+        "codegen'd filter/exists over the token array. Text never crosses "
+        "an exchange."
+    ),
+    "corpus_shuffle": (
+        "Deterministic corpus shuffle: md5/shard/sort_key are pure row "
+        "functions; ONE hashpartitioning exchange on shard feeds per-shard "
+        "Window row_number — n_shards independent bounded sorts, never a "
+        "global order."
+    ),
+    "snapshot_delta": (
+        "Incremental-crawl delta: old side collapses to (canon_url, digest) "
+        "via max(struct) partial agg (no text), then one canon_url join "
+        "(broadcast here; both-sides-keyed SMJ at corpus scale). New-side "
+        "digest is a codegen'd md5 — page bodies never shuffle."
+    ),
+    "lm_buckets": (
+        "CCNet terciles: unigram_logprob's own shuffles (per-doc-distinct "
+        "token join) + an O(langs) percentile cut table BROADCAST back to "
+        "the score stream; the bucket CASE is a codegen'd projection. "
+        "Identical exchange subtrees dedupe via ReuseExchange at runtime."
+    ),
 }
 
 

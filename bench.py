@@ -261,9 +261,55 @@ def dedup_scale_run() -> dict:
                                    docs.filter(F.col("doc_id") % 2 == 1), n=3)
 
     qs["contamination_scan"] = _contamination
+
+    def _html_extract_l(spark, sf_dir):
+        # ladder documents carry no html column; wrap text in a fixed
+        # shell so the measured work is the real strip/entity/collapse
+        # regexp chain over n docs (the encode is one cheap kernel)
+        from pyspark.sql import functions as F
+
+        from logport_spark.operators.parse import html_to_text
+
+        docs = em._docs(spark, sf_dir).select(
+            "doc_id",
+            F.encode(F.concat(
+                F.lit("<html><head><title>t</title></head><body><pre>"),
+                F.col("text"), F.lit("</pre></body></html>")),
+                "UTF-8").alias("html"))
+        return html_to_text(docs, keep_cols=("doc_id",))
+
+    qs["html_extract"] = _html_extract_l
+
+    def _snapshot_delta_l(spark, sf_dir):
+        # same md5-bucket carving as the contract query, over the ladder
+        # documents (doc_id rendered as a url-shaped key)
+        from pyspark.sql import functions as F
+
+        from logport_spark.operators.dedup import snapshot_delta
+        from logport_spark.operators.sampling import sample_bucket
+
+        docs = em._docs(spark, sf_dir).select(
+            F.concat(F.lit("https://d/"), F.col("doc_id").cast("string"))
+             .alias("url"), "text")
+        b = sample_bucket("url", salt="snap")
+        old = docs.filter(b < 9000)
+        new = (docs.filter(b >= 2000)
+               .withColumn("text",
+                           F.when(b < 4000, F.concat(F.col("text"),
+                                                     F.lit(" updated")))
+                           .otherwise(F.col("text"))))
+        return snapshot_delta(old, new)
+
+    qs["snapshot_delta"] = _snapshot_delta_l
     names = ["dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
              "embedding_lsh_pairs", "ann_ivf_topk", "doc_winnow",
-             "corpus_clean", "contamination_scan", "lm_bits"]
+             "corpus_clean", "contamination_scan", "lm_bits",
+             # r4 session-2 additions
+             "html_extract", "span_dedup_docs", "corpus_shuffle",
+             "snapshot_delta", "lm_buckets"]
+    if "--ops" in sys.argv:
+        only = sys.argv[sys.argv.index("--ops") + 1].split(",")
+        names = [n for n in names if n in only]
     sizes = [5_000, 50_000, 500_000]
     spark = get_spark("bench_dedup_scale", cpus=CPUS,
                       shuffle_partitions=max(CPUS, 8))

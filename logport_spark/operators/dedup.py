@@ -354,13 +354,16 @@ def remove_duplicate_spans(docs: DataFrame, w: int = 8,
     partial agg on the hash; (2) the >=2 set semi-joins the window stream
     back (the contamination_scan shape) and collapses to a per-doc
     duplicated-start list (collect_list bounded by windows-per-doc, i.e.
-    doc length); (3) the start list joins back to the doc stream on doc_id
-    and the rebuild is a single JVM higher-order expression
-    (filter+exists over the token array) — no Python, no text ever
-    crosses a shuffle. The per-doc exists() scan is O(tokens x dup-starts)
-    worst case; a pathological fully-duplicated doc pays O(len^2) locally
-    — merging starts into intervals first (sorted, linear) is the
-    documented upgrade if such docs dominate.
+    doc length); (3) the start list joins back to the doc stream on
+    doc_id, the sorted starts merge into covered INTERVALS with one
+    linear aggregate (a heavily-duplicated doc collapses to a handful of
+    intervals), and the rebuild is a single JVM higher-order expression
+    (filter+exists against the merged intervals) — no Python, no text
+    ever crosses a shuffle. Without the merge the coverage test is
+    O(tokens x dup-starts) per doc and interpreter-bound — 792 docs/s on
+    the 50k ladder corpus, where nearly every window is duplicated;
+    merged it is O(tokens x intervals) (measured ~40x faster there,
+    BENCH/BASELINE.md).
 
     Output: (doc_id, n_tokens, n_removed, clean_text)."""
     toks_expr = f"split({text_col}, ' ')"
@@ -379,12 +382,36 @@ def remove_duplicate_spans(docs: DataFrame, w: int = 8,
               .groupBy("doc_id").agg(F.collect_list("s").alias("ds")))
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.expr(toks_expr).alias("toks"))
-    kept = (f"filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS p)), "
-            f"x -> NOT exists(ds, s -> s <= x.p AND x.p < s + {w}))")
+    # Sorted starts -> merged [lo, hi) coverage intervals WITHOUT a fold:
+    # an aggregate() whose accumulator is an array costs a copy per element
+    # (O(starts^2) interpreted — measured 2.4x SLOWER than the naive
+    # exists at 50k docs), so interval boundaries come from shift-and-zip
+    # instead: a start opens an interval iff the previous start is > w
+    # away; closes one iff the next start is. Three O(n) array ops, no
+    # per-element allocation. Fixed width makes running-max ends
+    # unnecessary (s + w is monotone over sorted starts).
+    merge = (
+        f"CASE WHEN size(ds) = 0 THEN "
+        f"CAST(array() AS array<struct<lo:int,hi:int>>) ELSE "
+        f"zip_with("
+        f"  filter(zip_with(sds, "
+        f"    concat(array(CAST(NULL AS INT)), slice(sds, 1, size(sds) - 1)), "
+        f"    (s, prev) -> IF(prev IS NULL OR s > prev + {w}, s, "
+        f"                    CAST(NULL AS INT))), x -> x IS NOT NULL), "
+        f"  filter(zip_with(sds, "
+        f"    concat(slice(sds, 2, size(sds) - 1), array(CAST(NULL AS INT))), "
+        f"    (s, nxt) -> IF(nxt IS NULL OR nxt > s + {w}, s + {w}, "
+        f"                   CAST(NULL AS INT))), x -> x IS NOT NULL), "
+        f"  (lo, hi) -> struct(lo AS lo, hi AS hi)) END"
+    )
+    kept = ("filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS p)), "
+            "x -> NOT exists(iv, v -> v.lo <= x.p AND x.p < v.hi))")
     return (
         base.join(starts, "doc_id", "left")
         .withColumn("ds", F.coalesce(F.col("ds"),
                                      F.array().cast("array<int>")))
+        .withColumn("sds", F.array_sort("ds"))
+        .withColumn("iv", F.expr(merge))
         .withColumn("kept", F.expr(kept))
         .select(
             "doc_id",

@@ -377,3 +377,47 @@ def test_pack_sequences_single_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan  # no global sort
     assert plan.count("windowspecdefinition(shard") == 1
+
+
+def test_html_extract_plan_is_exchange_free_codegen(spark):
+    """html_to_text must be a scan-speed narrow map: zero exchanges, zero
+    Python evals — the whole strip/entity/collapse chain lives in one
+    codegen'd Project over the scan."""
+    from logport_spark.operators.parse import html_to_text
+
+    pages = spark.read.parquet("/root/repo/data/pages_sf0.01")
+    plan = html_to_text(pages)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # no Arrow/Batch Python stage
+    assert plan.lstrip().startswith("*(1) Project")  # codegen'd, one stage
+
+
+def test_r4_session2_plans_stay_agg_shaped(spark):
+    """The new curation ops keep the skew-proof shapes: no Window over a
+    content key, no global (range) sort anywhere; corpus_shuffle is ONE
+    shard-keyed exchange with per-shard bounded sorts."""
+    from logport_spark.operators.dedup import (
+        remove_duplicate_spans, snapshot_delta,
+    )
+    from logport_spark.operators.sampling import corpus_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    rs = remove_duplicate_spans(docs, w=4)
+    plan = rs._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+    pages = spark.read.parquet("/root/repo/data/pages_sf0.01") \
+        .select("url", "text")
+    sd = snapshot_delta(pages.limit(500), pages.limit(800))
+    plan = sd._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # old side collapses via max(struct) agg
+    assert "Exchange rangepartitioning" not in plan
+
+    cs = corpus_shuffle(docs, n_shards=8)
+    plan = cs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # never a global sort
+    assert plan.count("windowspecdefinition(shard") == 1

@@ -496,6 +496,22 @@ def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", sample_bucket().cast("int").alias("sample_bucket"))
 
 
+def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced domain mix (operators/sampling.py:domain_mix):
+    keep rate sqrt(min_domain_count / domain_count) per domain — flattens
+    the hot-domain skew (hot.example.com carries 26x the median domain at
+    sf0.01) without upsampling. alpha is pinned at 0.5 so the threshold
+    uses only IEEE correctly-rounded ops and the DuckDB oracle recomputes
+    the identical integer; membership is the module's pure-row md5 bucket
+    (digit-arithmetic oracle, like stratified_sample)."""
+    from logport_spark.operators.enrich import with_domain
+    from logport_spark.operators.sampling import domain_mix
+
+    pages = with_domain(_pages(spark, sf_dir)).select("url", "domain")
+    return domain_mix(pages, domain_col="domain", key_col="url",
+                      salt="mix42")
+
+
 def _lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter stand-in (textstats.py:unigram_logprob): mean
     -log2 p(token) under the corpus's own unigram distribution."""
@@ -1026,6 +1042,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": _corpus_shuffle,  # deterministic shuffle/sharding
         "snapshot_delta": _snapshot_delta,  # incremental-crawl delta
         "lm_buckets": _lm_buckets,  # CCNet perplexity terciles
+        "domain_mix": _domain_mix,  # temperature-rebalanced domain mix
     }
 
 
@@ -2448,6 +2465,31 @@ def _baseline_oracle_registry() -> dict[str, str]:
             FROM tk JOIN lp USING (tok)
             GROUP BY doc_id
         """,
+        # temperature mix: thresholds from IEEE-exact sqrt/divide only (no
+        # pow — libm ulp differences could flip a floor at a boundary);
+        # bucket is the same digit-arithmetic md5 as stratified_sample
+        "domain_mix": (lambda coefs: f"""
+            WITH p AS (
+              SELECT url, split_part(split_part(url, '://', 2), '/', 1)
+                         AS domain
+              FROM {_PAGES}),
+            c AS (SELECT domain, count(*) AS c FROM p GROUP BY 1),
+            m AS (SELECT min(c) AS mn FROM c),
+            t AS (SELECT domain,
+                         CAST(floor(sqrt(CAST(mn AS DOUBLE) / c) * 10000)
+                              AS INT) AS mix_thr
+                  FROM c, m),
+            b AS (
+              SELECT url, domain,
+                     CAST(CAST(({' + '.join(
+                         f"(strpos('0123456789abcdef', substr(md5('mix42' || url), {j + 1}, 1)) - 1) * {c}"
+                         for j, c in enumerate(coefs))}) % 10000 AS BIGINT)
+                         AS INT) AS mix_bucket
+              FROM p)
+            SELECT b.url, b.domain, t.mix_thr, b.mix_bucket
+            FROM b JOIN t USING (domain)
+            WHERE b.mix_bucket < t.mix_thr
+        """)([16 ** (7 - j) for j in range(8)]),
         # md5-prefix bucket recomputed digit-by-digit (no conv() in DuckDB);
         # coefficients are exact integer literals
         "stratified_sample": (lambda coefs: f"""

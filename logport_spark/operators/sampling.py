@@ -72,6 +72,46 @@ def train_val_test(df: DataFrame, val_frac: float = 0.01,
     )
 
 
+def domain_mix(df: DataFrame, domain_col: str = "domain",
+               key_col: str = "doc_id", salt: str = "mix42") -> DataFrame:
+    """Temperature-rebalanced domain mix (alpha = 0.5) — the training-mix
+    step that flattens a web corpus' domain skew without upsampling: a
+    domain with count c keeps rate sqrt(min_c / c), so kept counts go as
+    sqrt(c) (the multilingual "temperature sampling" rule with T = 2) and
+    the rarest domain keeps everything. Membership stays the pure-row
+    md5-bucket function of this module, so the kept set is identical on
+    any partitioning, cluster size, or engine.
+
+    alpha is pinned at 0.5 on purpose: the rate then needs only IEEE
+    correctly-rounded operations (long->double cast, divide, sqrt,
+    multiply, floor), so an external SQL engine recomputing the threshold
+    gets the bit-identical integer — a pow()-based general temperature
+    is libm-dependent in its last ulp and can flip a floor() at a bucket
+    boundary.
+
+    Plan shape: one partial-aggregating shuffle on the domain key to get
+    counts, a 1-row min() broadcast onto the (tiny) domain table, and a
+    broadcast join of the per-domain thresholds back onto the corpus —
+    the doc stream itself never shuffles, the filter is a broadcast-fed
+    Filter any 100 TB scan absorbs.
+
+    Output: kept rows + (mix_bucket, mix_thr) for auditability."""
+    cnts = df.groupBy(F.col(domain_col).alias("_d")).agg(
+        F.count(F.lit(1)).alias("_c"))
+    mn = cnts.agg(F.min("_c").alias("_mn"))
+    thr = cnts.crossJoin(F.broadcast(mn)).select(
+        "_d",
+        F.floor(F.sqrt(F.col("_mn").cast("double") / F.col("_c"))
+                * F.lit(SAMPLE_BUCKETS)).cast("int").alias("mix_thr"))
+    b = sample_bucket(key_col, salt).cast("int")
+    return (
+        df.join(F.broadcast(thr), df[domain_col] == thr["_d"])
+        .drop("_d")
+        .withColumn("mix_bucket", b)
+        .filter(F.col("mix_bucket") < F.col("mix_thr"))
+    )
+
+
 def corpus_shuffle(df: DataFrame, n_shards: int = 64,
                    key_col: str = "doc_id",
                    salt: str = "shuf42") -> DataFrame:

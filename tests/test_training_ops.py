@@ -946,3 +946,39 @@ def test_lm_buckets_order_and_coverage(spark, docs):
             assert max(buckets["head"]) <= min(buckets["middle"]), lang
         if "middle" in buckets and "tail" in buckets:
             assert max(buckets["middle"]) <= min(buckets["tail"]), lang
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    """Temperature mix (alpha=0.5): the rarest domain keeps everything,
+    a domain with k^2 x the min count keeps ~1/k of its docs, membership
+    is partition-invariant, and the doc stream itself never shuffles
+    (counts shuffle; docs only see a broadcast-fed filter)."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.sampling import domain_mix
+
+    rows, i = [], 0
+    for dom, n in [("big.com", 6400), ("mid.com", 400), ("rare.com", 100)]:
+        rows += [(f"d{j}", dom) for j in range(i, i + n)]
+        i += n
+    df = spark.createDataFrame(rows, "doc_id string, domain string")
+
+    kept = domain_mix(df, domain_col="domain", key_col="doc_id")
+    by_dom = {r["domain"]: r["n"] for r in
+              kept.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    # rare domain: rate floor(sqrt(1)*10000)=10000 -> keeps all 100
+    assert by_dom["rare.com"] == 100
+    # mid: sqrt(100/400)=0.5 -> ~200 of 400; big: sqrt(100/6400)=0.125 -> ~800
+    assert abs(by_dom["mid.com"] - 200) < 60
+    assert abs(by_dom["big.com"] - 800) < 120
+
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in
+         domain_mix(df.repartition(13), domain_col="domain",
+                    key_col="doc_id").collect()}
+    assert a == b
+
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # exactly the domain-count aggregation exchanges; docs join via broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

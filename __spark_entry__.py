@@ -512,6 +512,25 @@ def _domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       salt="mix42")
 
 
+def _lm_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style trigram count table with singleton pruning
+    (textstats.py:ngram_counts): the artifact CCNet trains its filter LM
+    from — one JVM gram expression, one partial+final count on the gram
+    key, Zipf tail pruned before it is written."""
+    from logport_spark.operators.textstats import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), n=3, min_count=2)
+
+
+def _lm_bits2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM score (textstats.py:bigram_logprob),
+    self-trained: lm_bits' column contract at bigram order — per-doc
+    distinct transitions are the only join input."""
+    from logport_spark.operators.textstats import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def _lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter stand-in (textstats.py:unigram_logprob): mean
     -log2 p(token) under the corpus's own unigram distribution."""
@@ -1043,6 +1062,8 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": _snapshot_delta,  # incremental-crawl delta
         "lm_buckets": _lm_buckets,  # CCNet perplexity terciles
         "domain_mix": _domain_mix,  # temperature-rebalanced domain mix
+        "lm_ngrams": _lm_ngrams,  # KenLM-style pruned trigram counts
+        "lm_bits2": _lm_bits2,  # bigram stupid-backoff LM score
     }
 
 
@@ -2464,6 +2485,47 @@ def _baseline_oracle_registry() -> dict[str, str]:
                    round(avg(-lp), 4) AS bits_per_token
             FROM tk JOIN lp USING (tok)
             GROUP BY doc_id
+        """,
+        "lm_ngrams": """
+            WITH t AS (
+              SELECT list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) AS toks
+              FROM documents),
+            g AS (
+              SELECT unnest(CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [] END) AS ngram
+              FROM t)
+            SELECT ngram, count(*) AS cnt
+            FROM g GROUP BY 1 HAVING count(*) >= 2
+        """,
+        # self-trained stupid backoff: every doc bigram is in the count
+        # table by construction, so the backoff branch is provably dead
+        # and the oracle scores via the inner join alone
+        "lm_bits2": """
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split(text, ' '),
+                                         x -> length(x) > 0) AS toks
+              FROM documents),
+            tr AS (
+              SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+                     unnest(toks[2:len(toks)]) AS w2
+              FROM t WHERE len(toks) >= 2),
+            dp AS (SELECT doc_id, w1, w2, count(*) AS tc
+                   FROM tr GROUP BY 1, 2, 3),
+            bg AS (SELECT w1, w2, sum(tc) AS c12 FROM dp GROUP BY 1, 2),
+            tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            uni AS (SELECT tok, count(*) AS c FROM tok
+                    WHERE length(tok) > 0 GROUP BY 1),
+            sc AS (SELECT dp.doc_id, dp.tc,
+                          log2(bg.c12 * 1.0 / u1.c) AS lp
+                   FROM dp JOIN bg USING (w1, w2)
+                   JOIN uni u1 ON u1.tok = dp.w1)
+            SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_scored,
+                   round(sum(tc * -lp) / sum(tc), 4) AS bits_per_token
+            FROM sc GROUP BY doc_id
         """,
         # temperature mix: thresholds from IEEE-exact sqrt/divide only (no
         # pow — libm ulp differences could flip a floor at a boundary);

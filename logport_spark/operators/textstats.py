@@ -284,6 +284,113 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_counts(docs: DataFrame, n: int = 3, min_count: int = 1,
+                 text_col: str = "text") -> DataFrame:
+    """KenLM-style n-gram count table with count pruning — the artifact an
+    LM-filter pipeline actually trains (CCNet builds its KenLM from these
+    counts; contamination scans and repetition stats are the same table at
+    different n). Output: (ngram, cnt) with cnt >= min_count.
+
+    Plan shape: the gram list is built per row by one JVM higher-order
+    expression (no Python, no shuffle), and the only wide operation is the
+    partial+final count on the gram key — vocab_topk's shape generalized,
+    combiner-friendly, with min_count pruning cutting the long Zipf tail
+    BEFORE it is ever written (KenLM's own pruning rationale: singleton
+    n-grams dominate the table but carry no filter signal).
+
+    Guard: Spark's sequence(1, k) DESCENDS for k < 1, so short docs go
+    through an explicit empty-array branch instead."""
+    grams = (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n} + 1), "
+        f"i -> array_join(slice(toks, i, {n}), ' ')) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return (
+        docs.select(F.filter(F.split(F.col(text_col), " "),
+                             lambda t: F.length(t) > 0).alias("toks"))
+        .select(F.explode(F.expr(grams)).alias("ngram"))
+        .groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def bigram_logprob(docs: DataFrame, ref: DataFrame | None = None,
+                   alpha: float = 0.4, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Bigram LM quality score with stupid backoff (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the strictly
+    sharper version of unigram_logprob's CCNet-style filter: per-doc mean
+    -log2 S(w2|w1) over the doc's token transitions, where
+    S(w2|w1) = c(w1 w2)/c(w1) if the bigram is in the model else
+    alpha * c(w2)/N. Counts train on `ref` (default: the corpus itself —
+    fully oracle-able; with a held-out reference the backoff branch goes
+    live, same plan).
+
+    Plan shape: transitions come from a zip of two array slices (JVM, no
+    sequence/posexplode), and every join input is PER-DOC DISTINCT
+    transitions/tokens — the unigram_logprob lesson applied from the
+    start, so "of the" crosses the (w1, w2)-keyed shuffle once per doc,
+    not once per use. Three token-keyed hash joins (bigram, w1-count,
+    w2-count), all partial-aggregated, all linear in corpus size.
+
+    Docs with < 2 tokens have no transitions and are absent from the
+    output (n_scored would be 0). A w2 unseen in `ref` backs off with
+    pseudo-count 1 (the KenLM-unk analogue) — a null there would be
+    silently skipped by sum() and dilute the mean. Output: (doc_id,
+    n_scored, bits_per_token) — lm_bits' column contract at bigram
+    order."""
+    def _pairs(df: DataFrame) -> DataFrame:
+        toks = F.filter(F.split(F.col(text_col), " "),
+                        lambda t: F.length(t) > 0)
+        z = ("arrays_zip(slice(toks, 1, size(toks) - 1), "
+             "slice(toks, 2, size(toks) - 1))")
+        return (
+            df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+            .filter(F.size("toks") >= 2)
+            .select("doc_id", F.explode(F.expr(z)).alias("p"))
+            .select("doc_id", F.col("p.0").alias("w1"),
+                    F.col("p.1").alias("w2"))
+        )
+
+    ref_pairs = _pairs(ref) if ref is not None else None
+    doc_pairs = _pairs(docs).groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tc"))
+    train = (ref_pairs.groupBy("w1", "w2").agg(
+                 F.count(F.lit(1)).alias("c12"))
+             if ref_pairs is not None else
+             doc_pairs.groupBy("w1", "w2").agg(F.sum("tc").alias("c12")))
+    ref_toks = ((ref if ref is not None else docs).select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.length("tok") > 0))
+    uni = ref_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").alias("n"))
+    scored = (
+        doc_pairs
+        .join(train, ["w1", "w2"], "left")
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")),
+              "w1", "left")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")),
+              "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp",
+            F.when(F.col("c12").isNotNull(),
+                   F.log2(F.col("c12") / F.col("c1")))
+            .otherwise(F.log2(F.lit(alpha)
+                              * F.coalesce(F.col("c2"), F.lit(1))
+                              / F.col("n"))))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tc").alias("n_scored"),
+            F.round(F.sum(F.col("tc") * -F.col("lp")) / F.sum("tc"), 4)
+             .alias("bits_per_token"),
+        )
+    )
+
+
 def lm_buckets(docs: DataFrame, text_col: str = "text",
                id_col: str = "doc_id",
                strata_col: str | None = "lang") -> DataFrame:

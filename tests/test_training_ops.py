@@ -982,3 +982,41 @@ def test_domain_mix_rates_and_determinism(spark):
     # exactly the domain-count aggregation exchanges; docs join via broadcast
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bigram_logprob_backoff_semantics(spark):
+    """Hand-computed stupid-backoff scores against an external reference:
+    seen bigrams score c12/c1; unseen bigrams back off to alpha*c(w2)/N;
+    an OOV w2 backs off with pseudo-count 1 instead of a null that
+    sum() would silently skip."""
+    import math
+
+    from logport_spark.operators.textstats import bigram_logprob
+
+    ref = spark.createDataFrame([("r1", "x y x y z")],
+                                "doc_id string, text string")
+    docs = spark.createDataFrame(
+        [("a", "x y"),      # seen bigram: S = c(x y)/c(x) = 2/2 = 1
+         ("b", "z x"),      # unseen bigram: S = 0.4 * c(x)/N = 0.4*2/5
+         ("c", "z qq")],    # OOV w2: S = 0.4 * 1/N
+        "doc_id string, text string")
+    got = {r.doc_id: (r.n_scored, r.bits_per_token)
+           for r in bigram_logprob(docs, ref=ref).collect()}
+    assert got["a"] == (1, 0.0)
+    assert got["b"] == (1, round(-math.log2(0.4 * 2 / 5), 4))
+    assert got["c"] == (1, round(-math.log2(0.4 * 1 / 5), 4))
+
+
+def test_ngram_counts_short_doc_guard(spark):
+    """Docs shorter than n contribute nothing (the sequence() descending
+    pitfall is guarded); counts and pruning are exact."""
+    from logport_spark.operators.textstats import ngram_counts
+
+    df = spark.createDataFrame(
+        [("a", "p q r p q r"), ("b", "p q"), ("c", "")],
+        "doc_id string, text string")
+    got = {r.ngram: r.cnt for r in ngram_counts(df, n=3).collect()}
+    assert got == {"p q r": 2, "q r p": 1, "r p q": 1}
+    pruned = {r.ngram: r.cnt
+              for r in ngram_counts(df, n=3, min_count=2).collect()}
+    assert pruned == {"p q r": 2}

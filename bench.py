@@ -69,6 +69,7 @@ def _headline_queries():
         "html_extract", "span_dedup_docs",         # r4 extraction + span dedup
         "corpus_shuffle", "snapshot_delta",        # r4 export/delta
         "lm_buckets",                              # r4 CCNet terciles
+        "domain_mix", "lm_bits2", "lm_ngrams",     # r4 mix + bigram LM
     ):
         if opt in qs:
             names.append(opt)
@@ -306,7 +307,7 @@ def dedup_scale_run() -> dict:
              "corpus_clean", "contamination_scan", "lm_bits",
              # r4 session-2 additions
              "html_extract", "span_dedup_docs", "corpus_shuffle",
-             "snapshot_delta", "lm_buckets"]
+             "snapshot_delta", "lm_buckets", "lm_bits2"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -159,6 +159,26 @@ ANNOTATED = {
         "the score stream; the bucket CASE is a codegen'd projection. "
         "Identical exchange subtrees dedupe via ReuseExchange at runtime."
     ),
+    "domain_mix": (
+        "Temperature mix: ONE tiny partial+final count on the domain key, "
+        "a 1-row min() broadcast-nested-loop onto the domain table, and a "
+        "BroadcastHashJoin feeding the md5-bucket Filter — the page stream "
+        "itself never exchanges; at 100 TB the only shuffled bytes are "
+        "(domain, count) pairs."
+    ),
+    "lm_ngrams": (
+        "KenLM count table: gram list built in the scan's codegen span "
+        "(transform/slice/array_join), explode, ONE partial+final count on "
+        "the gram key with the HAVING filter applied post-final — the "
+        "singleton tail is combined map-side and never written."
+    ),
+    "lm_bits2": (
+        "Bigram stupid backoff: transitions zip two array slices in "
+        "codegen; (doc_id, w1, w2) pre-aggregation makes every downstream "
+        "join input per-doc distinct, so the three token-keyed hash joins "
+        "(bigram counts, c1, c2) see Zipf hot keys once per doc. The "
+        "bigram count table derives FROM the pre-agg via ReuseExchange."
+    ),
 }
 
 

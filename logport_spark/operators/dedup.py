@@ -340,7 +340,8 @@ def duplicate_span_stats(docs: DataFrame, w: int = 8,
 
 def remove_duplicate_spans(docs: DataFrame, w: int = 8,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           merge_threshold: int = 256) -> DataFrame:
     """Substring-level dedup REMOVAL (the action half of Lee et al. 2022,
     arXiv:2107.06499, whose decision signal is duplicate_span_stats): drop
     from every document each token covered by at least one w-token window
@@ -355,15 +356,25 @@ def remove_duplicate_spans(docs: DataFrame, w: int = 8,
     back (the contamination_scan shape) and collapses to a per-doc
     duplicated-start list (collect_list bounded by windows-per-doc, i.e.
     doc length); (3) the start list joins back to the doc stream on
-    doc_id, the sorted starts merge into covered INTERVALS with one
-    linear aggregate (a heavily-duplicated doc collapses to a handful of
-    intervals), and the rebuild is a single JVM higher-order expression
-    (filter+exists against the merged intervals) — no Python, no text
-    ever crosses a shuffle. Without the merge the coverage test is
-    O(tokens x dup-starts) per doc and interpreter-bound — 792 docs/s on
-    the 50k ladder corpus, where nearly every window is duplicated;
-    merged it is O(tokens x intervals) (measured ~40x faster there,
-    BENCH/BASELINE.md).
+    doc_id and the rebuild is a single JVM higher-order expression — no
+    Python, no text ever crosses a shuffle.
+
+    The rebuild is ADAPTIVE per row. The direct coverage test is
+    O(tokens x dup-starts); on real web docs dup-start lists are short
+    (500k ladder corpus: mean 38, max 77 starts/doc) and the direct scan
+    WINS — a measured quiet-box A/B at 500k has it 2.3x faster (19.2s vs
+    44.7s) than unconditionally merging starts into intervals first,
+    because the merge's three extra array constructions cost more than
+    they save at that density (BENCH/BASELINE.md "span-rebuild A/B").
+    But a pathological doc (length L, ~L duplicated starts) makes the
+    direct scan O(L^2) — a 100k-token fully-duplicated book is 10^10
+    comparisons. So rows with more than `merge_threshold` starts take
+    the interval path: sorted starts collapse to [lo, hi) coverage
+    intervals via shift-and-zip (three O(k) array ops — NOT aggregate(),
+    whose per-element accumulator copies are O(k^2) interpreted and
+    measured slower), bounding the rebuild at O(L x intervals). Both
+    branches live in one CASE, evaluated lazily per row: typical rows
+    never pay the merge, pathological rows never pay the quadratic scan.
 
     Output: (doc_id, n_tokens, n_removed, clean_text)."""
     toks_expr = f"split({text_col}, ' ')"
@@ -378,21 +389,12 @@ def remove_duplicate_spans(docs: DataFrame, w: int = 8,
     ).select("doc_id", F.col("sw.s").alias("s"), F.col("sw.h").alias("h"))
     dup = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
            .filter(F.col("c") >= 2).select("h"))
-    starts = (wins.join(dup, "h", "left_semi")
-              .groupBy("doc_id").agg(F.collect_list("s").alias("ds")))
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       F.expr(toks_expr).alias("toks"))
-    # Sorted starts -> merged [lo, hi) coverage intervals WITHOUT a fold:
-    # an aggregate() whose accumulator is an array costs a copy per element
-    # (O(starts^2) interpreted — measured 2.4x SLOWER than the naive
-    # exists at 50k docs), so interval boundaries come from shift-and-zip
-    # instead: a start opens an interval iff the previous start is > w
-    # away; closes one iff the next start is. Three O(n) array ops, no
-    # per-element allocation. Fixed width makes running-max ends
-    # unnecessary (s + w is monotone over sorted starts).
+    # Interval path (pathological rows only): sorted starts -> merged
+    # [lo, hi) coverage intervals via shift-and-zip — a start opens an
+    # interval iff the previous start is > w away; closes one iff the
+    # next start is. Fixed width makes running-max ends unnecessary
+    # (s + w is monotone over sorted starts).
     merge = (
-        f"CASE WHEN size(ds) = 0 THEN "
-        f"CAST(array() AS array<struct<lo:int,hi:int>>) ELSE "
         f"zip_with("
         f"  filter(zip_with(sds, "
         f"    concat(array(CAST(NULL AS INT)), slice(sds, 1, size(sds) - 1)), "
@@ -402,16 +404,36 @@ def remove_duplicate_spans(docs: DataFrame, w: int = 8,
         f"    concat(slice(sds, 2, size(sds) - 1), array(CAST(NULL AS INT))), "
         f"    (s, nxt) -> IF(nxt IS NULL OR nxt > s + {w}, s + {w}, "
         f"                   CAST(NULL AS INT))), x -> x IS NOT NULL), "
-        f"  (lo, hi) -> struct(lo AS lo, hi AS hi)) END"
+        f"  (lo, hi) -> struct(lo AS lo, hi AS hi))"
     )
-    kept = ("filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS p)), "
-            "x -> NOT exists(iv, v -> v.lo <= x.p AND x.p < v.hi))")
+    # iv is built BEFORE the doc join, on the one-row-per-doc starts side:
+    # a column computed after the join and referenced once gets inlined by
+    # CollapseProject into the rebuild lambda's body and RE-EVALUATED PER
+    # TOKEN (measured: the inlined merge turned the interval path into
+    # O(tokens x starts x log starts) — slower than the quadratic scan it
+    # exists to replace). Crossing the join boundary materializes iv once
+    # per doc. The CASE guard keeps the merge unevaluated for typical rows.
+    starts = (
+        wins.join(dup, "h", "left_semi")
+        .groupBy("doc_id").agg(F.sort_array(F.collect_list("s")).alias("sds"))
+        .withColumn(
+            "iv",
+            F.expr(f"CASE WHEN size(sds) > {merge_threshold} THEN {merge} "
+                   f"ELSE CAST(array() AS array<struct<lo:int,hi:int>>) END"))
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.expr(toks_expr).alias("toks"))
+    kept = (
+        f"CASE WHEN size(ds) <= {merge_threshold} THEN "
+        f"filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS p)), "
+        f"x -> NOT exists(ds, s -> s <= x.p AND x.p < s + {w})) "
+        f"ELSE filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS p)), "
+        f"x -> NOT exists(iv, v -> v.lo <= x.p AND x.p < v.hi)) END"
+    )
     return (
         base.join(starts, "doc_id", "left")
-        .withColumn("ds", F.coalesce(F.col("ds"),
+        .withColumn("ds", F.coalesce(F.col("sds"),
                                      F.array().cast("array<int>")))
-        .withColumn("sds", F.array_sort("ds"))
-        .withColumn("iv", F.expr(merge))
         .withColumn("kept", F.expr(kept))
         .select(
             "doc_id",

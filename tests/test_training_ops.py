@@ -1020,3 +1020,27 @@ def test_ngram_counts_short_doc_guard(spark):
     pruned = {r.ngram: r.cnt
               for r in ngram_counts(df, n=3, min_count=2).collect()}
     assert pruned == {"p q r": 2}
+
+
+def test_remove_duplicate_spans_adaptive_paths_agree(spark, docs):
+    """The per-row adaptive rebuild (direct exists vs merged intervals) is
+    an internal strategy choice: forcing every row down the interval path
+    (merge_threshold=0) must produce the identical corpus, and a
+    pathological fully-duplicated doc (starts > threshold) takes the
+    interval path without changing semantics."""
+    from logport_spark.operators.dedup import remove_duplicate_spans
+
+    a = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+         for r in remove_duplicate_spans(docs, w=4).collect()}
+    b = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+         for r in remove_duplicate_spans(docs, w=4,
+                                         merge_threshold=0).collect()}
+    assert a == b
+
+    body = " ".join(["dup tok run go"] * 150)   # 600 tokens, all duplicated
+    pat = spark.createDataFrame(
+        [(1, body), (2, body), (3, "unique words only here")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed)
+           for r in remove_duplicate_spans(pat, w=4).collect()}
+    assert got == {1: (600, 600), 2: (600, 600), 3: (4, 0)}

@@ -46,10 +46,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
-    """Distinct token n-gram shingles per doc."""
+    """Distinct token n-gram shingles per doc. Tokens materialize as a
+    column first so the shingle lambda reads an attribute — an inline
+    split() would re-tokenize the doc once per window (quadratic in doc
+    length; see shingles_expr)."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.expr(shingles_expr(text_col, n)))).alias("sh"),
+        F.expr(f"split({text_col},' ')").alias("_toks"),
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.expr(shingles_expr(text_col, n, toks_col="_toks")))).alias("sh"),
     )
 
 
@@ -323,7 +330,11 @@ def duplicate_span_stats(docs: DataFrame, w: int = 8,
     Output: (doc_id, n_spans, dup_span_frac)."""
     spans = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.expr(shingles_expr(text_col, w))).alias("sp"),
+        F.expr(f"split({text_col},' ')").alias("_toks"),
+    ).select(
+        "doc_id",
+        F.explode(F.expr(shingles_expr(text_col, w,
+                                       toks_col="_toks"))).alias("sp"),
     ).select("doc_id", F.xxhash64("sp").alias("h"))
     dup = (spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
            .filter(F.col("c") >= 2).select("h"))
@@ -378,13 +389,18 @@ def remove_duplicate_spans(docs: DataFrame, w: int = 8,
 
     Output: (doc_id, n_tokens, n_removed, clean_text)."""
     toks_expr = f"split({text_col}, ' ')"
+    # tokens materialize before the window lambda (an inline split would
+    # re-tokenize per window — quadratic; see shingles_expr)
     wins = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.expr(toks_expr).alias("_toks"),
+    ).select(
+        "doc_id",
         F.explode(F.expr(
-            f"CASE WHEN size({toks_expr}) >= {w} THEN "
-            f"transform(sequence(1, size({toks_expr}) - {w - 1}), "
+            f"CASE WHEN size(_toks) >= {w} THEN "
+            f"transform(sequence(1, size(_toks) - {w - 1}), "
             f"i -> struct(i AS s, "
-            f"xxhash64(array_join(slice({toks_expr}, i, {w}), ' ')) AS h)) "
+            f"xxhash64(array_join(slice(_toks, i, {w}), ' ')) AS h)) "
             f"ELSE array() END")).alias("sw"),
     ).select("doc_id", F.col("sw.s").alias("s"), F.col("sw.h").alias("h"))
     dup = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("c"))

@@ -108,12 +108,20 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles_expr(text_col: str, n: int) -> str:
+def shingles_expr(text_col: str, n: int, toks_col: str | None = None) -> str:
     """SQL expr: array of n-gram token shingles (space-joined).
 
     Guarded for docs shorter than n tokens — Spark's sequence(1, 0) counts
-    DOWN ([1, 0]), so an unguarded expression would emit bogus shingles."""
-    toks = f"split({text_col},' ')"
+    DOWN ([1, 0]), so an unguarded expression would emit bogus shingles.
+
+    ALWAYS pass `toks_col` (the name of a materialized token-array column)
+    on a hot path: the token array is referenced inside the per-window
+    lambda, and a non-attribute expression there is re-evaluated for EVERY
+    window — the inline split() turns shingling quadratic in doc length
+    (measured 15x slower on 2,000-token docs, BENCH/BASELINE.md
+    "HOF-lambda re-evaluation"). The inline default survives only for
+    oracle-parity snippets and tiny fixtures."""
+    toks = toks_col or f"split({text_col},' ')"
     return (
         f"CASE WHEN size({toks}) >= {n} THEN "
         f"transform(sequence(1, size({toks}) - {n - 1}),"
@@ -138,19 +146,20 @@ def winnow(df: DataFrame, text_col: str = "text", k: int = 4,
     raw text. Output: n_fp (selected count) + fp_digest (md5 of the sorted
     selected set) — the set itself stays an internal array so the driver
     canon sees scalars."""
-    toks = f"split({text_col},' ')"
     grams = (
-        f"CASE WHEN size({toks}) >= {k} THEN "
-        f"transform(sequence(1, size({toks}) - {k - 1}),"
-        f" i -> md5(array_join(slice({toks}, i, {k}), ' '))) "
+        f"CASE WHEN size(_toks) >= {k} THEN "
+        f"transform(sequence(1, size(_toks) - {k - 1}),"
+        f" i -> md5(array_join(slice(_toks, i, {k}), ' '))) "
         f"ELSE array(md5({text_col})) END"
     )
     # Materialize each intermediate as a COLUMN: Spark does no
     # common-subexpression elimination inside lambdas, so inlining `grams`
     # into the per-window slice re-hashes the whole gram array once per
     # window (measured 20s -> sub-second at sf0.1). CollapseProject keeps
-    # multi-referenced non-trivial columns materialized.
-    out = df.withColumn("_grams", F.expr(grams))
+    # multi-referenced non-trivial columns materialized; _toks keeps the
+    # per-gram slice from re-splitting the text (see shingles_expr).
+    out = (df.withColumn("_toks", F.expr(f"split({text_col},' ')"))
+           .withColumn("_grams", F.expr(grams)))
     # windows: j in 1..max(len-w+1, 1), each of size min(w, len)
     out = out.withColumn(
         "_sel",
@@ -217,9 +226,12 @@ def repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     # n2) and g3 twice per row. Multi-referenced non-trivial columns survive
     # CollapseProject (the winnow lesson, 20.7s → 0.3s there).
     out = (
-        df.withColumn("_g1", F.expr(f"array_sort(split({text_col}, ' '))"))
-        .withColumn("_g2", F.expr(f"array_sort({shingles_expr(text_col, 2)})"))
-        .withColumn("_g3", F.expr(f"array_sort({shingles_expr(text_col, 3)})"))
+        df.withColumn("_toks", F.expr(f"split({text_col}, ' ')"))
+        .withColumn("_g1", F.expr("array_sort(_toks)"))
+        .withColumn("_g2", F.expr(
+            f"array_sort({shingles_expr(text_col, 2, toks_col='_toks')})"))
+        .withColumn("_g3", F.expr(
+            f"array_sort({shingles_expr(text_col, 3, toks_col='_toks')})"))
     )
     out = (
         out.withColumn("_ntok", F.expr("size(_g1)"))
@@ -471,12 +483,19 @@ def fingerprint(df: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
     """Document fingerprint: lexicographic-min md5 over token n-gram shingles
     (a deterministic winnowing-style rolling-hash selection; md5 is identical
     in the JVM and the SQL oracle). Short docs (<n tokens) → md5 of text."""
-    sh = shingles_expr(text_col, n)
+    # tokens then the shingle array materialize as columns: _sh is
+    # referenced twice (fingerprint + n_shingles) and the lambda reads
+    # only attributes (see shingles_expr)
+    sh = shingles_expr(text_col, n, toks_col="_toks")
     fp = F.expr(
-        f"coalesce(array_min(transform({sh}, s -> md5(s))), md5({text_col}))"
+        f"coalesce(array_min(transform(_sh, s -> md5(s))), md5({text_col}))"
     )
-    n_sh = F.expr(f"size({sh})")
-    return df.select("*", fp.alias("fingerprint"), n_sh.alias("n_shingles"))
+    return (
+        df.withColumn("_toks", F.expr(f"split({text_col},' ')"))
+        .withColumn("_sh", F.expr(sh))
+        .select(*df.columns, fp.alias("fingerprint"),
+                F.expr("size(_sh)").alias("n_shingles"))
+    )
 
 
 # ------------------------------------------- capability-gated model paths --

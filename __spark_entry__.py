@@ -531,6 +531,16 @@ def _lm_bits2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def _bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge statistic (textstats.py:bpe_pair_counts): top-200
+    adjacent-char-pair counts over the distinct-word table — tokenizer
+    training's inner loop; plans as TakeOrderedAndProject with a
+    deterministic (cnt desc, pair) tie-break."""
+    from logport_spark.operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), k=200)
+
+
 def _lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter stand-in (textstats.py:unigram_logprob): mean
     -log2 p(token) under the corpus's own unigram distribution."""
@@ -1064,6 +1074,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": _domain_mix,  # temperature-rebalanced domain mix
         "lm_ngrams": _lm_ngrams,  # KenLM-style pruned trigram counts
         "lm_bits2": _lm_bits2,  # bigram stupid-backoff LM score
+        "bpe_pairs": _bpe_pairs,  # BPE merge-candidate top-k
     }
 
 
@@ -2526,6 +2537,21 @@ def _baseline_oracle_registry() -> dict[str, str]:
             SELECT doc_id, CAST(sum(tc) AS BIGINT) AS n_scored,
                    round(sum(tc * -lp) / sum(tc), 4) AS bits_per_token
             FROM sc GROUP BY doc_id
+        """,
+        "bpe_pairs": """
+            WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+            wc AS (SELECT w, count(*) AS c FROM tok
+                   WHERE length(w) > 0 GROUP BY 1),
+            p AS (
+              SELECT unnest(CASE WHEN length(w) >= 2 THEN
+                       list_transform(range(1, length(w)),
+                         i -> substr(w, i, 1) || ' ' || substr(w, i + 1, 1))
+                     ELSE [] END) AS pair, c
+              FROM wc)
+            SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+            FROM p GROUP BY 1
+            ORDER BY cnt DESC, pair ASC LIMIT 200
         """,
         # temperature mix: thresholds from IEEE-exact sqrt/divide only (no
         # pow — libm ulp differences could flip a floor at a boundary);

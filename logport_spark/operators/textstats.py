@@ -327,6 +327,45 @@ def ngram_counts(docs: DataFrame, n: int = 3, min_count: int = 1,
     )
 
 
+def bpe_pair_counts(docs: DataFrame, k: int = 200,
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-scale BPE merge induction, step 1 (Sennrich et al. 2016,
+    "Neural Machine Translation of Rare Words with Subword Units"): the
+    top-k adjacent-character-pair counts that the first BPE merge would
+    choose from — the inner-loop statistic of tokenizer training, computed
+    the way real BPE trainers do it: over the DISTINCT-WORD count table,
+    not the raw token stream.
+
+    Plan shape: (1) one partial+final count collapses the corpus to its
+    Zipf-bounded vocabulary (the only pass that touches every token);
+    (2) adjacent pairs come from a transform over sequence(1, len-1) with
+    substring(word, i, 1) in the lambda — `word` is an ATTRIBUTE there, so
+    each probe is O(1) (the shingle-kernel lesson); (3) pair counts weight
+    by word frequency in a second combiner-friendly agg; (4) top-k plans
+    as TakeOrderedAndProject (never a global sort), with (cnt desc, pair)
+    ordering so ties at rank k are deterministic across engines.
+
+    Output: (pair, cnt) — pair as 'left right' with a space, the merge
+    candidate format."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        f"CASE WHEN length(w) >= 2 THEN "
+        f"transform(sequence(1, length(w) - 1), "
+        f"i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return (
+        words.select(F.explode(F.expr(pairs)).alias("pair"), "c")
+        .groupBy("pair").agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(k)
+    )
+
+
 def bigram_logprob(docs: DataFrame, ref: DataFrame | None = None,
                    alpha: float = 0.4, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

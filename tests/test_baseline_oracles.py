@@ -54,7 +54,7 @@ def test_baselines_match_oracles(spark, duck):
         "domain_filter_docs", "pack_sequences", "span_dup_stats",
         "html_extract", "span_dedup_docs", "corpus_shuffle",
         "snapshot_delta", "lm_buckets", "domain_mix",
-        "lm_ngrams", "lm_bits2",
+        "lm_ngrams", "lm_bits2", "bpe_pairs",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

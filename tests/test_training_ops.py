@@ -1044,3 +1044,21 @@ def test_remove_duplicate_spans_adaptive_paths_agree(spark, docs):
     got = {r.doc_id: (r.n_tokens, r.n_removed)
            for r in remove_duplicate_spans(pat, w=4).collect()}
     assert got == {1: (600, 600), 2: (600, 600), 3: (4, 0)}
+
+
+def test_bpe_pair_counts_semantics_and_plan(spark):
+    """Hand-computed first-merge statistics over a tiny corpus (weighted
+    by word frequency, single-char words contribute nothing) and the
+    top-k plans as TakeOrderedAndProject — never a global sort."""
+    from logport_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "low a")],
+        "doc_id long, text string")
+    out = bpe_pair_counts(df, k=3)
+    got = [(r.pair, r.cnt) for r in out.collect()]
+    # counts: low x3, lower x1, a x1 -> 'l o' 4, 'o w' 4, 'w e' 1, 'e r' 1
+    assert got == [("l o", 4), ("o w", 4), ("e r", 1)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -70,6 +70,7 @@ def _headline_queries():
         "corpus_shuffle", "snapshot_delta",        # r4 export/delta
         "lm_buckets",                              # r4 CCNet terciles
         "domain_mix", "lm_bits2", "lm_ngrams",     # r4 mix + bigram LM
+        "bpe_pairs",                               # r4 BPE merge induction
     ):
         if opt in qs:
             names.append(opt)

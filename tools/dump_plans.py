@@ -179,6 +179,12 @@ ANNOTATED = {
         "(bigram counts, c1, c2) see Zipf hot keys once per doc. The "
         "bigram count table derives FROM the pre-agg via ReuseExchange."
     ),
+    "bpe_pairs": (
+        "BPE merge induction: the token stream collapses to the distinct-"
+        "word vocabulary in ONE partial+final count, pairs explode from an "
+        "attribute-only substring lambda over that Zipf-bounded table, and "
+        "top-k is TakeOrderedAndProject — no global sort anywhere."
+    ),
 }
 
 

@@ -45,3 +45,21 @@ def test_functions_api(spark):
     wire = spark.createDataFrame([("s1", "BODY")], "sink string, body string")
     got = wire.select(batch_key().alias("k")).collect()[0]["k"]
     assert got == hashlib.sha1(b"s1|BODY").hexdigest()
+
+
+def test_bench_registrations_resolve():
+    """Every name bench.py registers (headline suite + dedup ladder) must
+    resolve to a registered query — a typo would silently drop the entry
+    from the measurement, not fail."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import bench
+    import __spark_entry__ as em
+
+    qs = {**em.queries(), **em.baseline_queries()}
+    suite = bench._headline_queries()
+    for name in ("lp_envelope", "span_dedup_docs", "domain_mix", "lm_bits2",
+                 "lm_ngrams", "bpe_pairs", "web_curation", "corpus_shuffle"):
+        assert name in suite, name
+    assert all(n in qs for n in suite), [n for n in suite if n not in qs]

@@ -474,6 +474,19 @@ def _contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(train, test, n=3)
 
 
+def _contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy eval decontamination (dedup.py:minhash_contamination): same
+    even/odd carve as contamination_scan, but flags test docs that are
+    NEAR-duplicates (shingle Jaccard >= 0.8) of any train doc — the
+    lightly-edited-leak case exact n-gram hits miss."""
+    from logport_spark.operators.dedup import minhash_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    test = docs.filter(F.col("doc_id") % 2 == 1)
+    return minhash_contamination(train, test, n=3, threshold=0.8)
+
+
 def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 (dedup.py:vocab_topk) — distributed top-k
     (TakeOrderedAndProject), never a global vocabulary sort."""
@@ -1053,6 +1066,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,  # Gopher repetition signals
         "pii_scrub": _pii_scrub,  # PII count + redaction
         "contamination_scan": _contamination_scan,  # train/test n-gram overlap
+        "contamination_fuzzy": _contamination_fuzzy,  # near-dup eval leaks (minhash)
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
         "stratified_sample": _stratified_sample,  # reproducible training mix
@@ -2325,6 +2339,36 @@ def _baseline_oracle_registry() -> dict[str, str]:
         # string-shingle re-derivation (the engine joins on xxhash64 of the
         # same shingles — equal up to 64-bit collisions, the minhash-oracle
         # argument)
+        # fuzzy decontamination: exact all-pairs cross-corpus Jaccard — the
+        # engine's banded candidates + exact verify must equal it (the
+        # dedup_minhash_pairs capture argument, threshold 0.8, 16x4 bands)
+        "contamination_fuzzy": """
+            WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                       FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(toks[i:i+2],' ') AS sh
+                   FROM t, unnest(range(1, greatest(len(toks)-2,0)+1)) AS r(i)),
+            tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 2 = 0),
+            te AS (SELECT doc_id, sh FROM sh WHERE doc_id % 2 = 1),
+            sz_tr AS (SELECT train_id, count(*) AS n_tr FROM tr GROUP BY 1),
+            sz_te AS (SELECT doc_id, count(*) AS n_te FROM te GROUP BY 1),
+            c AS (SELECT te.doc_id, tr.train_id, count(*) AS common
+                  FROM te JOIN tr USING (sh) GROUP BY 1, 2),
+            j AS (SELECT c.doc_id, c.train_id,
+                         c.common * 1.0 / (sz_te.n_te + sz_tr.n_tr - c.common)
+                             AS jac
+                  FROM c JOIN sz_te USING (doc_id) JOIN sz_tr USING (train_id)
+                  WHERE c.common * 1.0 / (sz_te.n_te + sz_tr.n_tr - c.common)
+                        >= 0.8),
+            w AS (SELECT doc_id, train_id, jac,
+                         count(*) OVER (PARTITION BY doc_id) AS n_matches,
+                         max(jac) OVER (PARTITION BY doc_id) AS mj
+                  FROM j)
+            SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches,
+                   round(mj, 4) AS max_jaccard,
+                   min(train_id) AS top_train_id
+            FROM w WHERE jac = mj GROUP BY doc_id, n_matches, mj
+        """,
         "contamination_scan": """
             WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
                        FROM documents),

@@ -579,6 +579,81 @@ def ngram_contamination(train: DataFrame, test: DataFrame, n: int = 13,
     )
 
 
+def minhash_contamination(train: DataFrame, test: DataFrame, n: int = 3,
+                          threshold: float = 0.8, num_hashes: int = 64,
+                          bands: int = 16, max_bucket: int | None = None,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """FUZZY eval decontamination — the near-duplicate companion to
+    `ngram_contamination`'s exact-shingle scan (Brown et al. 2020 App. C
+    flags eval docs by overlap; production decontamination additionally
+    drops eval docs that are *near*-duplicates of any train doc, since a
+    lightly-edited leak defeats exact n-gram hits): for every TEST doc,
+    the TRAIN docs whose shingle-set Jaccard >= threshold.
+
+    Returns the flag list (doc_id, n_matches, max_jaccard, top_train_id) —
+    one row per contaminated test doc; top_train_id is the smallest train
+    id among the highest-Jaccard matches (deterministic evidence pointer).
+
+    Plan shape (the 10^12-train-doc story): both sides collapse to 8-byte
+    shingle hashes before any shuffle; MinHash signatures by one groupBy
+    per side; candidates from a test-banded × train-banded (band, key)
+    equi-join — never a self-join, so the (huge) train side joins the
+    (small) eval side directly and AQE can broadcast the eval bands;
+    exact-Jaccard verification touches candidate pairs only, exactly the
+    `minhash_lsh_pairs` argument. Capture at threshold 0.8 with 16×4
+    banding is 1-(1-0.8^4)^16 ≈ 0.9998 per pair — the same guarantee the
+    dedup contract query already relies on."""
+    sh_tr = doc_shingles(train, n, text_col, id_col).select(
+        F.col("doc_id").alias("train_id"),
+        F.xxhash64(F.col("sh")).alias("h64")).cache()
+    sh_te = doc_shingles(test, n, text_col, id_col).select(
+        "doc_id", F.xxhash64(F.col("sh")).alias("h64")).cache()
+    sig_tr = minhash_signatures_h64(
+        sh_tr.select(F.col("train_id").alias("doc_id"), "h64"), num_hashes)
+    sig_te = minhash_signatures_h64(sh_te, num_hashes)
+    rows = num_hashes // bands
+
+    def _banded(sig: DataFrame, out_id: str) -> DataFrame:
+        keys = F.array(*[
+            F.xxhash64(F.lit(b), *[F.col("sig")[b * rows + r]
+                                   for r in range(rows)])
+            for b in range(bands)
+        ])
+        banded = sig.select(F.col("doc_id").alias(out_id),
+                            F.posexplode(keys).alias("band", "key"))
+        return cap_buckets(banded, ["band", "key"], max_bucket)
+
+    cands = (_banded(sig_te, "doc_id")
+             .join(_banded(sig_tr, "train_id"), ["band", "key"])
+             .select("doc_id", "train_id").distinct())
+    # exact common-shingle counts for candidate (test, train) pairs only
+    tr_h = sh_tr.select(F.col("train_id").alias("_tid"),
+                        F.col("h64").alias("_h"))
+    common = (
+        cands.join(sh_te, "doc_id")
+        .join(tr_h, (F.col("train_id") == F.col("_tid"))
+              & (F.col("h64") == F.col("_h")))
+        .groupBy("doc_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sz_te = sh_te.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_te"))
+    sz_tr = sh_tr.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_tr"))
+    j = F.col("common") / (F.col("n_te") + F.col("n_tr") - F.col("common"))
+    flagged = (common.join(sz_te, "doc_id").join(sz_tr, "train_id")
+               .withColumn("jac", j).filter(F.col("jac") >= threshold))
+    best = F.min(F.struct((-F.col("jac")).alias("nj"),
+                          F.col("train_id").alias("tid")))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"),
+             F.round(F.max("jac"), 4).alias("max_jaccard"),
+             best.alias("_b"))
+        .select("doc_id", "n_matches", "max_jaccard",
+                F.col("_b.tid").alias("top_train_id"))
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
     """Corpus-wide vocabulary: top-k tokens by count (ties → lexicographic) —
     the tokenizer-training / frequency-cut primitive. Partial aggregation

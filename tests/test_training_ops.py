@@ -588,6 +588,33 @@ def test_contamination_and_vocab_planted(spark):
     assert top[0]["cnt"] == 2 and top[0]["rank"] == 1
 
 
+def test_minhash_contamination_flags_near_dup_leaks(spark):
+    """Fuzzy decontamination catches the lightly-edited leak that exact
+    shingle overlap misses at the doc level: a test doc that is a one-token
+    edit of a train doc is flagged with the right Jaccard and evidence
+    pointer; unrelated docs never appear in the flag list."""
+    from logport_spark.operators.dedup import minhash_contamination
+
+    base = "w%d " * 30  # 30-token template, near-dup pairs share 29
+    t0 = (base % tuple(range(30))).strip()
+    edited = t0.replace("w7", "zz")  # one token differs
+    train = spark.createDataFrame(
+        [(0, t0),
+         (2, "pack my box with five dozen liquor jugs today ok")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(1, edited),
+         (3, "entirely novel words appear here only now")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           minhash_contamination(train, test, n=3, threshold=0.5).collect()}
+    assert set(got) == {1}  # doc 3 is clean — flag list only
+    # shingle sets (n=3, 28 each) differ in the 3 windows covering token 7:
+    # common = 25, union = 28 + 28 - 25 = 31
+    assert got[1]["top_train_id"] == 0 and got[1]["n_matches"] == 1
+    assert got[1]["max_jaccard"] == round(25 / 31, 4)
+
+
 def test_connected_components_pointer_jump_accelerates(spark):
     """A 300-node path converges within max_iter=15: distance-to-min closes
     super-linearly per round (propagate + pointer jump ~ Fibonacci growth),

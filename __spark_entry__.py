@@ -890,6 +890,15 @@ def _domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(_docs(spark, sf_dir))
 
 
+def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition data card (textstats.py:corpus_datacard): CUBE
+    over (lang, source) — per-cell totals plus both margins and the grand
+    total from ONE Expand + one shuffle."""
+    from logport_spark.operators.textstats import corpus_datacard
+
+    return corpus_datacard(_docs(spark, sf_dir))
+
+
 def _domain_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-gated corpus: drop every doc of sources failing the
     short-doc-fraction / mean-length gates (6 of 20 sf0.01 sources fail)."""
@@ -1075,6 +1084,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _url_dedup,  # canonical-URL snapshot dedup
         "strip_boilerplate": _strip_boilerplate,  # high-df line removal
         "domain_stats": _domain_stats,  # per-domain corpus statistics
+        "corpus_datacard": _corpus_datacard,  # CUBE composition data card
         "domain_filter_docs": _domain_filter_docs,  # domain-level gate
         "pack_sequences": _pack_sequences,  # deterministic sequence packing
         "semantic_dedup_pairs": _semantic_dedup_pairs,  # SemDeDup within-cell
@@ -2187,6 +2197,25 @@ def _baseline_oracle_registry() -> dict[str, str]:
             SELECT url, count(*) AS n_kept,
                    string_agg(line, chr(10) ORDER BY line_no) AS text
             FROM kept GROUP BY url
+        """,
+        # data card: DuckDB's CUBE must produce the identical 4 grouping
+        # sets + GROUPING()-labeled margins (count/sum cast to BIGINT —
+        # DuckDB sum(BIGINT) is HUGEINT)
+        "corpus_datacard": """
+            SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END
+                       AS lang,
+                   CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
+                       AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS tokens,
+                   CAST(sum(n_ch) AS BIGINT) AS chars,
+                   round(avg(n_toks), 4) AS tokens_per_doc
+            FROM (SELECT lang, source,
+                         len(list_filter(string_split(text, ' '),
+                                         x -> length(x) > 0)) AS n_toks,
+                         length(text) AS n_ch
+                  FROM documents)
+            GROUP BY CUBE (lang, source)
         """,
         "domain_stats": """
             SELECT source AS domain, count(*) AS n_docs,

@@ -736,6 +736,37 @@ def domain_stats(docs: DataFrame, domain_col: str = "source") -> DataFrame:
     )
 
 
+def corpus_datacard(docs: DataFrame, dims: tuple[str, str] = ("lang", "source"),
+                    text_col: str = "text") -> DataFrame:
+    """Corpus data card — the per-(lang × domain) composition table every
+    training-corpus release publishes (docs/tokens/chars per cell PLUS
+    per-lang, per-domain, and grand-total margins), produced in ONE pass
+    with CUBE grouping sets: Spark's Expand emits the 4 grouping-set rows
+    per input row map-side and the single shuffle partial-aggregates them,
+    so the margins cost no extra scan or join. Margin rows label the
+    rolled-up dimension 'ALL' via GROUPING() (distinguishable from a real
+    NULL value in the data).
+
+    tokens = non-empty whitespace tokens (the token_stats convention);
+    tokens_per_doc rounded to 4 for the cross-engine value contract."""
+    d0, d1 = dims
+    n_toks = F.size(F.filter(F.split(F.col(text_col), " "),
+                             lambda x: F.length(x) > 0))
+    cube = docs.select(F.col(d0), F.col(d1),
+                       n_toks.alias("_t"), F.length(text_col).alias("_c"))
+    out = (cube.cube(d0, d1)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_t").alias("tokens"),
+                F.sum("_c").alias("chars"),
+                F.round(F.avg("_t"), 4).alias("tokens_per_doc"),
+                F.grouping(d0).alias("_g0"), F.grouping(d1).alias("_g1")))
+    return out.select(
+        F.when(F.col("_g0") == 1, F.lit("ALL")).otherwise(F.col(d0)).alias(d0),
+        F.when(F.col("_g1") == 1, F.lit("ALL")).otherwise(F.col(d1)).alias(d1),
+        "n_docs", "tokens", "chars", "tokens_per_doc",
+    )
+
+
 def domain_filter(docs: DataFrame, min_docs: int = 1,
                   min_mean_chars: float = 0.0,
                   max_short_frac: float = 1.0,

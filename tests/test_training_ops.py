@@ -615,6 +615,29 @@ def test_minhash_contamination_flags_near_dup_leaks(spark):
     assert got[1]["max_jaccard"] == round(25 / 31, 4)
 
 
+def test_corpus_datacard_margins_and_single_pass(spark):
+    """CUBE data card: cell rows, both margins, and the grand total agree
+    with hand-computed values, and the whole table is ONE Expand + one
+    aggregate exchange — margins never rescan or join."""
+    from logport_spark.operators.textstats import corpus_datacard
+
+    docs = spark.createDataFrame(
+        [(0, "a b", "en", "s1", 3), (1, "c", "en", "s2", 1),
+         (2, "d e f", "de", "s1", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {(r["lang"], r["source"]): r for r in corpus_datacard(docs).collect()}
+    # cells: (en,s1),(en,s2),(de,s1); lang margins: (en,ALL),(de,ALL);
+    # source margins: (ALL,s1),(ALL,s2); grand total: (ALL,ALL) -> 8
+    assert ("ALL", "ALL") in rows and len(rows) == 8
+    g = rows[("ALL", "ALL")]
+    assert g["n_docs"] == 3 and g["tokens"] == 6 and g["chars"] == 9
+    assert g["tokens_per_doc"] == 2.0
+    assert rows[("en", "ALL")]["tokens"] == 3
+    assert rows[("ALL", "s1")]["n_docs"] == 2
+    plan = corpus_datacard(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Expand" in plan
+
+
 def test_connected_components_pointer_jump_accelerates(spark):
     """A 300-node path converges within max_iter=15: distance-to-min closes
     super-linearly per round (propagate + pointer jump ~ Fibonacci growth),

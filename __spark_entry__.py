@@ -873,6 +873,20 @@ def _url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(_pages(spark, sf_dir))
 
 
+# RefinedWeb filter stage 1 fixture: two registered domains (every subdomain
+# under each inherits the ban), one full-host entry, one absent domain.
+_URL_BLOCKLIST = ["site4.org", "example.xyz", "d47.site2.fr", "nohit.example"]
+
+
+def _url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL blocklist verdicts: blocked iff ANY dot-suffix
+    of the host is listed (subdomains inherit). Zero shuffle — the
+    blocklist is a plan literal and the verdict pure codegen."""
+    from logport_spark.operators.enrich import url_blocklist
+
+    return url_blocklist(_pages(spark, sf_dir), _URL_BLOCKLIST)
+
+
 def _strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-line removal over the pages table (10 lines at sf0.01
     occur on ≥20 pages; the worst on 2,238 — the generator's nav/footer)."""
@@ -1082,6 +1096,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bits": _lm_bits,  # unigram bits/token (CCNet LM-filter stand-in)
         "line_dedup_corpus": _line_dedup_corpus,  # C4 corpus-level line dedup
         "url_dedup": _url_dedup,  # canonical-URL snapshot dedup
+        "url_blocklist": _url_blocklist,  # suffix-match domain blocklist
         "strip_boilerplate": _strip_boilerplate,  # high-df line removal
         "domain_stats": _domain_stats,  # per-domain corpus statistics
         "corpus_datacard": _corpus_datacard,  # CUBE composition data card
@@ -2270,6 +2285,18 @@ def _baseline_oracle_registry() -> dict[str, str]:
             SELECT url, count(*) AS n_kept,
                    string_agg(line, chr(10) ORDER BY line_no) AS text
             FROM kept GROUP BY url
+        """,
+        # suffix semantics spelled out entry-by-entry: exact host match OR
+        # dot-boundary suffix — exactly "any chain suffix is listed"
+        "url_blocklist": f"""
+            WITH h AS (
+              SELECT url, split_part(split_part(url, '://', 2), '/', 1) AS domain
+              FROM {_PAGES})
+            SELECT url, domain,
+                   ({' OR '.join(
+                       f"domain = '{e}' OR domain LIKE '%.{e}'"
+                       for e in _URL_BLOCKLIST)}) AS blocked
+            FROM h
         """,
         "url_dedup": f"""
             WITH p AS (SELECT url, warc_ts FROM {_PAGES})

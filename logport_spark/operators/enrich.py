@@ -21,6 +21,52 @@ def with_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
     return df.withColumn("domain", F.parse_url(F.col(url_col), F.lit("HOST")))
 
 
+def domain_suffix_chain(domain_col: F.Column | str) -> F.Column:
+    """All dot-suffixes of a host with >= 2 labels, most-specific first:
+    d32.site5.de -> [d32.site5.de, site5.de]. This is how a registered-
+    domain BLOCKLIST becomes an equi-matchable key set (a blocklist entry
+    must block every subdomain under it, which no single equi-join key
+    gives you); the chain is bounded by the label count (~4), so the
+    explode-free array form costs O(1) per row. Bare-TLD suffixes are
+    excluded — a blocklist never bans '.com'."""
+    col = F.col(domain_col) if isinstance(domain_col, str) else domain_col
+    labels = F.split(col, "\\.")
+    n = F.size(labels)
+    chain = F.transform(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )
+    # sequence(0, n-2) DESCENDS when n < 2 (the ngram_counts pitfall) —
+    # guard single-label hosts to an empty chain
+    return F.when(n >= 2, chain).otherwise(
+        F.array().cast("array<string>"))
+
+
+def url_blocklist(pages: DataFrame, blocklist: list[str],
+                  url_col: str = "url") -> DataFrame:
+    """RefinedWeb-style URL blocklist verdicts (Penedo et al. 2023 filter
+    stage 1: curated domain blocklists applied before any content is
+    fetched or parsed): a page is blocked when ANY suffix of its host
+    appears in the blocklist — subdomains inherit their parent's ban.
+
+    Plan shape: the blocklist ships as a PLAN LITERAL (the IVF-centroid
+    pattern) and the verdict is `arrays_overlap(suffix_chain, lit)` —
+    pure whole-stage codegen, ZERO shuffle and ZERO join at any corpus
+    size; the cost is O(labels x |blocklist|-hash) per row. Real-world
+    blocklists (~10^5 entries, a few MB) still fit a literal/broadcast;
+    past that, swap to a broadcast left-semi join on the exploded chain —
+    the doc stream still never shuffles."""
+    dom = F.parse_url(F.col(url_col), F.lit("HOST"))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        dom.alias("domain"),
+        F.arrays_overlap(
+            domain_suffix_chain(dom),
+            F.lit([s.lower() for s in blocklist]),
+        ).alias("blocked"),
+    )
+
+
 def load_lookups(spark: SparkSession) -> dict[str, DataFrame]:
     paths = ensure_lookups()
     return {name: spark.read.parquet(path) for name, path in paths.items()}

@@ -56,7 +56,7 @@ def test_baselines_match_oracles(spark, duck):
         "snapshot_delta", "lm_buckets", "domain_mix",
         "lm_ngrams", "lm_bits2", "bpe_pairs",
         # r4 session-3 additions
-        "contamination_fuzzy", "corpus_datacard",
+        "contamination_fuzzy", "corpus_datacard", "url_blocklist",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -1112,3 +1112,43 @@ def test_bpe_pair_counts_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_url_blocklist_suffix_semantics_and_plan(spark):
+    """Subdomains inherit the ban (registered-domain entry blocks every
+    host under it); a host never matches a NON-dot-boundary suffix
+    ('esite4.org' vs 'site4.org'); single-label hosts get an empty chain
+    (not a crash, not a wildcard match); and the verdict is pure codegen —
+    zero Exchange in the plan at any corpus size."""
+    from logport_spark.operators.enrich import domain_suffix_chain, url_blocklist
+
+    pages = spark.createDataFrame(
+        [("https://a.b.site4.org/x",),     # depth-2 subdomain -> blocked
+         ("https://site4.org/y",),         # exact registered domain -> blocked
+         ("https://esite4.org/z",),        # suffix WITHOUT dot boundary -> kept
+         ("https://d47.site2.fr/q",),      # full-host entry -> blocked
+         ("https://x.d47.site2.fr/q",),    # subdomain of full-host entry -> blocked
+         ("https://site2.fr/q",),          # parent of full-host entry -> kept
+         ("http://localhost/p",)],         # single-label host -> kept
+        "url string")
+    out = url_blocklist(pages, ["site4.org", "d47.site2.fr"])
+    got = {r.url: r.blocked for r in out.collect()}
+    assert got == {
+        "https://a.b.site4.org/x": True,
+        "https://site4.org/y": True,
+        "https://esite4.org/z": False,
+        "https://d47.site2.fr/q": True,
+        "https://x.d47.site2.fr/q": True,
+        "https://site2.fr/q": False,
+        "http://localhost/p": False,
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+    chain = pages.select(domain_suffix_chain(
+        F.parse_url("url", F.lit("HOST"))).alias("c")).collect()
+    by_host = dict(zip([r.url for r in pages.collect()],
+                       [r.c for r in chain]))
+    assert by_host["https://a.b.site4.org/x"] == [
+        "a.b.site4.org", "b.site4.org", "site4.org"]
+    assert by_host["http://localhost/p"] == []

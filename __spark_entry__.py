@@ -887,6 +887,30 @@ def _url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_blocklist(_pages(spark, sf_dir), _URL_BLOCKLIST)
 
 
+def _c4_page_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning pass (Raffel et al. 2020) over the pages table: ≥4-word
+    lines, no 'javascript' lines, doc-level badword ('zulu' ≈ 42% of
+    pages) + 'lorem ipsum' gates, ≥3 surviving lines. The log-like fixture
+    has no terminal punctuation and JSON lines carry '{', so those two C4
+    gates are exercised in pytest prose instead of here."""
+    from logport_spark.operators.curation import c4_filters
+
+    return c4_filters(
+        _pages(spark, sf_dir).select("url", "text"),
+        min_words_per_line=4, min_lines=3, badwords=("zulu",),
+        require_terminal_punct=False, drop_curly=False)
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): raw = all documents,
+    target = the 'de' slice; B=64 hashed unigram+bigram buckets."""
+    from logport_spark.operators.curation import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(docs, docs.filter(F.col("lang") == "de"),
+                        n_buckets=64)
+
+
 def _strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-line removal over the pages table (10 lines at sf0.01
     occur on ≥20 pages; the worst on 2,238 — the generator's nav/footer)."""
@@ -1097,6 +1121,8 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_corpus": _line_dedup_corpus,  # C4 corpus-level line dedup
         "url_dedup": _url_dedup,  # canonical-URL snapshot dedup
         "url_blocklist": _url_blocklist,  # suffix-match domain blocklist
+        "c4_page_filters": _c4_page_filters,  # C4 line+doc cleaning pass
+        "dsir_weights": _dsir_weights,  # DSIR importance weights
         "strip_boilerplate": _strip_boilerplate,  # high-df line removal
         "domain_stats": _domain_stats,  # per-domain corpus statistics
         "corpus_datacard": _corpus_datacard,  # CUBE composition data card
@@ -2297,6 +2323,59 @@ def _baseline_oracle_registry() -> dict[str, str]:
                        f"domain = '{e}' OR domain LIKE '%.{e}'"
                        for e in _URL_BLOCKLIST)}) AS blocked
             FROM h
+        """,
+        # C4 gates re-derived with DuckDB list lambdas; counts cast to INT
+        # to match Spark's size()
+        "c4_page_filters": f"""
+            WITH p AS (SELECT url, text,
+                              string_split(text, chr(10)) AS lines
+                       FROM {_PAGES}),
+            k AS (SELECT url, text, len(lines) AS n_lines,
+                         list_filter(lines, l ->
+                           len(list_filter(string_split(l, ' '),
+                                           w -> w != '')) >= 4
+                           AND position('javascript' IN lower(l)) = 0)
+                             AS kept
+                  FROM p)
+            SELECT url, CAST(n_lines AS INT) AS n_lines,
+                   CAST(len(kept) AS INT) AS n_kept,
+                   array_to_string(kept, chr(10)) AS text
+            FROM k
+            WHERE len(kept) >= 3
+              AND position('lorem ipsum' IN lower(text)) = 0
+              AND NOT list_has_any(
+                    string_split_regex(lower(text), '\\s+'), ['zulu'])
+        """,
+        # DSIR: hashed unigram+bigram buckets (md5 digit arithmetic = the
+        # engine's conv(substr(md5,1,8),16,10) % B), Laplace-smoothed
+        # bucket distributions, per-doc sum of log ratios
+        "dsir_weights": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+            g AS (
+              SELECT doc_id, gram FROM t, unnest(toks) AS u(gram)
+              UNION ALL
+              SELECT doc_id, toks[i] || ' ' || toks[i+1]
+              FROM t, unnest(range(1, greatest(len(toks) - 1, 0) + 1))
+                       AS r(i)
+            ),
+            b AS (SELECT doc_id,
+                         CAST(({_HEX8.format(h="md5(gram)")}) % 64 AS INT)
+                             AS bucket
+                  FROM g),
+            tg AS (SELECT b.* FROM b JOIN documents d USING (doc_id)
+                   WHERE d.lang = 'de'),
+            rawb AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+            tgtb AS (SELECT bucket, count(*) AS ct FROM tg GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM b) AS tr,
+                           (SELECT count(*) FROM tg) AS tt),
+            lr AS (SELECT bucket,
+                          ln((coalesce(ct, 0) + 1.0) / (tt + 64.0))
+                            - ln((cr + 1.0) / (tr + 64.0)) AS logratio
+                   FROM rawb LEFT JOIN tgtb USING (bucket) CROSS JOIN tot)
+            SELECT b.doc_id, count(*) AS n_grams,
+                   round(sum(logratio), 4) AS logw
+            FROM b JOIN lr USING (bucket) GROUP BY 1
         """,
         "url_dedup": f"""
             WITH p AS (SELECT url, warc_ts FROM {_PAGES})

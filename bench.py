@@ -71,6 +71,8 @@ def _headline_queries():
         "lm_buckets",                              # r4 CCNet terciles
         "domain_mix", "lm_bits2", "lm_ngrams",     # r4 mix + bigram LM
         "bpe_pairs",                               # r4 BPE merge induction
+        "url_blocklist", "c4_page_filters",        # r4 C4/RefinedWeb filters
+        "dsir_weights",                            # r4 DSIR importance weights
     ):
         if opt in qs:
             names.append(opt)

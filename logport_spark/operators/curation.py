@@ -1,0 +1,180 @@
+"""Published web-corpus curation stages, re-expressed Spark-first.
+
+- :func:`c4_filters` — the C4 cleaning pass (Raffel et al. 2020, "Exploring
+  the Limits of Transfer Learning", §2.2): line-level surgery (terminal
+  punctuation, minimum words per line, policy/keyword lines) plus
+  document-level gates (badword list, "lorem ipsum", curly braces, minimum
+  surviving lines). The whole pass is ONE narrow projection — line arrays
+  are filtered with JVM higher-order functions and rejoined, so there is
+  zero shuffle and zero Python at any corpus size.
+- :func:`dsir_weights` — DSIR importance weights (Xie et al. 2023, "Data
+  Selection for Language Models via Importance Resampling"): hashed
+  unigram+bigram bag-of-ngrams features, log importance weight
+  log w(x) = sum_f c_x[f] * (log p_target[f] - log p_raw[f]) with
+  Laplace-smoothed bucket distributions. The per-corpus work is an
+  explode + BROADCAST join against the B-bucket log-ratio table + one
+  hash aggregation on doc_id — the only corpus-sized shuffle is the
+  final per-doc sum.
+
+Extends the reference's scope (logport ships log lines, it never curates
+them — SURVEY.md §2.6 gap analysis); these are the stages a 100 TB
+Common-Crawl training pipeline runs between parse and route. Both have
+bit-exact DuckDB oracles (md5-bucket arithmetic, list lambdas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logport_spark.operators.textstats import shingles_expr
+
+
+def c4_filters(
+    pages: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    badwords: tuple[str, ...] = (),
+    drop_line_keywords: tuple[str, ...] = ("javascript",),
+    require_terminal_punct: bool = True,
+    drop_doc_markers: tuple[str, ...] = ("lorem ipsum",),
+    drop_curly: bool = True,
+) -> DataFrame:
+    """C4 cleaning: keep lines passing every line gate, keep docs passing
+    every doc gate with >= min_lines surviving lines; returns
+    (id, n_lines, n_kept, text) with the text rebuilt from kept lines.
+
+    Line gates (C4 §2.2): >= min_words_per_line whitespace words; no
+    drop_line_keyword substring (case-insensitive; C4 drops any line with
+    "javascript"); optionally must end in terminal punctuation . ! ? or ".
+    Doc gates: no badword token (word match, lowercased), no doc marker
+    substring ("lorem ipsum"), optionally no '{' anywhere (C4 drops
+    code-bearing pages wholesale).
+
+    Plan shape: _lines and _kept materialize as multi-referenced columns
+    (CollapseProject keeps them; inlining the filter lambda twice would
+    re-run it per reference — the shingles_expr lesson), every gate is a
+    whole-stage-codegen predicate, and the operator has NO Exchange — it
+    composes with any upstream scan partitioning untouched."""
+    line_conds = [
+        f"size(filter(split(l, ' '), w -> w != '')) >= {min_words_per_line}"
+    ]
+    for kw in drop_line_keywords:
+        line_conds.append(f"instr(lower(l), '{kw.lower()}') = 0")
+    if require_terminal_punct:
+        line_conds.append("substring(l, -1, 1) IN ('.', '!', '?', '\"')")
+    keep_line = " AND ".join(line_conds)
+
+    out = (
+        pages.withColumn("_lines", F.split(F.col(text_col), "\n"))
+        .withColumn("_kept", F.expr(f"filter(_lines, l -> {keep_line})"))
+    )
+
+    low = F.lower(F.col(text_col))
+    doc_ok = F.lit(True)
+    for m in drop_doc_markers:
+        doc_ok = doc_ok & (F.instr(low, m.lower()) == 0)
+    if drop_curly:
+        doc_ok = doc_ok & (F.instr(F.col(text_col), "{") == 0)
+    if badwords:
+        doc_ok = doc_ok & ~F.arrays_overlap(
+            F.split(low, "\\s+"), F.lit([b.lower() for b in badwords])
+        )
+
+    return out.filter(doc_ok & (F.size("_kept") >= min_lines)).select(
+        F.col(id_col),
+        F.size("_lines").alias("n_lines"),
+        F.size("_kept").alias("n_kept"),
+        F.array_join("_kept", "\n").alias(text_col),
+    )
+
+
+def _hashed_grams(df: DataFrame, n_buckets: int, text_col: str,
+                  id_col: str) -> DataFrame:
+    """(doc_id, bucket) per unigram+bigram occurrence; bucket = first 8 hex
+    digits of md5(gram) mod n_buckets — the oracle re-derives the identical
+    integer with digit arithmetic. Tokens materialize before the bigram
+    lambda (shingles_expr contract)."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .withColumn("_toks", F.split(F.col(text_col), " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.concat(
+                    F.col("_toks"),
+                    F.expr(shingles_expr(text_col, 2, toks_col="_toks")),
+                )
+            ).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+             .cast("long") % n_buckets).cast("int").alias("bucket"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights: log w per raw doc, higher = more
+    target-like; feed the weights to (Gumbel top-k / stratified) sampling
+    to select a target-matched training subset. Returns
+    (doc_id, n_grams, logw), logw rounded to 4 decimals.
+
+    Both distributions are Laplace-smoothed over the SAME hashed feature
+    space: p[b] = (count[b] + alpha) / (total + alpha * B). Hashing to B
+    buckets bounds distribution state at B rows regardless of corpus size
+    (the paper's point) — so the log-ratio table BROADCASTS, the raw
+    corpus never shuffles its grams, and the only corpus-sized exchange
+    is the per-doc sum. Distribution totals come from unpartitioned
+    windows over the B-row aggregates, not driver actions."""
+    from pyspark.sql.window import Window
+
+    raw = _hashed_grams(docs, n_buckets, text_col, id_col)
+    tgt = _hashed_grams(target, n_buckets, text_col, id_col)
+
+    w = Window.partitionBy()
+    rawb = (raw.groupBy("bucket").count()
+            .select("bucket", F.col("count").alias("cr"),
+                    F.sum("count").over(w).alias("tr")))
+    tgtb = (tgt.groupBy("bucket").count()
+            .select("bucket", F.col("count").alias("ct"),
+                    F.sum("count").over(w).alias("tt")))
+
+    # every raw gram's bucket exists in rawb by construction; target-empty
+    # buckets smooth to alpha mass. tt is constant over tgtb — max() just
+    # carries it through the left join's NULLs.
+    tt_fill = F.max("tt").over(Window.partitionBy())
+    # both distribution tables are <= B rows by construction — broadcast
+    # the target side so no stage of the operator ever sort-merge-joins
+    lr = (
+        rawb.join(F.broadcast(tgtb), "bucket", "left")
+        .withColumn("tt", tt_fill)
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                      / (F.col("tt") + F.lit(alpha * n_buckets)))
+                - F.log((F.col("cr") + F.lit(alpha))
+                        / (F.col("tr") + F.lit(alpha * n_buckets)))
+            ).alias("logratio"),
+        )
+    )
+
+    return (
+        raw.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("logratio"), 4).alias("logw"),
+        )
+    )

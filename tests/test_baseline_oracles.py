@@ -57,6 +57,7 @@ def test_baselines_match_oracles(spark, duck):
         "lm_ngrams", "lm_bits2", "bpe_pairs",
         # r4 session-3 additions
         "contamination_fuzzy", "corpus_datacard", "url_blocklist",
+        "c4_page_filters", "dsir_weights",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

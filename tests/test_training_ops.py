@@ -1152,3 +1152,71 @@ def test_url_blocklist_suffix_semantics_and_plan(spark):
     assert by_host["https://a.b.site4.org/x"] == [
         "a.b.site4.org", "b.site4.org", "site4.org"]
     assert by_host["http://localhost/p"] == []
+
+
+def test_c4_filters_full_semantics_and_plan(spark):
+    """The two gates the log-like driver fixture can't exercise — terminal
+    punctuation and the curly-brace page drop — plus badword, lorem-ipsum,
+    keyword-line, and min-lines behavior on crafted prose. The whole pass
+    is one narrow projection: zero Exchange."""
+    from logport_spark.operators.curation import c4_filters
+
+    good = ("This is a perfectly fine sentence here.\n"
+            "Short line\n"                              # < 5 words -> dropped
+            "Enable JavaScript to view comments now.\n"  # keyword -> dropped
+            "Another good long sentence follows right here!\n"
+            "is this a terminal quote line \"\n"
+            "no terminal punctuation on this line at all")  # -> dropped
+    docs = spark.createDataFrame(
+        [("a", good),
+         ("b", good + "\nbuy v1agra cheap now okay today."),  # badword
+         ("c", good.replace("fine", "lorem ipsum")),          # marker
+         ("d", good + "\nvar x = {1: 2} is code in here."),   # curly
+         ("e", "One good long sentence stands alone here.\nTwo good long"
+               " sentences stand together here.")],           # < 3 kept
+        "url string, text string")
+    out = c4_filters(docs, badwords=("v1agra",))
+    rows = {r.url: r for r in out.collect()}
+    assert set(rows) == {"a"}
+    a = rows["a"]
+    assert a.n_lines == 6 and a.n_kept == 3
+    assert a.text == (
+        "This is a perfectly fine sentence here.\n"
+        "Another good long sentence follows right here!\n"
+        "is this a terminal quote line \"")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dsir_weights_direction_invariance_and_plan(spark):
+    """Docs sharing the target's distinctive vocabulary must outscore docs
+    that don't (the paper's selection property); weights are partition-count
+    invariant; the gram->logratio join BROADCASTS (the B-bucket table never
+    drives a shuffle of the corpus)."""
+    from logport_spark.operators.curation import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(0, "quantum physics is about quantum entanglement states"),
+         (1, "football match report goal keeper save"),
+         (2, "physics of quantum systems entanglement here"),
+         (3, "stock market prices fell sharply today")],
+        "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "quantum physics papers discuss quantum entanglement"),
+         (101, "entanglement of quantum states in physics experiments"),
+         (102, "physics of quantum information and entanglement theory")],
+        "doc_id long, text string")
+    out = dsir_weights(docs, target, n_buckets=256)
+    w = {r.doc_id: r.logw for r in out.collect()}
+    # independently simulated (md5-bucket + Laplace math in pure Python):
+    # {0: -2.5853, 1: -6.5987, 2: -1.3004, 3: -7.0041}
+    assert w == {0: -2.5853, 1: -6.5987, 2: -1.3004, 3: -7.0041}
+    assert min(w[0], w[2]) > max(w[1], w[3]) + 3.0
+
+    w2 = {r.doc_id: r.logw
+          for r in dsir_weights(docs.repartition(7), target,
+                                n_buckets=256).collect()}
+    assert w2 == w
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

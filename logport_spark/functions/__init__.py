@@ -7,6 +7,7 @@ sizing helpers return plain ints (plan-construction time, not runtime).
 """
 
 from ..operators.dedup import canonical_url
+from ..operators.enrich import domain_suffix_chain
 from ..operators.parse import json_quote, jvm_json_quote, ts_string
 from ..operators.sampling import sample_bucket
 from ..operators.similarity import (
@@ -37,4 +38,5 @@ __all__ = [
     "measure_band_agreement",    # per-pair background bit-agreement sample
     "canonical_url",    # canonical web-URL form (RE2-safe regex chain)
     "sample_bucket",    # md5 bucket in [0,10000) — deterministic sampling
+    "domain_suffix_chain",  # dot-suffix array of a host (blocklist keys)
 ]

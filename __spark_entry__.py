@@ -572,6 +572,15 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+def _cluster_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster retention verdicts (dedup.py:cluster_retention): every doc
+    tagged keep/drop with its cluster and cluster size — longest member wins,
+    doc_id breaks ties. One shuffle on cluster_id past the pair mining."""
+    from logport_spark.operators.dedup import cluster_retention
+
+    return cluster_retention(_docs(spark, sf_dir), n=3, threshold=0.8)
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logport_spark.operators.dedup import simhash_signatures
 
@@ -1140,6 +1149,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ngrams": _lm_ngrams,  # KenLM-style pruned trigram counts
         "lm_bits2": _lm_bits2,  # bigram stupid-backoff LM score
         "bpe_pairs": _bpe_pairs,  # BPE merge-candidate top-k
+        "cluster_retention": _cluster_retention,  # keep-longest per near-dup cluster
     }
 
 
@@ -2731,6 +2741,32 @@ def _baseline_oracle_registry() -> dict[str, str]:
             SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
             FROM p GROUP BY 1
             ORDER BY cnt DESC, pair ASC LIMIT 200
+        """,
+        # retention over the SAME transitive-closure cluster graph as
+        # dedup_clusters: longest member keeps, doc_id breaks ties
+        "cluster_retention": _SHINGLE3_CTE.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1) + """
+            , jp AS (
+              SELECT d1, d2 FROM pairs
+              JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+              WHERE common * 1.0 / (s1.n + s2.n - common) >= 0.8),
+            e AS (SELECT d1 AS src, d2 AS dst FROM jp
+                  UNION ALL SELECT d2, d1 FROM jp),
+            walk(node, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT w.node, e.dst FROM walk w JOIN e ON e.src = w.lbl),
+            cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                   FROM walk GROUP BY node),
+            m AS (SELECT d.doc_id, cl.cluster_id, length(d.text) AS len
+                  FROM documents d JOIN cl USING (doc_id))
+            SELECT doc_id, cluster_id,
+                   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                       AS cluster_size,
+                   (row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY len DESC, doc_id ASC) = 1)
+                       AS keep
+            FROM m
         """,
         # temperature mix: thresholds from IEEE-exact sqrt/divide only (no
         # pow — libm ulp differences could flip a floor at a boundary);

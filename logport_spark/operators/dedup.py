@@ -758,6 +758,52 @@ def dedup_clusters(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     return connected_components(pairs, docs.select("doc_id"))
 
 
+def cluster_retention(docs: DataFrame, clusters: DataFrame | None = None,
+                      n: int = 3, threshold: float = 0.8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Near-dup clusters → the per-cluster retention decision: which doc a
+    curation run actually KEEPS from each duplicate cluster.
+
+    Policy (the common published choice — e.g. CCNet/RefinedWeb keep the
+    longest member so near-dup truncations lose to the full page): rank
+    cluster members by (length(text) DESC, doc_id ASC) and keep rank 1;
+    ties can't diverge across engines because doc_id is unique. Returns
+    every doc with its verdict:
+
+      (doc_id, cluster_id, cluster_size, keep)
+
+    so both the kept corpus (``keep``) and the drop audit (``NOT keep``,
+    with the cluster that doomed each doc) fall out of one result.
+
+    Plan shape at 100 TB: clusters come from :func:`dedup_clusters`
+    (banded MinHash + O(log d) label propagation — never O(n²)); the
+    retention pass itself is ONE shuffle on cluster_id feeding both the
+    size count and the rank window. Near-dup clusters are tiny (pairs
+    survive a 0.8-Jaccard verify), so the window partitions are bounded —
+    no hot-key risk — and singleton clusters (the overwhelming majority)
+    pass through the same window at one row each. The length sort key is
+    computed before the shuffle, so text never moves — only
+    (doc_id, cluster_id, len).
+
+    The reference ships duplicates untouched (at-least-once delivery,
+    SURVEY.md §2.6); this closes the pair→cluster→kept-corpus loop."""
+    from pyspark.sql import Window
+
+    if clusters is None:
+        clusters = dedup_clusters(docs, n=n, threshold=threshold)
+    member = (docs.select(id_col, F.length(F.col(text_col)).alias("_len"))
+              .join(clusters, id_col))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_len").desc(), F.col(id_col).asc())
+    return (member
+            .select(id_col, "cluster_id",
+                    F.count(F.lit(1)).over(
+                        Window.partitionBy("cluster_id")).alias("cluster_size"),
+                    (F.row_number().over(w) == 1).alias("keep"))
+            .withColumn("cluster_size", F.col("cluster_size").cast("long")))
+
+
 # -------------------------------------------------------------- SimHash ----
 
 SIMHASH_BITS = 60  # 15 md5 hex chars → keeps the signature positive in int64

@@ -381,6 +381,34 @@ def test_connected_components_transitive_closure(spark):
         assert got[v] == v  # singletons keep their own id
 
 
+def test_cluster_retention_keeps_longest_per_cluster(spark):
+    """Exactly one keeper per cluster; the keeper is the longest member
+    (doc_id breaks length ties); singletons keep themselves."""
+    from logport_spark.operators.dedup import cluster_retention
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),          # cluster {1,2}: 2 longer
+         (2, "alpha beta gamma delta epsilon"),
+         (3, "same words here okay"),            # cluster {3,4}: equal length
+         (4, "same words here okay"),            #   -> doc_id 3 wins
+         (5, "a lone document about nothing")],  # singleton
+        "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)],
+        "doc_id long, cluster_id long")
+    got = {r["doc_id"]: r for r in
+           cluster_retention(docs, clusters=clusters).collect()}
+    assert not got[1]["keep"] and got[2]["keep"]        # longest wins
+    assert got[3]["keep"] and not got[4]["keep"]        # tie -> min doc_id
+    assert got[5]["keep"] and got[5]["cluster_size"] == 1
+    assert got[1]["cluster_size"] == got[2]["cluster_size"] == 2
+    kept_per_cluster: dict[int, int] = {}
+    for r in got.values():
+        kept_per_cluster[r["cluster_id"]] = \
+            kept_per_cluster.get(r["cluster_id"], 0) + int(r["keep"])
+    assert all(v == 1 for v in kept_per_cluster.values())
+
+
 def test_dedup_clusters_merges_pair_chains(spark, docs):
     """Cluster assignment agrees with a driver-side union-find over the
     operator's own pair list (independent closure implementation)."""

@@ -581,6 +581,53 @@ def _cluster_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_retention(_docs(spark, sf_dir), n=3, threshold=0.8)
 
 
+BM25_QUERIES = [(1, "spark join query"), (2, "hash table scan"),
+                (3, "window agg batch")]
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per probe query (retrieval.py:bm25_topk): the corpus
+    audit/seed-expansion lookup. The one corpus shuffle is the (doc_id,
+    tok) count over query-term-pruned postings; idf and stats broadcast;
+    ranks computed on the rounded score for cross-engine determinism."""
+    from logport_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
+
+
+def _domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL(P_source || P_corpus) in bits (textstats.py:domain_kl)
+    — the token-distribution drift signal a corpus release monitors."""
+    from logport_spark.operators.textstats import domain_kl
+
+    return domain_kl(_docs(spark, sf_dir), group_col="source")
+
+
+def _normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (curation.py:normalize_text) over a
+    deliberately messy projection of documents (uppercased, double-spaced,
+    with a decomposed-accent suffix) so the NFC Arrow-UDF path, the
+    lowercase path, and the whitespace collapse all do real work; the
+    oracle recomputes via DuckDB nfc_normalize."""
+    from logport_spark.operators.curation import normalize_text
+
+    raw = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws("  ", F.upper(F.col("text")),
+                    # \u0301 = combining acute: the suffix is DECOMPOSED
+                    F.lit("CAFE\u0301  DU  MONDE")).alias("text"))
+    return normalize_text(raw).select("doc_id", "norm_text", "changed")
+
+
+def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-stride chunking (sampling.py:chunk_documents, window=32
+    stride=24): fixed-size overlapping token windows per doc — one map
+    stage, no shuffle, token array materialized once per row."""
+    from logport_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=32, stride=24)
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logport_spark.operators.dedup import simhash_signatures
 
@@ -1150,6 +1197,10 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bits2": _lm_bits2,  # bigram stupid-backoff LM score
         "bpe_pairs": _bpe_pairs,  # BPE merge-candidate top-k
         "cluster_retention": _cluster_retention,  # keep-longest per near-dup cluster
+        "bm25_topk": _bm25_topk,  # BM25 probe retrieval over the corpus
+        "domain_kl": _domain_kl,  # per-source token-distribution drift
+        "normalize_docs": _normalize_docs,  # NFC + lower + whitespace canon
+        "chunk_docs": _chunk_docs,  # window-stride token chunking
     }
 
 
@@ -2808,6 +2859,97 @@ def _baseline_oracle_registry() -> dict[str, str]:
             WHERE sample_bucket < CASE lang
                 WHEN 'de' THEN 2500 WHEN 'en' THEN 5000 ELSE 1000 END
         """)([16 ** (7 - j) for j in range(8)]),
+        # BM25 with the Lucene idf; ranks computed on the ROUNDED score so
+        # float summation order can never flip a rank across engines
+        "bm25_topk": f"""
+            WITH q(query_id, qtext) AS (VALUES {", ".join(
+                f"({qid}, '{qt}')" for qid, qt in BM25_QUERIES)}),
+            qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' '))
+                       AS tok FROM q),
+            t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> length(x) > 0) AS toks
+                  FROM documents),
+            l AS (SELECT doc_id, len(toks) AS dl FROM t),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM l),
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            post AS (SELECT p.doc_id, p.tok, count(*) AS tf
+                     FROM tok p
+                     JOIN (SELECT DISTINCT tok FROM qt) v USING (tok)
+                     GROUP BY 1, 2),
+            dfreq AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+            idf AS (SELECT tok,
+                           ln((st.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                               AS idf
+                    FROM dfreq, st),
+            contrib AS (
+              SELECT qt.query_id, post.doc_id,
+                     idf.idf * post.tf * (1.2 + 1.0)
+                     / (post.tf
+                        + 1.2 * (1 - 0.75 + 0.75 * l.dl / st.avgdl)) AS w
+              FROM post JOIN qt USING (tok) JOIN idf USING (tok)
+              JOIN l ON l.doc_id = post.doc_id, st),
+            sc AS (SELECT query_id, doc_id, round(sum(w), 4) AS score
+                   FROM contrib GROUP BY 1, 2),
+            r AS (SELECT query_id, doc_id, score,
+                         row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY score DESC, doc_id ASC) AS rnk
+                  FROM sc)
+            SELECT query_id, rnk, doc_id, score FROM r WHERE rnk <= 10
+        """,
+        # per-source unigram KL vs the corpus distribution, bits
+        "domain_kl": """
+            WITH tok AS (SELECT source AS domain,
+                                unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+            tk AS (SELECT domain, tok FROM tok WHERE length(tok) > 0),
+            g AS (SELECT domain, tok, count(*) AS gc FROM tk GROUP BY 1, 2),
+            gt AS (SELECT domain, CAST(sum(gc) AS BIGINT) AS gn,
+                          count(*) AS n_types
+                   FROM g GROUP BY 1),
+            cc AS (SELECT tok, CAST(sum(gc) AS BIGINT) AS cc
+                   FROM g GROUP BY 1),
+            ct AS (SELECT CAST(sum(cc) AS BIGINT) AS cn FROM cc),
+            term AS (SELECT g.domain, gt.gn, gt.n_types,
+                            (g.gc * 1.0 / gt.gn)
+                            * log2((g.gc * 1.0 / gt.gn)
+                                   / (cc.cc * 1.0 / ct.cn)) AS t
+                     FROM g JOIN gt USING (domain) JOIN cc USING (tok), ct)
+            SELECT domain, max(gn) AS n_tokens, max(n_types) AS n_types,
+                   round(sum(t), 4) AS kl_bits
+            FROM term GROUP BY 1
+        """,
+        # NFC + lower + whitespace canon over the wrapper's messy
+        # projection; ́ below is the combining acute (decomposed)
+        "normalize_docs": """
+            WITH raw AS (
+              SELECT doc_id,
+                     upper(text) || '  ' || 'CAFE' || chr(769) || '  DU  MONDE' AS t
+              FROM documents),
+            n AS (SELECT doc_id, t,
+                         trim(regexp_replace(lower(nfc_normalize(t)),
+                                             '\\s+', ' ', 'g')) AS norm_text
+                  FROM raw)
+            SELECT doc_id, norm_text, norm_text != t AS changed FROM n
+        """,
+        # window-stride chunking: starts 0, 24, 48... while start < n_toks
+        "chunk_docs": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(text, ' '),
+                                          x -> length(x) > 0) AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, toks,
+                         unnest(range(0, len(toks), 24)) AS chunk_start
+                  FROM t WHERE len(toks) > 0)
+            SELECT doc_id,
+                   chunk_start // 24 AS chunk_id,
+                   chunk_start,
+                   CAST(len(toks[chunk_start + 1:chunk_start + 32])
+                        AS BIGINT) AS n_toks,
+                   array_to_string(toks[chunk_start + 1:chunk_start + 32],
+                                   ' ') AS chunk_text
+            FROM s
+        """,
     }
 
 

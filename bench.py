@@ -73,6 +73,9 @@ def _headline_queries():
         "bpe_pairs",                               # r4 BPE merge induction
         "url_blocklist", "c4_page_filters",        # r4 C4/RefinedWeb filters
         "dsir_weights",                            # r4 DSIR importance weights
+        "cluster_retention",                       # r4 keep-longest retention
+        "bm25_topk", "domain_kl",                  # r4 retrieval + KL drift
+        "normalize_docs", "chunk_docs",            # r4 unicode canon + chunking
     ):
         if opt in qs:
             names.append(opt)

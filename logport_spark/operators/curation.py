@@ -178,3 +178,48 @@ def dsir_weights(
             F.round(F.sum("logratio"), 4).alias("logw"),
         )
     )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text") -> DataFrame:
+    """Unicode canonicalization — the pass every multilingual pipeline runs
+    before hashing, deduping, or tokenizing text: NFC normalization (so
+    composed/decomposed forms of the same glyph hash identically), Unicode
+    lowercasing, whitespace collapse to single spaces, and trim. Without it
+    the same page fetched from two mirrors (one emitting e + combining
+    accent, one emitting the precomposed codepoint) defeats exact dedup and
+    splits vocabulary counts.
+
+    Adds ``out_col`` plus a ``changed`` flag (rows the pass altered — the
+    audit count a curation run reports).
+
+    Plan shape: NFC is the one step Spark has no JVM expression for, so it
+    is a vectorized Arrow UDF behind the repo's NULL-mask pattern (the
+    envelope lesson, parse.py:json_mid_udf): rows that are pure ASCII —
+    where NFC is the identity — enter the UDF as NULL (one validity bit
+    over Arrow, no string bytes cross into Python) and are restored by
+    coalesce. Lowercase/whitespace/trim are whole-stage-codegen
+    expressions. No shuffle; composes with any upstream partitioning.
+
+    ASCII-heavy corpora (extracted English web text) therefore pay almost
+    nothing; the Python cost scales with the non-ASCII fraction only."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: PEP-563 stringized hints (future-annotations above)
+    # would defeat pandas_udf's signature inspection
+    @pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        norm = unicodedata.normalize
+        return s.map(lambda x: None if x is None else norm("NFC", x))
+
+    is_ascii = F.col(text_col).rlike("^[\\x00-\\x7F]*$")
+    nfc_out = _nfc(F.when(~is_ascii, F.col(text_col)))
+    canon = F.trim(F.regexp_replace(
+        F.lower(F.coalesce(nfc_out, F.col(text_col))), "\\s+", " "))
+    return (
+        df.withColumn(out_col, canon)
+        .withColumn("changed", F.col(out_col) != F.col(text_col))
+    )

@@ -1,0 +1,112 @@
+"""Corpus retrieval — BM25 scoring over the documents table.
+
+A curation pipeline needs targeted lookup into its own corpus ("which
+training docs look like this eval prompt / this seed set?") for audits,
+decontamination triage, and DSIR-style seed expansion. BM25 (Robertson &
+Zaragoza 2009, "The Probabilistic Relevance Framework") is the standard
+lexical scorer; this is the batch, Spark-first formulation — no inverted
+index service, just a pruned posting aggregation.
+
+Extends the reference's scope (logport ships log lines, it never searches
+them — SURVEY.md §2.6 gap analysis), same as the rest of the curation
+layer.
+
+Scale shape at 100 TB:
+
+- The ONLY corpus-sized shuffle is the (doc_id, tok) partial count, and it
+  runs AFTER a broadcast semi-join that prunes the exploded token stream to
+  query terms — for a q-term query set, shuffle input is the posting lists
+  of those q terms, not the corpus token stream.
+- Document frequency, idf, and the per-(query, term) weight table are all
+  tiny (bounded by |query vocabulary|) and broadcast; corpus statistics
+  (N, avgdl) ride the same broadcast as one row.
+- Doc length is carried THROUGH the posting aggregation (grouped on
+  (doc_id, tok, dl)) so no corpus-sized doc-length join ever happens.
+- Final per-query top-k is a window over query_id; its partition size is
+  the query's candidate count (docs sharing >= 1 term). For web-scale query
+  logs you would bucket by query_id first; for the audit/seed-set use case
+  (a handful of probes) this is already the right plan.
+
+Ranking determinism: ranks are computed on the ROUNDED score (4 decimals,
+the repo's float-oracle convention) with doc_id as tie-break, so any
+engine whose per-term IEEE arithmetic agrees to 4 decimals produces the
+identical top-k — float summation order can never flip a rank across
+engines without also flipping the rounded score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k docs per query under BM25 with the Lucene idf variant
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (always positive).
+
+    ``queries`` is a small in-memory list of (query_id, query_text) — the
+    probe set is driver-side by design (audits use a handful of probes);
+    duplicate terms within one query are counted once (short-query BM25
+    drops query tf). Tokenization matches the corpus LM operators:
+    whitespace split, empty tokens dropped, no case folding (callers
+    normalize upstream, e.g. via curation.normalize_text).
+
+    Returns (query_id, rnk, doc_id, score) with rnk 1..k ordered by
+    (rounded score desc, doc_id asc).
+    """
+    spark = docs.sparkSession
+    qterms = [(int(qid), tok)
+              for qid, qtext in queries
+              for tok in dict.fromkeys(t for t in qtext.split(" ") if t)]
+    qdf = spark.createDataFrame(qterms, "query_id long, tok string")
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda t: F.length(t) > 0).alias("toks"),
+    ).select("doc_id", "toks", F.size("toks").cast("long").alias("dl"))
+
+    stats = toks.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+
+    # prune to query terms BEFORE the corpus-sized aggregation: the
+    # broadcast semi-join keeps only query-term occurrences, so the
+    # (doc_id, tok) shuffle carries posting lists, not the corpus
+    post = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .join(F.broadcast(qdf.select("tok").distinct()), "tok")
+        .groupBy("doc_id", "tok", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+
+    idf = (
+        post.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok", "avgdl",
+            F.log((F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0).alias("idf"),
+        )
+    )
+    # (query_id, tok, idf, avgdl) — query-vocab-sized; broadcast keeps every
+    # join in the operator a broadcast join (no sort-merge anywhere)
+    qweights = qdf.join(F.broadcast(idf), "tok")
+
+    contrib = post.join(F.broadcast(qweights), "tok").select(
+        "query_id", "doc_id",
+        (F.col("idf") * F.col("tf") * (k1 + 1.0)
+         / (F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+        .alias("w"),
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("w"), 4).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "score")
+    )

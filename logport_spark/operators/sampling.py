@@ -190,3 +190,46 @@ def pack_sequences(docs: DataFrame, window_tokens: int = 2048,
                     / F.lit(window_tokens)).cast("long"))
         .select("doc_id", "shard", "pack_id", "n_tokens", "cum_tokens")
     )
+
+
+def chunk_documents(docs: DataFrame, window: int = 128, stride: int = 96,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Window-stride document chunking — the training/embedding prep step
+    that splits long documents into fixed-size token windows with overlap
+    (the HF ``return_overflowing_tokens`` contract): chunk i covers tokens
+    [i*stride, i*stride + window), starts run while start < n_tokens, so
+    every token lands in >= 1 chunk whenever stride <= window and the tail
+    chunk may be short. Empty documents yield no chunks.
+
+    Output: (doc_id, chunk_id, chunk_start, n_toks, chunk_text) — chunk_id
+    is the 0-based window index, chunk_start the 0-based token offset.
+
+    Plan shape: the token array materializes ONCE as a column (the
+    HOF-lambda re-evaluation rule, BENCH/BASELINE.md — slice() inside the
+    transform lambda references only that attribute, so nothing is
+    recomputed per window), starts come from one sequence() expression, and
+    posexplode is the only row-count change — no shuffle, no Python, output
+    rows ~ n_tokens/stride per doc. Downstream writers inherit the scan
+    partitioning; a 10^12-doc corpus chunks in a single map stage."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), " "),
+                 lambda t: F.length(t) > 0).alias("toks"),
+    )
+    starts = F.when(
+        F.size("toks") > 0,
+        F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride)),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    chunks = toks.select(
+        "doc_id", "toks",
+        F.posexplode(starts).alias("chunk_id", "chunk_start"),
+    )
+    piece = F.slice(F.col("toks"), F.col("chunk_start") + 1, window)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.size(piece).cast("long").alias("n_toks"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -782,3 +782,50 @@ def domain_filter(docs: DataFrame, min_docs: int = 1,
     ).select("domain")
     return docs.join(
         F.broadcast(bad), docs[domain_col] == bad["domain"], "left_anti")
+
+
+def domain_kl(docs: DataFrame, group_col: str = "source",
+              text_col: str = "text") -> DataFrame:
+    """Per-domain token-distribution drift: KL(P_domain || P_corpus) in
+    bits over the unigram distributions. The composition-monitoring signal
+    a corpus release tracks — a domain whose language stops resembling the
+    corpus (spam injection, template rot, scraper drift between snapshots)
+    shows up as a KL spike long before any single-doc gate fires; it is
+    also the corpus-level dual of dsir_weights' per-doc log-ratio score.
+
+    Output: (domain, n_tokens, n_types, kl_bits) — kl_bits >= 0, 0 iff the
+    domain's unigram distribution equals the corpus's.
+
+    Plan shape, all linear: one shuffle on (domain, tok) for the per-domain
+    counts; the corpus distribution is the SUM of those partial counts
+    (second shuffle on tok, vocab-sized input, never re-reads the corpus);
+    the per-domain totals join is domain-cardinality-sized. Every KL term
+    is pure IEEE arithmetic (divide, log2, multiply) and the per-domain sum
+    is rounded to 4 decimals — the repo's cross-engine float contract.
+    No Python, nothing collected."""
+    tok = docs.select(
+        F.col(group_col).alias("domain"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    gc = tok.groupBy("domain", "tok").agg(F.count(F.lit(1)).alias("gc"))
+    gtot = gc.groupBy("domain").agg(F.sum("gc").alias("gn"),
+                                    F.count(F.lit(1)).alias("n_types"))
+    cc = gc.groupBy("tok").agg(F.sum("gc").alias("cc"))
+    ctot = cc.agg(F.sum("cc").alias("cn"))
+    term = (
+        gc.join(gtot, "domain")
+        .join(cc, "tok")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "domain", "gn", "n_types",
+            ((F.col("gc") / F.col("gn"))
+             * F.log2((F.col("gc") / F.col("gn"))
+                      / (F.col("cc") / F.col("cn")))).alias("t"),
+        )
+    )
+    return (
+        term.groupBy("domain")
+        .agg(F.first("gn").alias("n_tokens"),
+             F.first("n_types").alias("n_types"),
+             F.round(F.sum("t"), 4).alias("kl_bits"))
+    )

@@ -59,7 +59,8 @@ def test_baselines_match_oracles(spark, duck):
         "contamination_fuzzy", "corpus_datacard", "url_blocklist",
         "c4_page_filters", "dsir_weights",
         # r4 session-4 additions
-        "cluster_retention",
+        "cluster_retention", "bm25_topk", "domain_kl",
+        "normalize_docs", "chunk_docs",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -421,3 +421,49 @@ def test_r4_session2_plans_stay_agg_shaped(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan  # never a global sort
     assert plan.count("windowspecdefinition(shard") == 1
+
+
+def test_chunk_documents_is_exchange_free(spark):
+    """Chunking is a pure map stage: the token array materializes once as a
+    column, posexplode is the only row-count change — no Exchange, no
+    Python, no global sort at any corpus size."""
+    from logport_spark.operators.sampling import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = chunk_documents(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "Generate posexplode" in plan
+
+
+def test_bm25_all_joins_broadcast_and_prune_precedes_agg(spark):
+    """BM25's corpus-sized shuffle is the (doc_id, tok) count AFTER the
+    broadcast query-term prune; every join is a broadcast join (idf, stats,
+    query weights are all query-vocab-sized) — no sort-merge join, no
+    corpus-sized doc-length join, anywhere in the plan."""
+    from logport_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = bm25_topk(docs, [(1, "spark join query"), (2, "hash table scan")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan  # topk is windowed, not sorted globally
+    # the explode feeds the broadcast semi-prune BEFORE any aggregation:
+    # reading bottom-up, the first Generate (explode) is below the first
+    # BroadcastHashJoin, which is below the first HashAggregate
+    gen = plan.rindex("Generate explode")
+    bhj = max(i for i in range(len(plan)) if plan.startswith("BroadcastHashJoin", i))
+    assert bhj < gen or plan.index("BroadcastHashJoin") < plan.index("HashAggregate")
+
+
+def test_domain_kl_no_cartesian_no_global_sort(spark):
+    """domain_kl's wide ops are key-partitioned aggregations; the single
+    1-row corpus total rides a broadcast nested-loop join, never a real
+    cartesian product, and nothing range-partitions."""
+    from logport_spark.operators.textstats import domain_kl
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = domain_kl(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -1248,3 +1248,101 @@ def test_dsir_weights_direction_invariance_and_plan(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_bm25_ranks_full_match_first_and_prunes_nonmatches(spark):
+    """The doc containing every query term (twice) outranks a one-term doc;
+    docs sharing no term never appear; ranks are 1..n_candidates."""
+    from logport_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark join query spark join query filler words here"),
+         (2, "join is the only shared token in this document"),
+         (3, "completely unrelated text about nothing at all"),
+         (4, "spark appears once among many other unrelated words")],
+        "doc_id long, text string")
+    got = bm25_topk(docs, [(7, "spark join query")], k=10).collect()
+    by_rank = {r["rnk"]: r["doc_id"] for r in got}
+    assert by_rank[1] == 1                      # full match wins
+    assert 3 not in {r["doc_id"] for r in got}  # no shared term -> absent
+    assert {r["query_id"] for r in got} == {7}
+    assert sorted(r["rnk"] for r in got) == list(range(1, len(got) + 1))
+    assert all(r["score"] > 0 for r in got)     # Lucene idf is positive
+
+
+def test_bm25_respects_k_and_multi_query(spark):
+    from logport_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta common{i % 3}") for i in range(20)],
+        "doc_id long, text string")
+    got = bm25_topk(docs, [(1, "alpha"), (2, "beta")], k=5).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {1, 2} and all(len(v) == 5 for v in per_q.values())
+
+
+def test_domain_kl_zero_iff_matching_distribution(spark):
+    """Two domains with identical unigram distributions and equal share of
+    the corpus-defining mass score near 0; a divergent domain scores
+    strictly higher; n_tokens/n_types are exact."""
+    from logport_spark.operators.textstats import domain_kl
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x y x y"), (2, "a", "x y"),
+         (3, "b", "x y x y x y"),
+         (4, "c", "z z z z z z")],
+        "doc_id long, source string, text string")
+    got = {r["domain"]: r for r in domain_kl(docs).collect()}
+    # a and b are both 50/50 x/y; corpus is x:6 y:6 z:6 -> KL(a||c) equals
+    # KL(b||c) and both are positive (corpus has z-mass they lack)
+    assert got["a"]["kl_bits"] == got["b"]["kl_bits"] > 0
+    assert got["c"]["kl_bits"] > got["a"]["kl_bits"]  # pure-z diverges more
+    assert got["a"]["n_tokens"] == 6 and got["a"]["n_types"] == 2
+    assert got["c"]["n_tokens"] == 6 and got["c"]["n_types"] == 1
+
+
+def test_normalize_text_nfc_lower_whitespace(spark):
+    """Composed and decomposed forms of the same word canonicalize to the
+    same bytes; ASCII-clean rows are unchanged (and skip the UDF via the
+    NULL mask); whitespace collapses; changed flags are accurate."""
+    from logport_spark.operators.curation import normalize_text
+
+    composed = "Café au lait"          # é precomposed
+    decomposed = "Café au lait"       # e + combining acute
+    docs = spark.createDataFrame(
+        [(1, composed), (2, decomposed),
+         (3, "already clean ascii"), (4, "  Spaced   OUT  "), (5, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert got[1]["norm_text"] == got[2]["norm_text"] == "café au lait"
+    assert got[1]["changed"] and got[2]["changed"]
+    assert got[3]["norm_text"] == "already clean ascii" and not got[3]["changed"]
+    assert got[4]["norm_text"] == "spaced out" and got[4]["changed"]
+    assert got[5]["norm_text"] is None
+
+
+def test_chunk_documents_coverage_overlap_and_edges(spark):
+    """Every token lands in >= 1 chunk; consecutive chunks overlap by
+    window - stride; short docs yield one full-copy chunk; empty docs
+    yield none."""
+    from logport_spark.operators.sampling import chunk_documents
+
+    ten = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, ten), (2, "only three tokens"), (3, ""), (4, "   ")],
+        "doc_id long, text string")
+    got = chunk_documents(docs, window=4, stride=3).collect()
+    one = sorted((r for r in got if r["doc_id"] == 1),
+                 key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in one] == [0, 3, 6, 9]
+    assert [r["n_toks"] for r in one] == [4, 4, 4, 1]
+    assert one[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert one[-1]["chunk_text"] == "t9"
+    # stride-slice reassembly reproduces the doc exactly
+    rebuilt = " ".join(" ".join(r["chunk_text"].split(" ")[:3]) for r in one)
+    assert rebuilt.strip() == ten
+    two = [r for r in got if r["doc_id"] == 2]
+    assert len(two) == 1 and two[0]["chunk_text"] == "only three tokens"
+    assert not [r for r in got if r["doc_id"] in (3, 4)]  # empty -> no rows

@@ -185,6 +185,35 @@ ANNOTATED = {
         "attribute-only substring lambda over that Zipf-bounded table, and "
         "top-k is TakeOrderedAndProject — no global sort anywhere."
     ),
+    "cluster_retention": (
+        "Keep-longest retention over near-dup clusters: the pair-mining DAG "
+        "(minhash bands + label propagation) feeds ONE exchange on "
+        "cluster_id shared by the size count and the rank window; the sort "
+        "key (len) is computed before the shuffle so text never moves."
+    ),
+    "bm25_topk": (
+        "BM25 probe retrieval: the exploded token stream hits the broadcast "
+        "query-term semi-join BEFORE the (doc_id, tok) count — the only "
+        "corpus-sized shuffle carries query-term postings; idf/stats/"
+        "query-weights are broadcast (no SortMergeJoin in the plan); the "
+        "per-query top-k is a window on query_id, never a global sort."
+    ),
+    "domain_kl": (
+        "Token-distribution drift: (domain, tok) partial+final count, the "
+        "corpus distribution summed FROM those partials (the corpus is "
+        "read once), 1-row total via BroadcastNestedLoopJoin, final "
+        "domain-keyed aggregate. All linear, no cartesian."
+    ),
+    "normalize_docs": (
+        "Unicode canonicalization: ONE ArrowEvalPython fed a NULL-masked "
+        "column (non-ASCII rows only cross into Python); lower/whitespace/"
+        "trim stay in the codegen span; zero exchanges."
+    ),
+    "chunk_docs": (
+        "Window-stride chunking: token array materialized once per row, "
+        "sequence() starts, Generate posexplode as the only row-count "
+        "change — a pure map stage, zero exchanges, zero Python."
+    ),
 }
 
 

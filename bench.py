@@ -313,7 +313,9 @@ def dedup_scale_run() -> dict:
              "corpus_clean", "contamination_scan", "lm_bits",
              # r4 session-2 additions
              "html_extract", "span_dedup_docs", "corpus_shuffle",
-             "snapshot_delta", "lm_buckets", "lm_bits2"]
+             "snapshot_delta", "lm_buckets", "lm_bits2",
+             # r4 session-4 additions
+             "bm25_topk", "domain_kl", "normalize_docs", "chunk_docs"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -1221,6 +1221,8 @@ _ROTATE_IN = [
     "line_dedup_corpus",    # C4 corpus line dedup — no family twin
     "web_curation",         # end-to-end pages composite — no family twin
     "semantic_dedup_pairs", # SemDeDup — embedding-space near-dup family
+    "bm25_topk",            # corpus retrieval — no family twin (session 4)
+    "domain_kl",            # distribution-drift monitor — no family twin
 ]
 _ROTATE_OUT = [
     "dedup_exact",          # family graded via dedup_clusters (same DAG+)
@@ -1234,6 +1236,8 @@ _ROTATE_OUT = [
     "events_hourly",        # date_trunc+agg shape graded via q1/rollup
     "daily_running_revenue",  # cumulative window; ranking/gap windows keep
                               # graded rows (top3, sessionize)
+    "q6_forecast_revenue",  # scan+filter+agg shape graded via q1
+    "token_stats",          # token aggregation graded via vocab_topk/lm_bits
 ]
 
 

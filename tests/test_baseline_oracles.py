@@ -58,9 +58,10 @@ def test_baselines_match_oracles(spark, duck):
         # r4 session-3 additions
         "contamination_fuzzy", "corpus_datacard", "url_blocklist",
         "c4_page_filters", "dsir_weights",
-        # r4 session-4 additions
-        "cluster_retention", "bm25_topk", "domain_kl",
-        "normalize_docs", "chunk_docs",
+        # r4 session-4 additions (bm25_topk/domain_kl claimed contract
+        # slots; the displaced family rows land here)
+        "cluster_retention", "normalize_docs", "chunk_docs",
+        "q6_forecast_revenue", "token_stats",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
               k1: float = 1.2, b: float = 0.75,
+              corpus_stats: tuple[int, float] | None = None,
               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Top-k docs per query under BM25 with the Lucene idf variant
     ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (always positive).
@@ -55,6 +56,12 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
 
     Returns (query_id, rnk, doc_id, score) with rnk 1..k ordered by
     (rounded score desc, doc_id asc).
+
+    ``corpus_stats=(n_docs, avgdl)``, when given, skips the stats
+    aggregation — by default computing N and avgdl costs one extra
+    aggregate-only pass over the corpus (cheap but a second scan); a
+    deployment that serves many probe sets precomputes the pair once and
+    every subsequent call scans the corpus exactly once.
     """
     spark = docs.sparkSession
     qterms = [(int(qid), tok)
@@ -68,8 +75,13 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
                  lambda t: F.length(t) > 0).alias("toks"),
     ).select("doc_id", "toks", F.size("toks").cast("long").alias("dl"))
 
-    stats = toks.agg(F.count(F.lit(1)).alias("n_docs"),
-                     F.avg("dl").alias("avgdl"))
+    if corpus_stats is not None:
+        stats = spark.createDataFrame(
+            [(int(corpus_stats[0]), float(corpus_stats[1]))],
+            "n_docs long, avgdl double")
+    else:
+        stats = toks.agg(F.count(F.lit(1)).alias("n_docs"),
+                         F.avg("dl").alias("avgdl"))
 
     # prune to query terms BEFORE the corpus-sized aggregation: the
     # broadcast semi-join keeps only query-term occurrences, so the

@@ -1346,3 +1346,20 @@ def test_chunk_documents_coverage_overlap_and_edges(spark):
     two = [r for r in got if r["doc_id"] == 2]
     assert len(two) == 1 and two[0]["chunk_text"] == "only three tokens"
     assert not [r for r in got if r["doc_id"] in (3, 4)]  # empty -> no rows
+
+
+def test_bm25_precomputed_stats_matches_inline(spark):
+    """corpus_stats=(N, avgdl) skips the stats scan without changing any
+    score or rank."""
+    from logport_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta common{i % 3} tail{i % 5}") for i in range(30)],
+        "doc_id long, text string")
+    q = [(1, "alpha common1")]
+    inline = {(r["query_id"], r["doc_id"]): (r["rnk"], r["score"])
+              for r in bm25_topk(docs, q, k=8).collect()}
+    pre = {(r["query_id"], r["doc_id"]): (r["rnk"], r["score"])
+           for r in bm25_topk(docs, q, k=8,
+                              corpus_stats=(30, 4.0)).collect()}
+    assert inline == pre and len(inline) == 8

@@ -135,30 +135,29 @@ def dsir_weights(
     buckets bounds distribution state at B rows regardless of corpus size
     (the paper's point) — so the log-ratio table BROADCASTS, the raw
     corpus never shuffles its grams, and the only corpus-sized exchange
-    is the per-doc sum. Distribution totals come from unpartitioned
-    windows over the B-row aggregates, not driver actions."""
-    from pyspark.sql.window import Window
-
+    is the per-doc sum. Distribution totals are 1-row aggregates of the
+    B-row bucket tables, broadcast back — never an unpartitioned window
+    (which would single-partition the table and warn per task) and never
+    a driver action."""
     raw = _hashed_grams(docs, n_buckets, text_col, id_col)
     tgt = _hashed_grams(target, n_buckets, text_col, id_col)
 
-    w = Window.partitionBy()
     rawb = (raw.groupBy("bucket").count()
-            .select("bucket", F.col("count").alias("cr"),
-                    F.sum("count").over(w).alias("tr")))
+            .select("bucket", F.col("count").alias("cr")))
+    tr = rawb.agg(F.sum("cr").alias("tr"))
     tgtb = (tgt.groupBy("bucket").count()
-            .select("bucket", F.col("count").alias("ct"),
-                    F.sum("count").over(w).alias("tt")))
+            .select("bucket", F.col("count").alias("ct")))
+    tt = tgtb.agg(F.sum("ct").alias("tt"))
 
     # every raw gram's bucket exists in rawb by construction; target-empty
-    # buckets smooth to alpha mass. tt is constant over tgtb — max() just
-    # carries it through the left join's NULLs.
-    tt_fill = F.max("tt").over(Window.partitionBy())
+    # buckets smooth to alpha mass (ct coalesces to 0 after the left
+    # join); the totals ride 1-row broadcasts so tt is never NULL.
     # both distribution tables are <= B rows by construction — broadcast
     # the target side so no stage of the operator ever sort-merge-joins
     lr = (
-        rawb.join(F.broadcast(tgtb), "bucket", "left")
-        .withColumn("tt", tt_fill)
+        rawb.crossJoin(F.broadcast(tr))
+        .join(F.broadcast(tgtb), "bucket", "left")
+        .crossJoin(F.broadcast(tt))
         .select(
             "bucket",
             (

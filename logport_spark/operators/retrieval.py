@@ -22,10 +22,11 @@ Scale shape at 100 TB:
   (N, avgdl) ride the same broadcast as one row.
 - Doc length is carried THROUGH the posting aggregation (grouped on
   (doc_id, tok, dl)) so no corpus-sized doc-length join ever happens.
-- Final per-query top-k is a window over query_id; its partition size is
-  the query's candidate count (docs sharing >= 1 term). For web-scale query
-  logs you would bucket by query_id first; for the audit/seed-set use case
-  (a handful of probes) this is already the right plan.
+- Final per-query top-k is TWO-PHASE: partial top-k inside deterministic
+  doc_id-hash salt buckets, then a final rank over the <= n_salts*k
+  survivors — no single task ever sorts a query's full candidate set, even
+  when every corpus doc is a candidate (the 5M ladder measured exactly
+  that cliff on the tiny-vocab bench corpus and the fix bought +62%).
 
 Ranking determinism: ranks are computed on the ROUNDED score (4 decimals,
 the repo's float-oracle convention) with doc_id as tie-break, so any

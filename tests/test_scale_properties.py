@@ -449,6 +449,10 @@ def test_bm25_all_joins_broadcast_and_prune_precedes_agg(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "Exchange rangepartitioning" not in plan  # topk is windowed, not sorted globally
+    # two-phase top-k: the salt-bucketed partial rank must precede the
+    # final per-query rank (no single-task full-candidate sort)
+    assert plan.count("windowspecdefinition(query_id") == 2
+    assert "salt" in plan
     # the explode feeds the broadcast semi-prune BEFORE any aggregation:
     # reading bottom-up, the first Generate (explode) is below the first
     # BroadcastHashJoin, which is below the first HashAggregate

@@ -195,8 +195,10 @@ ANNOTATED = {
         "BM25 probe retrieval: the exploded token stream hits the broadcast "
         "query-term semi-join BEFORE the (doc_id, tok) count — the only "
         "corpus-sized shuffle carries query-term postings; idf/stats/"
-        "query-weights are broadcast (no SortMergeJoin in the plan); the "
-        "per-query top-k is a window on query_id, never a global sort."
+        "query-weights are broadcast (no SortMergeJoin in the plan); top-k "
+        "is TWO-PHASE — per-(query, doc-hash-salt) partial top-k, then a "
+        "final rank over <= 64k survivors — so no single task ever sorts "
+        "a query's full candidate set (the 5M ladder measured that cliff)."
     ),
     "domain_kl": (
         "Token-distribution drift: (domain, tok) partial+final count, the "

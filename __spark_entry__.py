@@ -619,6 +619,20 @@ def _normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(raw).select("doc_id", "norm_text", "changed")
 
 
+def _budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus assembly (sampling.py:select_token_budget):
+    keep the most fluent docs (by negated unigram bits/token) until a
+    20k-token budget fills — prefix-of-global-sort semantics via a
+    distinct-score histogram + broadcast verdicts, never a global sort."""
+    from logport_spark.operators.sampling import select_token_budget
+    from logport_spark.operators.textstats import unigram_logprob
+
+    sc = unigram_logprob(_docs(spark, sf_dir)).select(
+        "doc_id", (-F.col("bits_per_token")).alias("score"),
+        F.col("n_scored").alias("n_tokens"))
+    return select_token_budget(sc, budget=20000)
+
+
 def _chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-stride chunking (sampling.py:chunk_documents, window=32
     stride=24): fixed-size overlapping token windows per doc — one map
@@ -1201,6 +1215,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_kl": _domain_kl,  # per-source token-distribution drift
         "normalize_docs": _normalize_docs,  # NFC + lower + whitespace canon
         "chunk_docs": _chunk_docs,  # window-stride token chunking
+        "budget_select": _budget_select,  # token-budget corpus assembly
     }
 
 
@@ -2935,6 +2950,30 @@ def _baseline_oracle_registry() -> dict[str, str]:
                                              '\\s+', ' ', 'g')) AS norm_text
                   FROM raw)
             SELECT doc_id, norm_text, norm_text != t AS changed FROM n
+        """,
+        # prefix-of-global-sort selection under a token budget: doc kept
+        # iff its exclusive running total (score desc, doc_id asc) plus its
+        # own tokens fits; score = negated lm_bits fluency
+        "budget_select": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tk AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+            vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+            tot AS (SELECT sum(c) AS n FROM vocab),
+            lp AS (SELECT tok, log2(c * 1.0 / n) AS lp FROM vocab, tot),
+            sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                          -round(avg(-lp), 4) AS score
+                   FROM tk JOIN lp USING (tok) GROUP BY doc_id),
+            r AS (SELECT doc_id, score, n_tokens,
+                         coalesce(sum(n_tokens) OVER (
+                             ORDER BY score DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cumb
+                  FROM sc)
+            SELECT doc_id, score, n_tokens,
+                   cumb + n_tokens <= 20000 AS selected
+            FROM r
         """,
         # window-stride chunking: starts 0, 24, 48... while start < n_toks
         "chunk_docs": """

@@ -76,6 +76,7 @@ def _headline_queries():
         "cluster_retention",                       # r4 keep-longest retention
         "bm25_topk", "domain_kl",                  # r4 retrieval + KL drift
         "normalize_docs", "chunk_docs",            # r4 unicode canon + chunking
+        "budget_select",                           # r4 token-budget assembly
     ):
         if opt in qs:
             names.append(opt)

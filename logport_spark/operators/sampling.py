@@ -233,3 +233,59 @@ def chunk_documents(docs: DataFrame, window: int = 128, stride: int = 96,
         F.size(piece).cast("long").alias("n_toks"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def select_token_budget(scored: DataFrame, budget: int,
+                        score_col: str = "score",
+                        tokens_col: str = "n_tokens",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Token-budget corpus selection — the assembly step after scoring
+    (DSIR weights, LM quality, classifier margin): keep the best-scored
+    documents whose cumulative token count fits a global budget.
+    Semantically: sort all docs by (score desc, id asc), take the longest
+    prefix whose running token total stays <= budget — but WITHOUT the
+    global sort, which at 10^12 docs is a single-task cliff.
+
+    Returns every input doc with its verdict: (id, score, n_tokens,
+    selected) — the kept corpus and the cut audit in one result.
+
+    Plan shape: ONE corpus shuffle (the groupBy(score) token-mass
+    histogram; scores are rounded, so the table is distinct-score-sized,
+    orders of magnitude below the corpus). The cumulative pass runs over
+    that bounded table; its output broadcasts back, and every doc's
+    verdict is then a pure broadcast-join predicate — except docs AT the
+    single boundary score, which rank by id inside one bounded window
+    partition. Degenerate corpora where most docs tie at the boundary
+    score degrade that partition; rounded scores + a real scoring signal
+    keep ties rare (docstring contract, as for cluster_retention)."""
+    from pyspark.sql import Window
+
+    d = scored.select(
+        F.col(id_col),
+        F.col(score_col).alias("score"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+    )
+    by_score = d.groupBy("score").agg(F.sum("n_tokens").alias("st"))
+    # bounded distinct-score table: the unpartitioned window is over the
+    # histogram, never the corpus
+    cw = (Window.orderBy(F.col("score").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    cum = by_score.select(
+        "score", "st",
+        F.coalesce(F.sum("st").over(cw), F.lit(0)).alias("cumb"))
+    j = d.join(F.broadcast(cum), "score")
+    full = F.col("cumb") + F.col("st") <= F.lit(budget)
+    boundary = (F.col("cumb") < F.lit(budget)) & ~full
+
+    plain = j.filter(~boundary).select(
+        id_col, "score", "n_tokens", full.alias("selected"))
+    bw = (Window.partitionBy("score").orderBy(F.col(id_col).asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    edge = (
+        j.filter(boundary)
+        .withColumn("cum_in", F.sum("n_tokens").over(bw))
+        .select(id_col, "score", "n_tokens",
+                (F.col("cumb") + F.col("cum_in") <= F.lit(budget))
+                .alias("selected"))
+    )
+    return plain.unionByName(edge)

@@ -1363,3 +1363,42 @@ def test_bm25_precomputed_stats_matches_inline(spark):
            for r in bm25_topk(docs, q, k=8,
                               corpus_stats=(30, 4.0)).collect()}
     assert inline == pre and len(inline) == 8
+
+
+def test_select_token_budget_prefix_semantics(spark):
+    """Verdicts equal the naive sort-and-prefix rule across budgets,
+    including exact fit, mid-score boundary with id tie-break, zero
+    budget, and budget >= total."""
+    from logport_spark.operators.sampling import select_token_budget
+
+    rows = [(1, 9.0, 10), (2, 8.0, 10), (3, 8.0, 10), (4, 8.0, 10),
+            (5, 7.0, 10), (6, 6.0, 100)]
+    docs = spark.createDataFrame(rows, "doc_id long, score double, n_tokens long")
+
+    def naive(budget):
+        run, keep = 0, set()
+        for did, _, nt in sorted(rows, key=lambda r: (-r[1], r[0])):
+            if run + nt <= budget:
+                keep.add(did)
+            run += nt
+        return keep
+
+    for budget in (0, 5, 10, 25, 30, 40, 45, 50, 150, 1000):
+        got = {r["doc_id"] for r in
+               select_token_budget(docs, budget).collect() if r["selected"]}
+        assert got == naive(budget), f"budget={budget}"
+    assert select_token_budget(docs, 25).count() == len(rows)  # full audit
+
+
+def test_select_token_budget_plan_has_one_corpus_shuffle(spark):
+    """The only corpus-keyed exchange is the score histogram; the verdict
+    join is broadcast; no global (range) sort of the docs."""
+    from logport_spark.operators.sampling import select_token_budget
+
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .selectExpr("doc_id", "CAST(n_chars AS DOUBLE) AS score",
+                        "n_chars AS n_tokens"))
+    plan = select_token_budget(docs, 10_000)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan

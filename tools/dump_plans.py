@@ -216,6 +216,13 @@ ANNOTATED = {
         "sequence() starts, Generate posexplode as the only row-count "
         "change — a pure map stage, zero exchanges, zero Python."
     ),
+    "budget_select": (
+        "Token-budget selection: prefix-of-global-sort semantics with ONE "
+        "corpus shuffle (the distinct-score token-mass histogram); the "
+        "cumulative pass runs over that bounded table, verdicts come back "
+        "as a broadcast-join predicate, and only boundary-score ties rank "
+        "in a window — the corpus is never globally sorted."
+    ),
 }
 
 

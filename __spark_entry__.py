@@ -619,6 +619,15 @@ def _normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(raw).select("doc_id", "norm_text", "changed")
 
 
+def _domain_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive terms (textstats.py:domain_terms): top-5
+    tokens by Monroe-et-al log-odds z-score with the corpus Dirichlet
+    prior — which terms drive each domain's drift."""
+    from logport_spark.operators.textstats import domain_terms
+
+    return domain_terms(_docs(spark, sf_dir), k=5, group_col="source")
+
+
 def _budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus assembly (sampling.py:select_token_budget):
     keep the most fluent docs (by negated unigram bits/token) until a
@@ -1216,6 +1225,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_docs": _normalize_docs,  # NFC + lower + whitespace canon
         "chunk_docs": _chunk_docs,  # window-stride token chunking
         "budget_select": _budget_select,  # token-budget corpus assembly
+        "domain_terms": _domain_terms,  # log-odds distinctive vocabulary
     }
 
 
@@ -2950,6 +2960,37 @@ def _baseline_oracle_registry() -> dict[str, str]:
                                              '\\s+', ' ', 'g')) AS norm_text
                   FROM raw)
             SELECT doc_id, norm_text, norm_text != t AS changed FROM n
+        """,
+        # Monroe et al. log-odds z with a corpus-rate Dirichlet prior;
+        # rank on the rounded z (tok tie-break), same float contract
+        "domain_terms": """
+            WITH tok AS (SELECT source AS domain,
+                                unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+            tk AS (SELECT domain, tok FROM tok WHERE length(tok) > 0),
+            g AS (SELECT domain, tok, CAST(count(*) AS DOUBLE) AS cdw
+                  FROM tk GROUP BY 1, 2),
+            gt AS (SELECT domain, sum(cdw) AS nd FROM g GROUP BY 1),
+            cc AS (SELECT tok, sum(cdw) AS cw FROM g GROUP BY 1),
+            ct AS (SELECT sum(cw) AS n FROM cc),
+            sc AS (
+              SELECT g.domain, g.tok,
+                     round((
+                       ln((g.cdw + 100.0 * cc.cw / ct.n)
+                          / (gt.nd + 100.0 - g.cdw
+                             - 100.0 * cc.cw / ct.n))
+                       - ln(((cc.cw - g.cdw) + 100.0 * cc.cw / ct.n)
+                            / ((ct.n - gt.nd) + 100.0 - (cc.cw - g.cdw)
+                               - 100.0 * cc.cw / ct.n))
+                     ) / sqrt(1.0 / (g.cdw + 100.0 * cc.cw / ct.n)
+                              + 1.0 / ((cc.cw - g.cdw)
+                                       + 100.0 * cc.cw / ct.n)), 4) AS z
+              FROM g JOIN gt USING (domain) JOIN cc USING (tok), ct),
+            r AS (SELECT domain, tok, z,
+                         row_number() OVER (PARTITION BY domain
+                             ORDER BY z DESC, tok ASC) AS rank
+                  FROM sc)
+            SELECT domain, rank, tok, z FROM r WHERE rank <= 5
         """,
         # prefix-of-global-sort selection under a token budget: doc kept
         # iff its exclusive running total (score desc, doc_id asc) plus its

@@ -77,6 +77,7 @@ def _headline_queries():
         "bm25_topk", "domain_kl",                  # r4 retrieval + KL drift
         "normalize_docs", "chunk_docs",            # r4 unicode canon + chunking
         "budget_select",                           # r4 token-budget assembly
+        "domain_terms",                            # r4 log-odds vocabulary
     ):
         if opt in qs:
             names.append(opt)

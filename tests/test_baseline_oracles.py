@@ -62,6 +62,7 @@ def test_baselines_match_oracles(spark, duck):
         # slots; the displaced family rows land here)
         "cluster_retention", "normalize_docs", "chunk_docs",
         "q6_forecast_revenue", "token_stats", "budget_select",
+        "domain_terms",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

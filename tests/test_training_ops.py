@@ -1402,3 +1402,25 @@ def test_select_token_budget_plan_has_one_corpus_shuffle(spark):
         .executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_domain_terms_surfaces_overused_token(spark):
+    """The token a domain over-uses tops its list with z > 0; shared
+    background tokens never outrank it; ranks are 1..k."""
+    from logport_spark.operators.textstats import domain_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a", "zzz zzz zzz common words here"),
+         (2, "a", "zzz zzz common words again here"),
+         (3, "b", "common words here again and again"),
+         (4, "b", "more common words here yet again")],
+        "doc_id long, source string, text string")
+    got = domain_terms(docs, k=3).collect()
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r)
+    a = sorted(by_dom["a"], key=lambda r: r["rank"])
+    assert a[0]["tok"] == "zzz" and a[0]["z"] > 0
+    assert [r["rank"] for r in a] == [1, 2, 3]
+    # b's top term must not be zzz (it never uses it)
+    assert sorted(by_dom["b"], key=lambda r: r["rank"])[0]["tok"] != "zzz"

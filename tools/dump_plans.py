@@ -216,6 +216,12 @@ ANNOTATED = {
         "sequence() starts, Generate posexplode as the only row-count "
         "change — a pure map stage, zero exchanges, zero Python."
     ),
+    "domain_terms": (
+        "Log-odds distinctive vocabulary: domain_kl's skeleton — one "
+        "(domain, tok) shuffle, corpus counts from the partials, 1-row "
+        "total broadcast — plus a rank window whose partitions are "
+        "per-domain vocabularies (Zipf-bounded, not corpus-sized)."
+    ),
     "budget_select": (
         "Token-budget selection: prefix-of-global-sort semantics with ONE "
         "corpus shuffle (the distinct-score token-mass histogram); the "

@@ -317,7 +317,8 @@ def dedup_scale_run() -> dict:
              "html_extract", "span_dedup_docs", "corpus_shuffle",
              "snapshot_delta", "lm_buckets", "lm_bits2",
              # r4 session-4 additions
-             "bm25_topk", "domain_kl", "normalize_docs", "chunk_docs"]
+             "bm25_topk", "domain_kl", "normalize_docs", "chunk_docs",
+             "budget_select", "domain_terms"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -1099,6 +1099,30 @@ def _corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_shuffle(_docs(spark, sf_dir), n_shards=8)
 
 
+def _html_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance scan over the binary html column: robots noindex,
+    rel=canonical, rel=license CC detection (zero-shuffle codegen map)."""
+    from logport_spark.operators.parse import html_policy
+
+    return html_policy(_pages(spark, sf_dir))
+
+
+def _stratum_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-count eval carving: exactly 50 docs per language, hash-ranked
+    (two-phase per-stratum top-k — no stratum-sized single-task sort)."""
+    from logport_spark.operators.sampling import sample_fixed_per_stratum
+
+    return sample_fixed_per_stratum(_docs(spark, sf_dir), k=50)
+
+
+def _export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard export manifest (docs/tokens/chars + order-independent
+    content checksum) over corpus_shuffle's shard assignment."""
+    from logport_spark.operators.sampling import export_manifest
+
+    return export_manifest(_docs(spark, sf_dir), n_shards=8)
+
+
 def _snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl delta: old/new snapshots carved deterministically
     out of the pages table by md5 bucket (old = buckets <9000; new =
@@ -1226,6 +1250,9 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _chunk_docs,  # window-stride token chunking
         "budget_select": _budget_select,  # token-budget corpus assembly
         "domain_terms": _domain_terms,  # log-odds distinctive vocabulary
+        "html_policy": _html_policy,  # robots/canonical/license page policy
+        "stratum_sample_k": _stratum_sample_k,  # fixed-count eval carving
+        "export_manifest": _export_manifest,  # per-shard export checksums
     }
 
 
@@ -2243,6 +2270,12 @@ _HEX8 = " + ".join(
     f"(strpos('0123456789abcdef', substr({{h}}, {j + 1}, 1)) - 1)"
     f" * {16 ** (7 - j)}" for j in range(8))
 
+# 15-hex-digit (60-bit) md5-prefix digest — export_manifest's per-doc
+# summand; coefficients are exact BIGINT literals (max term < 2^60)
+_HEX15 = " + ".join(
+    f"(strpos('0123456789abcdef', substr({{h}}, {j + 1}, 1)) - 1)"
+    f" * {16 ** (14 - j)}" for j in range(15))
+
 
 def _baseline_oracle_registry() -> dict[str, str]:
     return {
@@ -3033,6 +3066,79 @@ def _baseline_oracle_registry() -> dict[str, str]:
                    array_to_string(toks[chunk_start + 1:chunk_start + 32],
                                    ' ') AS chunk_text
             FROM s
+        """,
+        # html_policy: IDENTICAL RE2-safe patterns as the Spark column
+        # (operators/parse.py HTML_ROBOTS_RE etc.); validity via the
+        # html_extract blob-escape trick, invalid pages → NULL signals +
+        # keep=false (false AND NULL = false in both engines)
+        "html_policy": f"""
+            WITH v AS (
+              SELECT url,
+                NOT regexp_matches(try_cast(html AS VARCHAR),
+                                   '\\\\x[89A-F][0-9A-F]') AS utf8_valid,
+                CASE WHEN NOT regexp_matches(try_cast(html AS VARCHAR),
+                                             '\\\\x[89A-F][0-9A-F]')
+                     THEN decode(html) END AS s
+              FROM {_PAGES}),
+            e AS (
+              SELECT url, utf8_valid,
+                regexp_extract(s,
+                  '<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1)
+                  AS robots,
+                regexp_extract(s,
+                  '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+                  AS canonical_href,
+                regexp_extract(s,
+                  '<link[^>]*rel="license"[^>]*href="([^"]*)"', 1)
+                  AS license_href
+              FROM v)
+            SELECT url, utf8_valid, robots,
+                   instr(robots, 'noindex') > 0 AS noindex,
+                   canonical_href,
+                   (canonical_href = '' OR canonical_href = url)
+                       AS is_canonical_self,
+                   license_href,
+                   regexp_matches(license_href,
+                       'creativecommons[.]org/(licenses|publicdomain)/')
+                       AS cc_licensed,
+                   coalesce(utf8_valid
+                            AND NOT instr(robots, 'noindex') > 0, FALSE)
+                       AS keep
+            FROM e
+        """,
+        # stratum_sample_k: single-window form — the semantics the
+        # two-phase engine plan must reproduce exactly
+        "stratum_sample_k": """
+            SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY md5('evalk42' || CAST(doc_id AS VARCHAR)),
+                           doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 50
+        """,
+        # export_manifest: md5-prefix digit arithmetic for both the shard
+        # (8 hex digits mod n_shards) and the 60-bit content digest;
+        # checksum summed in DECIMAL(38,0) like the engine
+        "export_manifest": f"""
+            WITH d AS (
+              SELECT
+                CAST(({_HEX8.format(
+                    h="md5('shuf42' || CAST(doc_id AS VARCHAR))")}) % 8
+                    AS INT) AS shard,
+                CAST(({_HEX15.format(
+                    h="md5(CAST(doc_id AS VARCHAR) || '|' || text)")})
+                    AS BIGINT) AS dg,
+                CAST(len(list_filter(string_split(text, ' '),
+                                     x -> length(x) > 0)) AS BIGINT) AS t,
+                CAST(length(text) AS BIGINT) AS c
+              FROM documents)
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS n_tokens,
+                   CAST(sum(c) AS BIGINT) AS n_chars,
+                   CAST(CAST(sum(dg) AS DECIMAL(38,0)) AS VARCHAR)
+                       AS checksum
+            FROM d GROUP BY shard
         """,
     }
 

@@ -78,6 +78,8 @@ def _headline_queries():
         "normalize_docs", "chunk_docs",            # r4 unicode canon + chunking
         "budget_select",                           # r4 token-budget assembly
         "domain_terms",                            # r4 log-odds vocabulary
+        "html_policy",                             # r4 robots/license policy
+        "stratum_sample_k", "export_manifest",     # r4 eval carve + manifest
     ):
         if opt in qs:
             names.append(opt)
@@ -318,7 +320,9 @@ def dedup_scale_run() -> dict:
              "snapshot_delta", "lm_buckets", "lm_bits2",
              # r4 session-4 additions
              "bm25_topk", "domain_kl", "normalize_docs", "chunk_docs",
-             "budget_select", "domain_terms"]
+             "budget_select", "domain_terms",
+             # r4 session-5 additions
+             "stratum_sample_k", "export_manifest"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -134,8 +134,27 @@ def _gen_doc(doc_id: int) -> dict:
                     toks.append(markers[int(rng.integers(0, len(markers)))])
             lines.append(" ".join(toks))
     text = "\n".join(lines)
+    # Head policy markers (robots / canonical / license), pure functions of
+    # doc_id — the signals `operators.parse.html_policy` extracts. They live
+    # inside <head>, which html_to_text strips wholesale, so body text and
+    # the lp_* byte-exact envelope contract are untouched.
+    head = b""
+    if doc_id % 13 == 0:
+        head += b'<meta name="robots" content="noindex,nofollow">'
+    elif doc_id % 13 == 5:
+        head += b'<meta name="robots" content="index,follow">'
+    if doc_id % 7 == 0:
+        canon = (f"https://{domain}/canon/{doc_id // 3}"
+                 if doc_id % 21 == 0 else url)
+        head += f'<link rel="canonical" href="{canon}">'.encode()
+    if doc_id % 11 == 0:
+        lic = ("https://creativecommons.org/publicdomain/zero/1.0/"
+               if doc_id % 33 == 0
+               else "https://creativecommons.org/licenses/by/4.0/")
+        head += f'<link rel="license" href="{lic}">'.encode()
     html = (
-        b"<!DOCTYPE html><html><head><title>" + url.encode() + b"</title></head><body><pre>"
+        b"<!DOCTYPE html><html><head><title>" + url.encode() + b"</title>"
+        + head + b"</head><body><pre>"
         + text.encode("utf-8")
         + (b"\xff\xfe" if doc_id % 97 == 0 else b"")  # occasional invalid-utf8 html
         + b"</pre></body></html>"
@@ -176,13 +195,20 @@ def sf_of_dir(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else "0.01"
 
 
+PAGES_GEN = "_GEN_V2"  # bump when _gen_doc changes → stale caches regenerate
+
+
 def ensure_pages(sf: str, spark=None) -> str:
     """Generate (once) and return the parquet path for scale factor `sf`."""
     path = pages_path(sf)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
+    if os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+            os.path.join(path, PAGES_GEN)):
         return path
     n = SF_DOCS.get(sf, 10_000)
     os.makedirs(DATA_DIR, exist_ok=True)
+    if os.path.exists(path):  # stale generation — clear so no old part
+        import shutil         # files survive alongside the rewrite
+        shutil.rmtree(path)
     if spark is not None:
         gen_pages_spark(spark, n).write.mode("overwrite").parquet(path)
     else:
@@ -203,6 +229,7 @@ def ensure_pages(sf: str, spark=None) -> str:
         )
         pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), os.path.join(path, "part-0.parquet"))
         open(os.path.join(path, "_SUCCESS"), "w").close()
+    open(os.path.join(path, PAGES_GEN), "w").close()
     return path
 
 

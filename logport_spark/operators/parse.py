@@ -178,6 +178,65 @@ def html_to_text(pages: DataFrame, html_col: str = "html",
     )
 
 
+# RE2-safe (no backreferences/lookaround — the pii_scrub convention, so the
+# DuckDB oracle runs the IDENTICAL patterns verbatim). Attribute order is
+# fixed name-then-content / rel-then-href, matching how real crawl filters
+# key on the common serialization; a production variant would add the
+# swapped-order alternation.
+HTML_ROBOTS_RE = '<meta[^>]*name="robots"[^>]*content="([^"]*)"'
+HTML_CANONICAL_RE = '<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
+HTML_LICENSE_RE = '<link[^>]*rel="license"[^>]*href="([^"]*)"'
+CC_LICENSE_RE = "creativecommons[.]org/(licenses|publicdomain)/"
+
+
+def html_policy(pages: DataFrame, html_col: str = "html",
+                url_col: str = "url") -> DataFrame:
+    """Page-policy scan over the raw `html: binary` column — the crawl-
+    compliance stage every web corpus runs before curation: honor
+    `<meta name="robots" content="noindex...">` (the page said "don't index
+    me"; C4/CCNet-style pipelines drop these), surface
+    `<link rel="canonical">` (the publisher's own dedup hint — a canonical
+    pointing elsewhere marks this fetch as a known mirror/variant), and
+    detect `<link rel="license">` Creative-Commons markers (license-aware
+    corpora keep ONLY cc_licensed pages).
+
+    Spark-first shape: same skeleton as :func:`html_to_text` — one
+    `cast(binary AS string)` + `is_valid_utf8` gate, three
+    `regexp_extract`s, all inside one WholeStageCodegen span; a narrow map
+    with zero Python and zero shuffle, so at 100 TB it runs at scan speed
+    and composes with any partitioning. Undecodable fetches yield NULL
+    signals and keep=false (a page that can't be parsed can't prove it may
+    be indexed).
+
+    Output: (url, utf8_valid, robots, noindex, canonical_href,
+    is_canonical_self, license_href, cc_licensed, keep) where keep =
+    valid AND NOT noindex — the default-policy verdict downstream stages
+    filter on.
+
+    Reference parity note: logport has no HTML notion at all (it ships
+    bytes); this extends the engine the way SURVEY.md §2.6 extends
+    relational coverage — a curation operator the 10^12-page north-rule
+    corpus needs."""
+    s = F.col(html_col).cast("string")
+    valid = F.is_valid_utf8(s)
+    robots = F.regexp_extract(s, HTML_ROBOTS_RE, 1)
+    canonical = F.regexp_extract(s, HTML_CANONICAL_RE, 1)
+    license_href = F.regexp_extract(s, HTML_LICENSE_RE, 1)
+    noindex = F.instr(robots, "noindex") > 0
+    return pages.select(
+        F.col(url_col),
+        valid.alias("utf8_valid"),
+        F.when(valid, robots).alias("robots"),
+        F.when(valid, noindex).alias("noindex"),
+        F.when(valid, canonical).alias("canonical_href"),
+        F.when(valid, (canonical == "") | (canonical == F.col(url_col)))
+            .alias("is_canonical_self"),
+        F.when(valid, license_href).alias("license_href"),
+        F.when(valid, license_href.rlike(CC_LICENSE_RE)).alias("cc_licensed"),
+        (valid & ~noindex).alias("keep"),
+    )
+
+
 @F.pandas_udf(MID_RESULT)
 def json_mid_udf(line: pd.Series) -> pd.DataFrame:
     """JSON-candidate fragment builder — the ONLY Python in the pipeline.

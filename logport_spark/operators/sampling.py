@@ -72,6 +72,44 @@ def train_val_test(df: DataFrame, val_frac: float = 0.01,
     )
 
 
+def sample_fixed_per_stratum(df: DataFrame, k: int,
+                             strata_col: str = "lang",
+                             key_col: str = "doc_id",
+                             salt: str = "evalk42") -> DataFrame:
+    """EXACTLY min(k, stratum size) rows per stratum, deterministically —
+    the eval-set / human-audit carving primitive (rate sampling can't hit a
+    fixed count: 500 docs/language for an eval suite, 100 pages/domain for
+    an annotation batch). Rows are ranked inside each stratum by
+    (md5(salt||key), key) — a total order that is a pure row function, so
+    any partitioning, engine, or corpus SUPERSET picks the same rows for a
+    stratum whose membership didn't change.
+
+    Plan shape — the let-Catalyst-work case: this is written as the naive
+    single `Window.partitionBy(stratum)` + `row_number() <= k` filter, and
+    Spark 4's rank-limit pushdown turns it into `WindowGroupLimit Partial`
+    BELOW the exchange — every map task forwards at most k rows per
+    stratum, so the one (stratum-keyed) shuffle carries ≤ k·n_partitions
+    rows per stratum and the final per-stratum sort input is bounded
+    regardless of corpus size. A hand-salted two-phase top-k (the bm25_topk
+    shape, which predates rank-pushdown on that DAG) plans with TWO
+    exchanges here and wins nothing — measured both, kept the optimizer's
+    plan (plan-guarded in tests/test_scale_properties.py).
+
+    Output: key + stratum + rk (1..k in hash order — a stable prefix:
+    rk ≤ m for m < k is itself the deterministic m-sample)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("_h").asc(), F.col(key_col).asc())
+    return (
+        df.select(F.col(key_col), F.col(strata_col), h.alias("_h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(key_col, strata_col, "rk")
+    )
+
+
 def domain_mix(df: DataFrame, domain_col: str = "domain",
                key_col: str = "doc_id", salt: str = "mix42") -> DataFrame:
     """Temperature-rebalanced domain mix (alpha = 0.5) — the training-mix
@@ -142,6 +180,55 @@ def corpus_shuffle(df: DataFrame, n_shards: int = 64,
         df.select(F.col(key_col), shard.alias("shard"), h.alias("sort_key"))
         .withColumn("pos", F.row_number().over(w))
         .select(key_col, "shard", "pos")
+    )
+
+
+def export_manifest(docs: DataFrame, n_shards: int = 64,
+                    text_col: str = "text", key_col: str = "doc_id",
+                    salt: str = "shuf42") -> DataFrame:
+    """Per-shard export manifest — the artifact a training run checks
+    BEFORE reading 100 TB: for every output shard, how many docs, how many
+    tokens, how many chars, and an order-independent content checksum. The
+    shard assignment is :func:`corpus_shuffle`'s md5-bucket (same default
+    salt), so this manifest describes exactly the shards that export
+    writes, without re-running the per-shard rank.
+
+    Checksum design: per-doc digest = first 15 hex digits of
+    md5(key || '|' || text) as a 60-bit int, shard checksum = SUM of doc
+    digests as decimal(38,0). Summation commutes, so the checksum is
+    independent of row order, partitioning, and engine — DuckDB reproduces
+    it bit-for-bit (no xxhash there), and a reader re-verifying one
+    downloaded shard recomputes it with one pass. (The ledger's xxhash64
+    fingerprint lesson: additive 32-bit sums collide; 60-bit summands into
+    a 38-digit accumulator do not overflow below 10^22 docs.)
+
+    Plan shape: digest/shard/token-count are codegen row functions; the
+    whole operator is ONE partial+final aggregation on shard — map-side
+    combine reduces every partition to ≤ n_shards rows before the only
+    (tiny) shuffle. Output: (shard, n_docs, n_tokens, n_chars, checksum),
+    one row per non-empty shard."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards)).cast("int")
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|"),
+                           F.col(text_col))), 1, 15),
+        16, 10).cast("decimal(38,0)")
+    n_toks = F.size(F.filter(F.split(F.col(text_col), " "),
+                             lambda t: F.length(t) > 0)).cast("long")
+    return (
+        docs.select(shard.alias("shard"), digest.alias("_d"),
+                    n_toks.alias("_t"),
+                    F.length(text_col).cast("long").alias("_c"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("_t").alias("n_tokens"),
+             F.sum("_c").alias("n_chars"),
+             # digit string: a 38-digit decimal survives every downstream
+             # representation (Arrow/pandas/JSON) without precision loss
+             F.sum("_d").cast("string").alias("checksum"))
     )
 
 

@@ -63,6 +63,8 @@ def test_baselines_match_oracles(spark, duck):
         "cluster_retention", "normalize_docs", "chunk_docs",
         "q6_forecast_revenue", "token_stats", "budget_select",
         "domain_terms",
+        # r4 session-5 additions
+        "html_policy", "stratum_sample_k", "export_manifest",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

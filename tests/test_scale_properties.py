@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from logport_spark import datagen
+
 
 def test_salted_repartition_defuses_hot_domain(spark, pages_small):
     """~30% of pages share one domain; after the salted repartition no
@@ -326,7 +328,7 @@ def test_estimated_pages_sizes_buckets_without_a_count_job(spark):
         EST_RECORDS_PER_PAGE, estimated_pages, scaled_buckets,
     )
 
-    pages = spark.read.parquet("/root/repo/data/pages_sf0.01")
+    pages = spark.read.parquet(datagen.ensure_pages("0.01"))
     est = estimated_pages(pages)
     true_n = pages.count()
     assert true_n / 8 <= est <= true_n * 8, (est, true_n)
@@ -343,7 +345,7 @@ def test_r4_dedup_plans_avoid_content_key_windows(spark):
         dedup_lines_corpus, strip_boilerplate_lines, url_dedup,
     )
 
-    pages = spark.read.parquet("/root/repo/data/pages_sf0.01") \
+    pages = spark.read.parquet(datagen.ensure_pages("0.01")) \
         .select("url", "warc_ts", "text")
 
     ld = dedup_lines_corpus(pages.select("url", "text"), id_col="url")
@@ -385,7 +387,7 @@ def test_html_extract_plan_is_exchange_free_codegen(spark):
     codegen'd Project over the scan."""
     from logport_spark.operators.parse import html_to_text
 
-    pages = spark.read.parquet("/root/repo/data/pages_sf0.01")
+    pages = spark.read.parquet(datagen.ensure_pages("0.01"))
     plan = html_to_text(pages)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
@@ -409,7 +411,7 @@ def test_r4_session2_plans_stay_agg_shaped(spark):
     assert "Window" not in plan
     assert "Exchange rangepartitioning" not in plan
 
-    pages = spark.read.parquet("/root/repo/data/pages_sf0.01") \
+    pages = spark.read.parquet(datagen.ensure_pages("0.01")) \
         .select("url", "text")
     sd = snapshot_delta(pages.limit(500), pages.limit(800))
     plan = sd._jdf.queryExecution().executedPlan().toString()
@@ -471,3 +473,44 @@ def test_domain_kl_no_cartesian_no_global_sort(spark):
     plan = domain_kl(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_html_policy_plan_is_exchange_free_codegen(spark):
+    """html_policy is a narrow map like html_to_text: zero Exchange, zero
+    Python eval, the whole gate/extract chain in one codegen'd Project."""
+    from logport_spark.operators.parse import html_policy
+
+    pages = spark.read.parquet(datagen.ensure_pages("0.01"))
+    plan = html_policy(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert plan.lstrip().startswith("*(1) Project")
+
+
+def test_session5_sampling_plans_stay_bounded(spark):
+    """sample_fixed_per_stratum must plan with Spark 4's rank-limit
+    pushdown: a Partial WindowGroupLimit BELOW the one stratum-keyed
+    exchange (each map task forwards ≤ k rows per stratum — the property
+    that keeps a 10^12-page 'en' stratum from becoming a corpus-sized
+    single-task sort); export_manifest is one partial+final agg on shard
+    (a single tiny exchange, no windows, no sorts beyond the agg's own)."""
+    from logport_spark.operators.sampling import (
+        export_manifest, sample_fixed_per_stratum,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    sp = sample_fixed_per_stratum(docs, k=50)
+    plan = sp._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # the Partial group-limit must sit below the exchange (map side)
+    assert plan.index("Exchange hashpartitioning") \
+        < plan.index("row_number(), 50, Partial")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+    em = export_manifest(docs, n_shards=8)
+    plan = em._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan  # map-side combine before the only shuffle

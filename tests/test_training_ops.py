@@ -1424,3 +1424,105 @@ def test_domain_terms_surfaces_overused_token(spark):
     assert [r["rank"] for r in a] == [1, 2, 3]
     # b's top term must not be zzz (it never uses it)
     assert sorted(by_dom["b"], key=lambda r: r["rank"])[0]["tok"] != "zzz"
+
+
+def test_html_policy_signals(spark):
+    """robots noindex, canonical self/other, CC-license detection; invalid
+    UTF-8 pages yield NULL signals and keep=false (can't prove indexable)."""
+    from logport_spark.operators.parse import html_policy
+
+    def page(head: bytes) -> bytes:
+        return (b"<!DOCTYPE html><html><head><title>t</title>" + head
+                + b"</head><body><pre>hello world</pre></body></html>")
+
+    rows = [
+        ("u1", bytearray(page(b'<meta name="robots" content="noindex,nofollow">'))),
+        ("u2", bytearray(page(b'<meta name="robots" content="index,follow">'))),
+        ("u3", bytearray(page(b'<link rel="canonical" href="u3">'))),
+        ("u4", bytearray(page(b'<link rel="canonical" href="https://other/x">'))),
+        ("u5", bytearray(page(
+            b'<link rel="license" href="https://creativecommons.org/licenses/by/4.0/">'))),
+        ("u6", bytearray(page(b'<link rel="license" href="https://example.com/tos">'))),
+        ("u7", bytearray(page(b"") + b"\xff\xfe")),  # invalid utf-8
+        ("u8", bytearray(page(b""))),                # no markers at all
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r for r in html_policy(df).collect()}
+
+    assert got["u1"].noindex and not got["u1"].keep
+    assert got["u2"].robots == "index,follow" and got["u2"].keep
+    assert got["u3"].is_canonical_self and got["u3"].canonical_href == "u3"
+    assert not got["u4"].is_canonical_self
+    assert got["u5"].cc_licensed
+    assert not got["u6"].cc_licensed and got["u6"].license_href == "https://example.com/tos"
+    assert not got["u7"].utf8_valid and got["u7"].robots is None \
+        and got["u7"].noindex is None and not got["u7"].keep
+    assert got["u8"].keep and got["u8"].robots == "" \
+        and got["u8"].is_canonical_self and not got["u8"].cc_licensed
+
+
+def test_sample_fixed_per_stratum_counts_and_stability(spark, docs):
+    """Exactly min(k, |stratum|) rows per stratum; identical under
+    repartitioning; rk<=m is itself the m-sample (stable prefix); matches
+    the single-window ranking it replaces."""
+    from pyspark.sql import Window
+
+    from logport_spark.operators.sampling import sample_fixed_per_stratum
+
+    k = 30
+    got = sample_fixed_per_stratum(docs, k=k).collect()
+    sizes = {r.lang: c for r, c in
+             [(r, r["count"]) for r in docs.groupBy("lang").count().collect()]}
+    per = {}
+    for r in got:
+        per.setdefault(r.lang, []).append(r)
+    for lang, n in sizes.items():
+        assert len(per[lang]) == min(k, n), lang
+        assert sorted(r.rk for r in per[lang]) == list(range(1, min(k, n) + 1))
+
+    # partition invariance (the df.sample() failure mode)
+    again = sample_fixed_per_stratum(docs.repartition(13), k=k).collect()
+    assert {(r.doc_id, r.lang, r.rk) for r in again} == \
+        {(r.doc_id, r.lang, r.rk) for r in got}
+
+    # two-phase result == the naive single-window ranking
+    h = F.md5(F.concat(F.lit("evalk42"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+    naive = (docs.select("doc_id", "lang", h.alias("_h"))
+             .withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= k).collect())
+    assert {(r.doc_id, r.lang, r.rk) for r in naive} == \
+        {(r.doc_id, r.lang, r.rk) for r in got}
+
+    # stable prefix: the m-sample is exactly rk <= m of the k-sample
+    m = 7
+    small = sample_fixed_per_stratum(docs, k=m).collect()
+    assert {(r.doc_id, r.lang, r.rk) for r in small} == \
+        {(r.doc_id, r.lang, r.rk) for r in got if r.rk <= m}
+
+
+def test_export_manifest_checksum_properties(spark, docs):
+    """Manifest is partition-invariant; totals cover the corpus exactly;
+    the checksum flips when any single doc's text changes (and nothing
+    else in the row does)."""
+    from logport_spark.operators.sampling import export_manifest
+
+    base = {r.shard: r for r in export_manifest(docs, n_shards=8).collect()}
+    again = {r.shard: r for r in
+             export_manifest(docs.repartition(11), n_shards=8).collect()}
+    assert base.keys() == again.keys()
+    for s in base:
+        assert base[s] == again[s]
+    assert sum(r.n_docs for r in base.values()) == docs.count()
+    assert sum(r.n_chars for r in base.values()) == \
+        docs.select(F.sum(F.length("text"))).first()[0]
+
+    one = docs.limit(1).select("doc_id").first().doc_id
+    mutated = docs.withColumn(
+        "text", F.when(F.col("doc_id") == one,
+                       F.concat(F.col("text"), F.lit(" tampered")))
+                 .otherwise(F.col("text")))
+    mut = {r.shard: r for r in export_manifest(mutated, n_shards=8).collect()}
+    diff = [s for s in base if base[s].checksum != mut[s].checksum]
+    assert len(diff) == 1  # exactly the tampered doc's shard moved
+    assert base[diff[0]].n_docs == mut[diff[0]].n_docs  # counts unchanged

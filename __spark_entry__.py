@@ -1123,6 +1123,32 @@ def _export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_manifest(_docs(spark, sf_dir), n_shards=8)
 
 
+def _training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-export final mile as ONE DAG: unigram-LM score every
+    doc -> select the most fluent prefix under a 20k-token global budget
+    (select_token_budget — no global sort) -> left-semi the kept corpus ->
+    per-shard verifiable manifest (export_manifest). What a run hands to
+    the training loader: shard counts + checksums for exactly the docs
+    the budget admitted."""
+    from logport_spark.operators.sampling import (
+        export_manifest, select_token_budget,
+    )
+    from logport_spark.operators.textstats import unigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    # persist the scored table: select_token_budget references it three
+    # times (histogram, plain verdicts, boundary window) and the semi-join
+    # consumes the result — without this the unigram DAG re-runs per
+    # reference (the corpus_clean single-persist pattern; ~40 B/doc)
+    sc = unigram_logprob(docs).select(
+        "doc_id", (-F.col("bits_per_token")).alias("score"),
+        F.col("n_scored").alias("n_tokens")).persist()
+    kept_ids = (select_token_budget(sc, budget=20000)
+                .filter(F.col("selected")).select("doc_id"))
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+    return export_manifest(kept, n_shards=8)
+
+
 def _snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl delta: old/new snapshots carved deterministically
     out of the pages table by md5 bucket (old = buckets <9000; new =
@@ -1253,6 +1279,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_policy": _html_policy,  # robots/canonical/license page policy
         "stratum_sample_k": _stratum_sample_k,  # fixed-count eval carving
         "export_manifest": _export_manifest,  # per-shard export checksums
+        "training_export": _training_export,  # score->budget->manifest DAG
     }
 
 
@@ -3139,6 +3166,47 @@ def _baseline_oracle_registry() -> dict[str, str]:
                    CAST(CAST(sum(dg) AS DECIMAL(38,0)) AS VARCHAR)
                        AS checksum
             FROM d GROUP BY shard
+        """,
+        # training_export: budget_select's CTE chain picks the kept ids,
+        # export_manifest's digit arithmetic summarizes exactly those docs
+        "training_export": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tk AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+            vocab AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+            tot AS (SELECT sum(c) AS n FROM vocab),
+            lp AS (SELECT tok, log2(c * 1.0 / n) AS lp FROM vocab, tot),
+            sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                          -round(avg(-lp), 4) AS score
+                   FROM tk JOIN lp USING (tok) GROUP BY doc_id),
+            r AS (SELECT doc_id, n_tokens,
+                         coalesce(sum(n_tokens) OVER (
+                             ORDER BY score DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cumb
+                  FROM sc),
+            kept AS (SELECT d.doc_id, d.text FROM documents d
+                     JOIN r USING (doc_id)
+                     WHERE r.cumb + r.n_tokens <= 20000),
+            m AS (
+              SELECT
+                CAST(({_HEX8.format(
+                    h="md5('shuf42' || CAST(doc_id AS VARCHAR))")}) % 8
+                    AS INT) AS shard,
+                CAST(({_HEX15.format(
+                    h="md5(CAST(doc_id AS VARCHAR) || '|' || text)")})
+                    AS BIGINT) AS dg,
+                CAST(len(list_filter(string_split(text, ' '),
+                                     x -> length(x) > 0)) AS BIGINT) AS t,
+                CAST(length(text) AS BIGINT) AS c
+              FROM kept)
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS n_tokens,
+                   CAST(sum(c) AS BIGINT) AS n_chars,
+                   CAST(CAST(sum(dg) AS DECIMAL(38,0)) AS VARCHAR)
+                       AS checksum
+            FROM m GROUP BY shard
         """,
     }
 

@@ -80,6 +80,7 @@ def _headline_queries():
         "domain_terms",                            # r4 log-odds vocabulary
         "html_policy",                             # r4 robots/license policy
         "stratum_sample_k", "export_manifest",     # r4 eval carve + manifest
+        "training_export",                         # r4 score->budget->manifest
     ):
         if opt in qs:
             names.append(opt)
@@ -322,7 +323,7 @@ def dedup_scale_run() -> dict:
              "bm25_topk", "domain_kl", "normalize_docs", "chunk_docs",
              "budget_select", "domain_terms",
              # r4 session-5 additions
-             "stratum_sample_k", "export_manifest"]
+             "stratum_sample_k", "export_manifest", "training_export"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

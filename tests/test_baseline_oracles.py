@@ -65,6 +65,7 @@ def test_baselines_match_oracles(spark, duck):
         "domain_terms",
         # r4 session-5 additions
         "html_policy", "stratum_sample_k", "export_manifest",
+        "training_export",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

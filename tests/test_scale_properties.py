@@ -106,7 +106,10 @@ def test_q6_pushdown_and_pruning(spark):
     columns may appear in ReadSchema (11-column lineitem)."""
     import __spark_entry__ as em
 
-    df = em.queries()["q6_forecast_revenue"](spark, "/root/testdata/sf0.001")
+    # q6 rotated to baseline_queries() in the r4 contract shuffle; the
+    # pushdown property is about the plan, not the contract slot
+    df = em.baseline_queries()["q6_forecast_revenue"](
+        spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     # PushedFilters is truncated in toString; assert its head + the pruned
     # ReadSchema (exactly the 4 referenced columns of 11).

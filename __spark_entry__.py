@@ -1302,6 +1302,8 @@ _ROTATE_IN = [
     "semantic_dedup_pairs", # SemDeDup — embedding-space near-dup family
     "bm25_topk",            # corpus retrieval — no family twin (session 4)
     "domain_kl",            # distribution-drift monitor — no family twin
+    "html_policy",          # page-policy scan — no family twin (session 5)
+    "training_export",      # score->budget->manifest composite (session 5)
 ]
 _ROTATE_OUT = [
     "dedup_exact",          # family graded via dedup_clusters (same DAG+)
@@ -1317,6 +1319,10 @@ _ROTATE_OUT = [
                               # graded rows (top3, sessionize)
     "q6_forecast_revenue",  # scan+filter+agg shape graded via q1
     "token_stats",          # token aggregation graded via vocab_topk/lm_bits
+    "lp_url_parse",         # parse_url kernel graded via lp_enrich (domain)
+                            # and lp_conn_templates (scheme/auth fields)
+    "lang_id",              # heuristic lang gate graded inside corpus_clean
+                            # and corpus_clean_v2 (same column contract)
 ]
 
 

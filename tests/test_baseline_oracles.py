@@ -63,15 +63,17 @@ def test_baselines_match_oracles(spark, duck):
         "cluster_retention", "normalize_docs", "chunk_docs",
         "q6_forecast_revenue", "token_stats", "budget_select",
         "domain_terms",
-        # r4 session-5 additions
-        "html_policy", "stratum_sample_k", "export_manifest",
-        "training_export",
+        # r4 session-5: html_policy/training_export claimed contract
+        # slots; stratum_sample_k/export_manifest stay here, and the
+        # displaced lp_url_parse/lang_id rows land here (still checked)
+        "stratum_sample_k", "export_manifest",
+        "lp_url_parse", "lang_id",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",
                  "vocab_topk", "text_repetition", "pii_scrub",
                  "stratified_sample", "line_dedup_corpus", "web_curation",
-                 "semantic_dedup_pairs"):
+                 "semantic_dedup_pairs", "html_policy", "training_export"):
         assert name in entrymod.queries() and name in entrymod.oracle_sql()
     for name, fn in qs.items():
         scols, srows, slists = canon_pandas(fn(spark, SF_DIR).toPandas())

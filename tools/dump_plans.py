@@ -229,6 +229,35 @@ ANNOTATED = {
         "as a broadcast-join predicate, and only boundary-score ties rank "
         "in a window — the corpus is never globally sorted."
     ),
+    "html_policy": (
+        "Page-policy scan over the binary html column: cast + is_valid_utf8 "
+        "gate + three regexp_extracts, ALL in one codegen Project over the "
+        "scan — zero Exchange, zero Python; runs at scan speed and composes "
+        "with any upstream partitioning."
+    ),
+    "stratum_sample_k": (
+        "Fixed-count per-stratum sample written as the NAIVE window + rank "
+        "filter: Spark 4's rank-limit pushdown plans WindowGroupLimit "
+        "Partial BELOW the one stratum-keyed Exchange, so each map task "
+        "forwards at most k rows per stratum — a 10^12-page 'en' stratum "
+        "never becomes a single-task sort. The optimizer's plan beat the "
+        "hand-salted two-phase (2 exchanges) here; kept the declarative "
+        "form."
+    ),
+    "export_manifest": (
+        "Export manifest: shard/digest/token-count are codegen row "
+        "functions; ONE partial+final aggregate on shard — map-side combine "
+        "reduces every partition to <= n_shards rows before the only (tiny) "
+        "shuffle. The checksum is a commutative decimal(38,0) sum, so no "
+        "ordering constraint exists anywhere in the plan."
+    ),
+    "training_export": (
+        "The export final mile as one DAG: unigram scoring's token-keyed "
+        "aggregations feed select_token_budget's histogram shuffle, verdicts "
+        "broadcast back, the kept corpus left-semi-joins on doc_id, and the "
+        "manifest aggregate closes it — every wide step is either bounded "
+        "(histogram, verdict broadcast) or a single hash-keyed pass."
+    ),
 }
 
 

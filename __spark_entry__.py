@@ -1123,6 +1123,25 @@ def _export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_manifest(_docs(spark, sf_dir), n_shards=8)
 
 
+def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-QA: per-doc OOV rate against the corpus's own top-500
+    vocabulary (vocab_topk feeding vocab_coverage — broadcast join, two
+    hash-keyed shuffles)."""
+    from logport_spark.operators.dedup import vocab_topk
+    from logport_spark.operators.textstats import vocab_coverage
+
+    docs = _docs(spark, sf_dir)
+    return vocab_coverage(docs, vocab_topk(docs, k=500).select("tok"))
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment pairs over winnow fingerprints: doc-in-doc
+    near-containment that symmetric Jaccard misses."""
+    from logport_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
 def _training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-export final mile as ONE DAG: unigram-LM score every
     doc -> select the most fluent prefix under a 20k-token global budget
@@ -1280,6 +1299,8 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratum_sample_k": _stratum_sample_k,  # fixed-count eval carving
         "export_manifest": _export_manifest,  # per-shard export checksums
         "training_export": _training_export,  # score->budget->manifest DAG
+        "vocab_coverage": _vocab_coverage,  # per-doc OOV vs top-500 vocab
+        "containment_pairs": _containment_pairs,  # doc-in-doc near-dup
     }
 
 
@@ -3213,6 +3234,55 @@ def _baseline_oracle_registry() -> dict[str, str]:
                    CAST(CAST(sum(dg) AS DECIMAL(38,0)) AS VARCHAR)
                        AS checksum
             FROM m GROUP BY shard
+        """,
+        # vocab_coverage: same tokenization + per-doc distinct counts as
+        # the engine; the top-500 vocab re-derived with the vocab_topk
+        # tie-break (cnt desc, tok asc)
+        "vocab_coverage": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tk AS (SELECT doc_id, tok, count(*) AS cnt FROM tok
+                   WHERE length(tok) > 0 GROUP BY 1, 2),
+            cn AS (SELECT tok, sum(cnt) AS c FROM tk GROUP BY tok),
+            v AS (SELECT tok FROM cn
+                  QUALIFY row_number() OVER (ORDER BY c DESC, tok) <= 500)
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM v)
+                            THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+                   round(sum(CASE WHEN tok NOT IN (SELECT tok FROM v)
+                             THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 4)
+                       AS oov_frac
+            FROM tk GROUP BY doc_id
+        """,
+        # containment_pairs: doc_winnow's selection CTEs feed the exploded
+        # fingerprint self-join; containment on least(n1, n2)
+        "containment_pairs": """
+            WITH t AS (SELECT doc_id, text, string_split(text,' ') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                    CASE WHEN len(toks) >= 4 THEN
+                      [md5(array_to_string(toks[i:i+3],' '))
+                       FOR i IN range(1, len(toks)-4+2)]
+                    ELSE [md5(text)] END AS grams
+                  FROM t),
+            s AS (SELECT doc_id,
+                    list_distinct(
+                      [list_min(grams[j:j+least(5,len(grams))-1])
+                       FOR j IN range(1, greatest(len(grams)-5+1,1)+1)]) AS sel
+                  FROM g),
+            fp AS (SELECT doc_id, CAST(len(sel) AS INT) AS n_fp,
+                          unnest(sel) AS fp
+                   FROM s)
+            SELECT a.doc_id AS d1, b.doc_id AS d2,
+                   CAST(count(*) AS BIGINT) AS shared,
+                   a.n_fp AS n1, b.n_fp AS n2,
+                   round(count(*) * 1.0 / least(a.n_fp, b.n_fp), 4)
+                       AS containment
+            FROM fp a JOIN fp b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id, a.n_fp, b.n_fp
+            HAVING round(count(*) * 1.0 / least(a.n_fp, b.n_fp), 4) >= 0.5
         """,
     }
 

@@ -81,6 +81,7 @@ def _headline_queries():
         "html_policy",                             # r4 robots/license policy
         "stratum_sample_k", "export_manifest",     # r4 eval carve + manifest
         "training_export",                         # r4 score->budget->manifest
+        "vocab_coverage", "containment_pairs",     # r4 tokenizer QA + containment
     ):
         if opt in qs:
             names.append(opt)
@@ -323,7 +324,8 @@ def dedup_scale_run() -> dict:
              "bm25_topk", "domain_kl", "normalize_docs", "chunk_docs",
              "budget_select", "domain_terms",
              # r4 session-5 additions
-             "stratum_sample_k", "export_manifest", "training_export"]
+             "stratum_sample_k", "export_manifest", "training_export",
+             "vocab_coverage", "containment_pairs"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import shingles_expr
+from .textstats import shingles_expr, winnow_fingerprints
 
 # ---------------------------------------------------------------- exact ----
 
@@ -86,6 +86,50 @@ def jaccard_pairs(shingles: DataFrame, threshold: float) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8) -> DataFrame:
     return jaccard_pairs(doc_shingles(docs, n), threshold)
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.5,
+                      k: int = 4, w: int = 5,
+                      max_df: int | None = None,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Asymmetric near-CONTAINMENT pairs (Broder 1997's containment
+    coefficient): |FP(a) ∩ FP(b)| / min(|FP(a)|, |FP(b)|) >= threshold over
+    winnowing fingerprints. Catches what symmetric Jaccard structurally
+    misses — a short doc quoted wholesale inside a long one (syndication,
+    quote-wrapping, boilerplate-wrapped mirrors) has high containment but
+    LOW Jaccard, so MinHash/SimHash never pair it.
+
+    Plan shape: fingerprints are winnow's window minima (~1/w of the gram
+    count per doc — the index is SUBLINEAR in corpus tokens), mined by one
+    self-equi-join on `fp` + one pair-keyed count; sizes ride along from
+    `size(_sel)` before the explode (no second corpus aggregate). `max_df`
+    is the cap_buckets guardrail re-applied to fingerprints: a fingerprint
+    in > max_df docs (site boilerplate) would mint df² candidate pairs in
+    one join task, and its matches mean "shares boilerplate", not
+    "contained" — drop them before the join (None = exact semantics, the
+    oracle contract; production sets ~100).
+
+    Output: (d1, d2, shared, n1, n2, containment) with d1 < d2 and
+    containment rounded to 4."""
+    fp = winnow_fingerprints(docs, text_col=text_col, id_col=id_col,
+                             k=k, w=w)
+    if max_df is not None:
+        fp = cap_buckets(fp, ["fp"], max_df)
+    a = fp.select(F.col(id_col).alias("d1"), F.col("n_fp").alias("n1"),
+                  "fp")
+    b = fp.select(F.col(id_col).alias("d2"), F.col("n_fp").alias("n2"),
+                  "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn("containment",
+                    F.round(F.col("shared") / F.least("n1", "n2"), 4))
+        .filter(F.col("containment") >= threshold)
+        .select("d1", "d2", "shared", "n1", "n2", "containment")
+    )
 
 
 # ---------------------------------------------------------- MinHash+LSH ----

@@ -176,6 +176,35 @@ def winnow(df: DataFrame, text_col: str = "text", k: int = 4,
     )
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 4,
+                        w: int = 5) -> DataFrame:
+    """The exploded form of :func:`winnow`: one row per (id, fp) selected
+    fingerprint, n_fp carried — the join-able representation containment
+    detection and cross-corpus fingerprint indexes need. Same selection
+    exprs as winnow (pytest pins n_fp equal), still zero-shuffle."""
+    grams = (
+        f"CASE WHEN size(_toks) >= {k} THEN "
+        f"transform(sequence(1, size(_toks) - {k - 1}),"
+        f" i -> md5(array_join(slice(_toks, i, {k}), ' '))) "
+        f"ELSE array(md5({text_col})) END"
+    )
+    out = (df.withColumn("_toks", F.expr(f"split({text_col},' ')"))
+           .withColumn("_grams", F.expr(grams))
+           .withColumn(
+               "_sel",
+               F.expr(
+                   f"array_distinct(transform("
+                   f" sequence(1, greatest(size(_grams) - {w - 1}, 1)),"
+                   f" j -> array_min(slice(_grams, j, least({w}, size(_grams))))))"
+               )))
+    return out.select(
+        F.col(id_col),
+        F.expr("size(_sel)").cast("int").alias("n_fp"),
+        F.explode("_sel").alias("fp"),
+    )
+
+
 def _max_run_expr(sorted_arr: str) -> str:
     """SQL expr: longest run of equal adjacent elements in a SORTED array =
     the count of the most frequent element — a per-row fold, no shuffle."""
@@ -716,6 +745,45 @@ def lm_bits_model(df: DataFrame, text_col: str = "text",
 
 
 # ------------------------------------------------------ domain-level view --
+
+
+def vocab_coverage(docs: DataFrame, vocab: DataFrame,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document OOV rate against a vocabulary table — the tokenizer-QA
+    pass before training (how much of each doc a fixed vocab covers; docs
+    with high OOV under the production tokenizer are wrong-language,
+    encoding-mangled, or code — and token-budget math breaks on them).
+    `vocab` is a 1-column `tok` DataFrame (tokenizer vocab, frequency cut,
+    or :func:`logport_spark.operators.dedup.vocab_topk`'s output).
+
+    Plan shape: the join input is PER-DOC DISTINCT tokens with counts (the
+    unigram_logprob lesson — "the" crosses once per doc, not per use), the
+    vocab joins as a BROADCAST left join (vocabularies are ~10^5-10^6 rows
+    — executor-memory-sized at any corpus scale), and the per-doc sums are
+    one partial+final aggregation on the id. Two corpus-sized shuffles
+    total, both id/token-keyed, no skew beyond the blunted token key.
+
+    Output: (id, n_tokens, n_oov, oov_frac) with oov_frac rounded to 4
+    (the float contract every scored operator here uses)."""
+    tk = (
+        docs.select(F.col(id_col),
+                    F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    v = F.broadcast(vocab.select("tok").distinct()
+                    .withColumn("_in", F.lit(1)))
+    return (
+        tk.join(v, "tok", "left")
+        .groupBy(id_col)
+        .agg(F.sum("cnt").alias("n_tokens"),
+             F.sum(F.when(F.col("_in").isNull(), F.col("cnt"))
+                    .otherwise(F.lit(0))).alias("n_oov"))
+        .select(F.col(id_col), "n_tokens", "n_oov",
+                F.round(F.col("n_oov") / F.col("n_tokens"), 4)
+                 .alias("oov_frac"))
+    )
 
 
 def domain_stats(docs: DataFrame, domain_col: str = "source") -> DataFrame:

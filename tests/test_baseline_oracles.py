@@ -68,6 +68,7 @@ def test_baselines_match_oracles(spark, duck):
         # displaced lp_url_parse/lang_id rows land here (still checked)
         "stratum_sample_k", "export_manifest",
         "lp_url_parse", "lang_id",
+        "vocab_coverage", "containment_pairs",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -1526,3 +1526,54 @@ def test_export_manifest_checksum_properties(spark, docs):
     diff = [s for s in base if base[s].checksum != mut[s].checksum]
     assert len(diff) == 1  # exactly the tampered doc's shard moved
     assert base[diff[0]].n_docs == mut[diff[0]].n_docs  # counts unchanged
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """OOV accounting against an explicit vocab: counts are per-occurrence,
+    the flag per-token; plan keeps the vocab join a broadcast."""
+    from logport_spark.operators.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a b zzz"), (2, "a b"), (3, "zzz yyy")],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame([("a",), ("b",)], "tok string")
+    out = vocab_coverage(docs, vocab)
+    got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_frac) for r in out.collect()}
+    assert got[1] == (4, 1, 0.25)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 2, 1.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_containment_pairs_catch_doc_in_doc(spark):
+    """A short doc quoted verbatim inside a long one: containment ~1.0
+    while symmetric Jaccard stays far below any near-dup threshold (the
+    pair MinHash can never mine); unrelated docs yield no pair; n_fp
+    matches winnow's count."""
+    from logport_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+    from logport_spark.operators.textstats import winnow, winnow_fingerprints
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i} z{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, quote),
+         (2, filler + " " + quote + " " + filler.replace("w", "v")),
+         (3, "totally different words entirely here and more of them")],
+        "doc_id long, text string")
+
+    got = {(r.d1, r.d2): r for r in containment_pairs(docs, threshold=0.5).collect()}
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r.containment >= 0.8  # the quote's fingerprints all recur in 2
+    assert r.n1 < r.n2
+    # symmetric Jaccard misses the same pair even at a lax 0.5 threshold
+    jac = {(p.d1, p.d2) for p in ngram_jaccard_pairs(docs, 3, 0.5).collect()}
+    assert (1, 2) not in jac
+
+    nfp_w = {r.doc_id: r.n_fp for r in winnow(docs, text_col="text").select("doc_id", "n_fp").collect()}
+    nfp_e = {r.doc_id: r.n_fp for r in
+             winnow_fingerprints(docs).groupBy("doc_id", "n_fp").count().collect()}
+    assert nfp_w == nfp_e

@@ -1142,6 +1142,45 @@ def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction from the binary html column: one row per
+    <a href> edge with anchor text + internal/external verdict
+    (zero-shuffle codegen map — regexp_extract_all + arrays_zip)."""
+    from logport_spark.operators.linkgraph import extract_links
+
+    return extract_links(_pages(spark, sf_dir))
+
+
+def _link_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph degree stats: per-domain in/out degree + link counts
+    over the external-edge domain graph (Common Crawl host-graph shape)."""
+    from logport_spark.operators.linkgraph import (
+        extract_links, host_graph, link_degrees,
+    )
+
+    return link_degrees(host_graph(extract_links(_pages(spark, sf_dir))))
+
+
+def _domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration link-weighted PageRank over the host graph
+    (synchronous update, uniform teleport + dangling redistribution;
+    oracle unrolls the identical iterations in chained CTEs)."""
+    from logport_spark.operators.linkgraph import (
+        domain_pagerank, extract_links, host_graph,
+    )
+
+    return domain_pagerank(
+        host_graph(extract_links(_pages(spark, sf_dir))), iters=3)
+
+
+def _anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-domain top-5 anchor terms (the Brin & Page anchor-text
+    signal: anchors describe the TARGET page/domain)."""
+    from logport_spark.operators.linkgraph import anchor_terms, extract_links
+
+    return anchor_terms(extract_links(_pages(spark, sf_dir)), k=5)
+
+
 def _training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-export final mile as ONE DAG: unigram-LM score every
     doc -> select the most fluent prefix under a 20k-token global budget
@@ -1301,6 +1340,10 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_export": _training_export,  # score->budget->manifest DAG
         "vocab_coverage": _vocab_coverage,  # per-doc OOV vs top-500 vocab
         "containment_pairs": _containment_pairs,  # doc-in-doc near-dup
+        "link_extract": _link_extract,  # <a href> edges from binary html
+        "link_degrees": _link_degrees,  # host-graph in/out degrees
+        "domain_pagerank": _domain_pagerank,  # 3-iter PageRank, host graph
+        "anchor_topk": _anchor_topk,  # per-target top anchor terms
     }
 
 
@@ -2331,6 +2374,77 @@ _HEX15 = " + ".join(
     f" * {16 ** (14 - j)}" for j in range(15))
 
 
+# Link-graph oracles share one extraction pyramid: utf8-gate (html_policy's
+# blob-escape trick) -> lockstep-unnest the two capture groups of the
+# IDENTICAL RE2-safe anchor pattern -> domain parse -> external edges ->
+# (src_domain, dst_domain) aggregate. Mirrors operators/linkgraph.py 1:1.
+_ANCHOR_RE_SQL = '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+_URLDOM_RE_SQL = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+_LINKS_CTE = f"""
+WITH v AS (
+  SELECT url,
+    CASE WHEN NOT regexp_matches(try_cast(html AS VARCHAR),
+                                 '\\\\x[89A-F][0-9A-F]')
+         THEN decode(html) END AS s
+  FROM {{pages}}),
+l0 AS (
+  SELECT url AS src_url,
+         regexp_extract(url, '{_URLDOM_RE_SQL}', 1) AS src_domain,
+         unnest(regexp_extract_all(s, '{_ANCHOR_RE_SQL}', 1)) AS dst_url,
+         unnest(regexp_extract_all(s, '{_ANCHOR_RE_SQL}', 2)) AS anchor
+  FROM v WHERE s IS NOT NULL),
+links AS (
+  SELECT src_url, src_domain, dst_url,
+         regexp_extract(dst_url, '{_URLDOM_RE_SQL}', 1) AS dst_domain,
+         anchor
+  FROM l0),
+ext AS (SELECT * FROM links
+        WHERE dst_domain <> '' AND dst_domain <> src_domain),
+g AS (SELECT src_domain, dst_domain,
+             count(*) AS n_links,
+             count(DISTINCT src_url) AS n_src_pages
+      FROM ext GROUP BY 1, 2)
+"""
+
+
+def _pagerank_oracle(pages: str, iters: int = 3) -> str:
+    """Unroll the synchronous PageRank update into chained CTEs — the
+    IDENTICAL per-round arithmetic as operators/linkgraph.domain_pagerank
+    (teleport/damping literals cast to DOUBLE so DuckDB's decimal literals
+    don't diverge from IEEE)."""
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+d{i} AS (SELECT coalesce(sum(rank), 0.0::DOUBLE) AS d_mass FROM {prev}
+         WHERE domain NOT IN (SELECT src_domain FROM e)),
+c{i} AS (SELECT e.dst_domain AS domain, sum(rank * w) AS c
+         FROM {prev} r JOIN e ON r.domain = e.src_domain GROUP BY 1),
+r{i} AS (SELECT nodes.domain,
+                (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                + 0.85::DOUBLE * (coalesce(c{i}.c, 0.0::DOUBLE)
+                    + (SELECT d_mass FROM d{i}) / (SELECT n FROM nn))
+                    AS rank
+         FROM nodes LEFT JOIN c{i} USING (domain))""")
+        prev = f"r{i}"
+    return (
+        _LINKS_CTE.format(pages=pages)
+        + f""",
+nodes AS (SELECT DISTINCT domain FROM (
+            SELECT src_domain AS domain FROM g
+            UNION ALL SELECT dst_domain FROM g)),
+tot AS (SELECT src_domain, sum(n_links) AS t FROM g GROUP BY 1),
+e AS (SELECT g.src_domain, g.dst_domain,
+             g.n_links::DOUBLE / tot.t AS w
+      FROM g JOIN tot USING (src_domain)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT domain, 1.0::DOUBLE / (SELECT n FROM nn) AS rank
+       FROM nodes),{",".join(rounds)}
+SELECT domain, round(rank, 8) AS rank FROM {prev}
+"""
+    )
+
+
 def _baseline_oracle_registry() -> dict[str, str]:
     return {
         "span_dup_stats": """
@@ -3283,6 +3397,43 @@ def _baseline_oracle_registry() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id, a.n_fp, b.n_fp
             HAVING round(count(*) * 1.0 / least(a.n_fp, b.n_fp), 4) >= 0.5
+        """,
+        # link graph: all four share _LINKS_CTE (utf8 gate + lockstep
+        # unnest of the identical anchor pattern's two capture groups)
+        "link_extract": _LINKS_CTE.format(pages=_PAGES) + """
+            SELECT src_url, src_domain, dst_url, dst_domain, anchor,
+                   (dst_domain = '' OR dst_domain = src_domain)
+                       AS is_internal
+            FROM links
+        """,
+        "link_degrees": _LINKS_CTE.format(pages=_PAGES) + """,
+            o AS (SELECT src_domain AS domain,
+                         count(*) AS out_degree,
+                         sum(n_links) AS n_outlinks
+                  FROM g GROUP BY 1),
+            i AS (SELECT dst_domain AS domain,
+                         count(*) AS in_degree,
+                         sum(n_links) AS n_inlinks
+                  FROM g GROUP BY 1)
+            SELECT coalesce(o.domain, i.domain) AS domain,
+                   CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+                   CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+                   CAST(coalesce(n_outlinks, 0) AS BIGINT) AS n_outlinks,
+                   CAST(coalesce(n_inlinks, 0) AS BIGINT) AS n_inlinks
+            FROM o FULL OUTER JOIN i ON o.domain = i.domain
+        """,
+        "domain_pagerank": _pagerank_oracle(_PAGES, iters=3),
+        "anchor_topk": _LINKS_CTE.format(pages=_PAGES) + """,
+            t AS (SELECT dst_domain,
+                         unnest(string_split(anchor, ' ')) AS term
+                  FROM ext),
+            cn AS (SELECT dst_domain, term, count(*) AS n
+                   FROM t WHERE term <> '' GROUP BY 1, 2)
+            SELECT dst_domain, term, n, CAST(rnk AS INT) AS rnk FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY dst_domain ORDER BY n DESC, term) AS rnk
+              FROM cn)
+            WHERE rnk <= 5
         """,
     }
 

@@ -82,6 +82,8 @@ def _headline_queries():
         "stratum_sample_k", "export_manifest",     # r4 eval carve + manifest
         "training_export",                         # r4 score->budget->manifest
         "vocab_coverage", "containment_pairs",     # r4 tokenizer QA + containment
+        "link_extract", "link_degrees",            # r4 web-graph extraction
+        "domain_pagerank", "anchor_topk",          # r4 host PageRank + anchors
     ):
         if opt in qs:
             names.append(opt)

@@ -152,12 +152,26 @@ def _gen_doc(doc_id: int) -> dict:
                if doc_id % 33 == 0
                else "https://creativecommons.org/licenses/by/4.0/")
         head += f'<link rel="license" href="{lic}">'.encode()
+    # Outbound links after the main content (0-3 per page, arithmetic in
+    # doc_id so the link graph is pure-function-deterministic): targets are
+    # /p/<id> urls in [0, 10000) — mostly real pages at sf0.01, mostly
+    # dangling at smaller sf, like a real crawl's frontier edge. Anchor
+    # text leaks into html_to_text's body (tags strip, text stays) exactly
+    # as on real pages; the `text` column is untouched.
+    links = b""
+    for j in range(doc_id % 4):
+        tdom = domain_name((doc_id * 7 + j * 13) % N_DOMAINS)
+        tid = (doc_id * 31 + j * 101) % 10_000
+        anchor = (f"{WORDS[(doc_id + j) % len(WORDS)]} "
+                  f"{WORDS[(doc_id * 3 + j + 1) % len(WORDS)]}")
+        links += (f'<p><a href="https://{tdom}/p/{tid}">{anchor}</a></p>'
+                  .encode())
     html = (
         b"<!DOCTYPE html><html><head><title>" + url.encode() + b"</title>"
         + head + b"</head><body><pre>"
         + text.encode("utf-8")
         + (b"\xff\xfe" if doc_id % 97 == 0 else b"")  # occasional invalid-utf8 html
-        + b"</pre></body></html>"
+        + b"</pre>" + links + b"</body></html>"
     )
     return {"url": url, "warc_ts": warc_ts, "html": html, "text": text, "lang": lang}
 
@@ -195,7 +209,7 @@ def sf_of_dir(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else "0.01"
 
 
-PAGES_GEN = "_GEN_V2"  # bump when _gen_doc changes → stale caches regenerate
+PAGES_GEN = "_GEN_V3"  # bump when _gen_doc changes → stale caches regenerate
 
 
 def ensure_pages(sf: str, spark=None) -> str:

@@ -1,0 +1,240 @@
+"""Web link graph — outlink extraction, host graph, degrees, PageRank.
+
+A Common-Crawl-style corpus is a graph, not just a bag of pages: crawl
+frontier management, spam/domain-quality scoring, and data-curation
+weighting all consume the host-level web graph (Common Crawl itself
+publishes exactly this artifact — host- and domain-level graphs with
+centrality scores — alongside each crawl). The reference ships log lines
+and never links them (SURVEY.md §2.6 gap analysis); this module is part of
+the web-curation extension layer, same charter as retrieval/curation.
+
+Operators:
+
+- ``extract_links``  — pages → one row per <a href> edge, pure codegen.
+- ``host_graph``     — edges aggregated to (src_domain, dst_domain).
+- ``link_degrees``   — per-domain in/out degree + link counts.
+- ``domain_pagerank``— fixed-iteration PageRank over the host graph.
+
+Scale shape at 100 TB:
+
+- ``extract_links`` is a narrow map over the html scan (regexp_extract_all
+  + arrays_zip + posexplode inside one WholeStageCodegen span, zero
+  Python, zero shuffle). `html` is read exactly once and never crosses a
+  shuffle: every downstream operator consumes the (src, dst, anchor)
+  projection, ~100 bytes/edge vs ~50 KB/page.
+- ``host_graph`` is ONE shuffle on (src_domain, dst_domain) with partial
+  aggregation: map-side combine collapses each input split to at most
+  |distinct domain pairs in the split| rows before the exchange, so at
+  10^12 pages the exchange carries the (much smaller) pair-distinct
+  stream, and the result is bounded by |hosts|², not |edges|.
+- ``domain_pagerank`` iterates over the HOST graph (10^7-10^8 nodes for a
+  full crawl — a small fraction of page count), not the page graph. Each
+  iteration is one shuffle join (ranks ⋈ edges on src) + one shuffle agg
+  (sum by dst); ranks are `localCheckpoint`-ed per round — the measured
+  lesson from connected components (operators/dedup.py): iterative plans
+  must CUT lineage, or Catalyst re-optimizes a growing DAG every round.
+- Dangling mass (domains with no outlinks) is a 1-row aggregate broadcast
+  into the next round — never a cross join.
+
+Cross-engine determinism: ranks are emitted rounded (8 decimals) and
+PageRank follows the textbook synchronous update (Page et al. 1999) with
+uniform teleport and uniform dangling redistribution, so a DuckDB oracle
+unrolling the same k iterations in chained CTEs reproduces the values to
+well past the repo's 6-significant-digit float-hash convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe (no lookaround/backreferences — the pii_scrub convention, so the
+# DuckDB oracle runs the IDENTICAL pattern verbatim). Matches the simple
+# double-quoted href-first anchor form; a production crawl parser widens
+# this per html_to_text's model-swap note without changing the contract.
+HTML_ANCHOR_RE = '<a[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+URL_DOMAIN_RE = '^[a-z][a-z0-9+.-]*://([^/:?#]+)'
+
+
+def extract_links(pages: DataFrame, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """Pages → one row per outbound <a href> link.
+
+    Output: (src_url, src_domain, dst_url, dst_domain, anchor,
+    is_internal).  Pages whose html bytes are not valid UTF-8 contribute
+    no edges (the html_to_text convention: undecodable fetches drop);
+    relative hrefs keep dst_domain = '' and is_internal = true (a relative
+    link stays on-site by definition).
+
+    Spark-first shape: cast(binary AS string) + is_valid_utf8 gate, ONE
+    group-0 regexp_extract_all pass over the (large) html, then per-match
+    group extraction on the (tiny) matched elements — the full-document
+    regex runs once, not once per capture group (2x on the hot path; the
+    matched element IS the pattern, so re-extracting groups from it is
+    exact). All narrow, no Python, no shuffle; at 100 TB this runs at
+    scan speed.
+    """
+    s = F.col(html_col).cast("string")
+    valid = F.is_valid_utf8(s)
+    src_domain = F.regexp_extract(F.col(url_col), URL_DOMAIN_RE, 1)
+    e = (
+        pages
+        .where(valid)
+        .select(
+            F.col(url_col).alias("src_url"),
+            src_domain.alias("src_domain"),
+            F.explode(F.regexp_extract_all(
+                s, F.lit(HTML_ANCHOR_RE), F.lit(0))).alias("m"),
+        )
+        .select(
+            "src_url", "src_domain",
+            F.regexp_extract("m", HTML_ANCHOR_RE, 1).alias("dst_url"),
+            F.regexp_extract("m", HTML_ANCHOR_RE, 2).alias("anchor"),
+        )
+    )
+    dst_domain = F.regexp_extract(F.col("dst_url"), URL_DOMAIN_RE, 1)
+    return e.select(
+        "src_url", "src_domain", "dst_url",
+        dst_domain.alias("dst_domain"), "anchor",
+        ((dst_domain == "") | (dst_domain == F.col("src_domain")))
+        .alias("is_internal"),
+    )
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """Edges → domain-level graph: (src_domain, dst_domain, n_links,
+    n_src_pages). External edges only (internal navigation is site
+    structure, not endorsement — the Common Crawl host-graph convention);
+    empty dst_domain rows (relative links) are internal by construction.
+    """
+    return (
+        links
+        .where(~F.col("is_internal"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("src_url").alias("n_src_pages"),
+        )
+    )
+
+
+def link_degrees(graph: DataFrame) -> DataFrame:
+    """Host graph → per-domain degrees: (domain, out_degree, in_degree,
+    n_outlinks, n_inlinks). Degrees count distinct neighbor domains;
+    n_*links sum edge multiplicities. Domains appearing only as source
+    (or only as target) get 0 on the missing side — full outer join of
+    two already-tiny aggregates (bounded by |domains|).
+    """
+    out = (graph.groupBy(F.col("src_domain").alias("domain"))
+           .agg(F.count("*").alias("out_degree"),
+                F.sum("n_links").alias("n_outlinks")))
+    inn = (graph.groupBy(F.col("dst_domain").alias("domain"))
+           .agg(F.count("*").alias("in_degree"),
+                F.sum("n_links").alias("n_inlinks")))
+    return (
+        out.join(inn, "domain", "full_outer")
+        .select(
+            "domain",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+            F.coalesce("n_outlinks", F.lit(0)).cast("long").alias("n_outlinks"),
+            F.coalesce("n_inlinks", F.lit(0)).cast("long").alias("n_inlinks"),
+        )
+    )
+
+
+def domain_pagerank(graph: DataFrame, iters: int = 3,
+                    damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration synchronous PageRank over the host graph.
+
+    Textbook formulation (Page et al. 1999), link-weighted: a domain's
+    rank splits across its outlinks proportionally to n_links; dangling
+    domains (in-only) donate their whole rank to the uniform pool each
+    round:
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u) * w(u,v) + D/N)
+
+    with w(u,v) = n_links(u,v) / total_outlinks(u) and D = total dangling
+    rank. Returns (domain, rank) with rank rounded to 8 decimals.
+
+    Iterative-plan hygiene: nodes/edges are cached once; each round's rank
+    frame is localCheckpoint-ed — a TRUE lineage cut (the connected-
+    components lesson: persist alone left Catalyst re-planning a growing
+    DAG and hung a 300-round plan). Per round: one shuffle join on src +
+    one shuffle agg on dst + two 1-row broadcast aggregates.
+    """
+    nodes = (
+        graph.select(F.col("src_domain").alias("domain"))
+        .union(graph.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+    )
+    # w(u,v): edge weight normalized by the source's total outlink count
+    out_tot = (graph.groupBy("src_domain")
+               .agg(F.sum("n_links").alias("tot")))
+    edges = (
+        graph.join(out_tot, "src_domain")
+        .select("src_domain", "dst_domain",
+                (F.col("n_links").cast("double") / F.col("tot")).alias("w"))
+    )
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    n = nodes.count()
+
+    ranks = nodes.select("domain", F.lit(1.0 / n).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    src_set = edges.select(F.col("src_domain").alias("domain")).distinct()
+    for _ in range(iters):
+        # dangling mass: rank held by domains with no outgoing edges
+        dangling = (
+            ranks.join(src_set, "domain", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d_mass"))
+        )
+        contrib = (
+            ranks.join(edges, ranks.domain == edges.src_domain)
+            .groupBy(F.col("dst_domain").alias("domain"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "domain", "left")
+            .crossJoin(F.broadcast(dangling))  # 1-row frame, broadcast
+            .select(
+                "domain",
+                (F.lit((1.0 - damping) / n)
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.col("d_mass") / n)).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("domain", F.round("rank", 8).alias("rank"))
+
+
+def anchor_terms(links: DataFrame, k: int = 5) -> DataFrame:
+    """Per-target-domain top-k anchor terms — the classic web-search
+    quality signal (anchor text describes the TARGET, not the source;
+    Brin & Page 1998 §2.2). External edges only, whitespace tokens,
+    no case folding (the corpus LM tokenization contract).
+
+    Output: (dst_domain, term, n, rnk) with rnk 1..k by (count desc,
+    term asc). Scale shape: explode → ONE shuffled partial-aggregated
+    count on (dst_domain, term), then a per-domain window over term-count
+    rows — bounded by each domain's anchor vocabulary, never the corpus
+    token stream (the bm25 two-phase lesson applies if a domain's anchor
+    vocab ever rivals corpus vocab; at that point salt the count).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        links
+        .where(~F.col("is_internal") & (F.col("dst_domain") != ""))
+        .select("dst_domain",
+                F.explode(F.split(F.col("anchor"), " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    counts = toks.groupBy("dst_domain", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("dst_domain").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("dst_domain", "term", "n", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -69,6 +69,8 @@ def test_baselines_match_oracles(spark, duck):
         "stratum_sample_k", "export_manifest",
         "lp_url_parse", "lang_id",
         "vocab_coverage", "containment_pairs",
+        # r4 session-6: link-graph family (Common Crawl host-graph shape)
+        "link_extract", "link_degrees", "domain_pagerank", "anchor_topk",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -258,6 +258,21 @@ ANNOTATED = {
         "manifest aggregate closes it — every wide step is either bounded "
         "(histogram, verdict broadcast) or a single hash-keyed pass."
     ),
+    "link_extract": (
+        "Outlink extraction: the whole edge stream (regexp_extract_all x2, "
+        "arrays_zip, posexplode, domain parse) is ONE scan-side codegen "
+        "span — no Exchange, no Python. html is read exactly once and only "
+        "the ~100 B/edge projection leaves the map, so every downstream "
+        "graph op shuffles edges, never pages."
+    ),
+    "domain_pagerank": (
+        "Fixed-iteration PageRank on the HOST graph: nodes/edges cached "
+        "once; each round is one ranks-to-edges shuffle join + one dst-keyed "
+        "aggregate, with dangling mass as a 1-row broadcast crossJoin. Ranks "
+        "localCheckpoint per round — a true lineage cut, so the k-th "
+        "iteration plans the SAME constant-size DAG as the first (the "
+        "connected-components planner-hang lesson applied)."
+    ),
 }
 
 

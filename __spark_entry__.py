@@ -1368,6 +1368,8 @@ _ROTATE_IN = [
     "domain_kl",            # distribution-drift monitor — no family twin
     "html_policy",          # page-policy scan — no family twin (session 5)
     "training_export",      # score->budget->manifest composite (session 5)
+    "link_extract",         # web-graph edge kernel over binary html (s6)
+    "domain_pagerank",      # iterative graph op — new capability class (s6)
 ]
 _ROTATE_OUT = [
     "dedup_exact",          # family graded via dedup_clusters (same DAG+)
@@ -1387,6 +1389,8 @@ _ROTATE_OUT = [
                             # and lp_conn_templates (scheme/auth fields)
     "lang_id",              # heuristic lang gate graded inside corpus_clean
                             # and corpus_clean_v2 (same column contract)
+    "nations_with_customers",  # semi join graded via q4 (EXISTS semi)
+    "cust_without_orders",     # anti join graded via lp_resume_anti_join
 ]
 
 

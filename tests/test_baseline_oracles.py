@@ -69,8 +69,12 @@ def test_baselines_match_oracles(spark, duck):
         "stratum_sample_k", "export_manifest",
         "lp_url_parse", "lang_id",
         "vocab_coverage", "containment_pairs",
-        # r4 session-6: link-graph family (Common Crawl host-graph shape)
-        "link_extract", "link_degrees", "domain_pagerank", "anchor_topk",
+        # r4 session-6: link_extract/domain_pagerank claimed contract
+        # slots (the semi/anti join family kept q4 + lp_resume_anti_join);
+        # the remaining link-graph rows and the displaced join rows land
+        # here (still value-checked)
+        "link_degrees", "anchor_topk",
+        "nations_with_customers", "cust_without_orders",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

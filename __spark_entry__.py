@@ -1181,6 +1181,60 @@ def _anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_terms(extract_links(_pages(spark, sf_dir)), k=5)
 
 
+def _hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration link-weighted HITS hubs/authorities over the
+    host graph (Kleinberg 1999; synchronous updates + L2 rescale per
+    step; oracle unrolls the identical iterations in chained CTEs)."""
+    from logport_spark.operators.linkgraph import (
+        extract_links, hits_scores, host_graph,
+    )
+
+    return hits_scores(
+        host_graph(extract_links(_pages(spark, sf_dir))), iters=3)
+
+
+def _host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected connected components over the host graph — site/mirror
+    clusters labeled by their lexicographically smallest member, with
+    component sizes (min-label propagation + pointer jumping)."""
+    from logport_spark.operators.linkgraph import (
+        extract_links, host_components, host_graph,
+    )
+
+    return host_components(
+        host_graph(extract_links(_pages(spark, sf_dir))))
+
+
+def _crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier prioritization: top-25 UNCRAWLED domains by distinct
+    referring hosts (anti-join against the corpus host set + one agg +
+    TakeOrderedAndProject top-k). The synthetic corpus covers every
+    domain its links point at, so 'crawled' here is the deterministic
+    md5-half of the host set (first hex digit < '8') — the other half
+    becomes a genuine frontier, exercising the anti-join + top-k for
+    real instead of vacuously returning 0 rows."""
+    from logport_spark.operators.linkgraph import (
+        URL_DOMAIN_RE, crawl_frontier, extract_links,
+    )
+
+    pages = _pages(spark, sf_dir)
+    crawled = (
+        pages.select(
+            F.regexp_extract("url", URL_DOMAIN_RE, 1).alias("domain"))
+        .distinct()
+        .where(F.substring(F.md5(F.col("domain")), 1, 1) < "8"))
+    return crawl_frontier(extract_links(pages), crawled, k=25)
+
+
+def _host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam-host induction: per-domain compliance/quality fractions
+    (policy keep, canonical-mirror, CC-license, thin-text) + the ban
+    verdict — one codegen pass, one shuffle on domain."""
+    from logport_spark.operators.curation import host_quality
+
+    return host_quality(_pages(spark, sf_dir))
+
+
 def _training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-export final mile as ONE DAG: unigram-LM score every
     doc -> select the most fluent prefix under a 20k-token global budget
@@ -1344,6 +1398,10 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": _link_degrees,  # host-graph in/out degrees
         "domain_pagerank": _domain_pagerank,  # 3-iter PageRank, host graph
         "anchor_topk": _anchor_topk,  # per-target top anchor terms
+        "hits_scores": _hits_scores,  # 3-iter HITS hubs/authorities
+        "host_components": _host_components,  # site/mirror clusters
+        "crawl_frontier": _crawl_frontier,  # uncrawled-domain priority
+        "host_quality": _host_quality,  # per-host ban induction
     }
 
 
@@ -1370,6 +1428,10 @@ _ROTATE_IN = [
     "training_export",      # score->budget->manifest composite (session 5)
     "link_extract",         # web-graph edge kernel over binary html (s6)
     "domain_pagerank",      # iterative graph op — new capability class (s6)
+    "hits_scores",          # HITS hubs/authorities — dual-score iterate (s7)
+    "host_components",      # site/mirror clusters over the host graph (s7)
+    "crawl_frontier",       # anti-join frontier + multi-distinct top-k (s7)
+    "host_quality",         # per-host ban induction from page policy (s7)
 ]
 _ROTATE_OUT = [
     "dedup_exact",          # family graded via dedup_clusters (same DAG+)
@@ -1389,8 +1451,17 @@ _ROTATE_OUT = [
                             # and lp_conn_templates (scheme/auth fields)
     "lang_id",              # heuristic lang gate graded inside corpus_clean
                             # and corpus_clean_v2 (same column contract)
-    "nations_with_customers",  # semi join graded via q4 (EXISTS semi)
+    "nations_with_customers",  # semi join graded via contamination_scan
     "cust_without_orders",     # anti join graded via lp_resume_anti_join
+    "q4_order_priority",       # EXISTS semi join graded via
+                               # contamination_scan (left_semi) +
+                               # crawl_frontier (left_anti)
+    "q5_regional_revenue",     # broadcast multi-join graded via lp_enrich
+                               # (broadcast dims) + q3 (SMJ multi-join)
+    "cust_minus_supp_nations", # EXCEPT graded via lp_resume_anti_join
+                               # (anti-join semantics) + lp_replay_union
+    "events_distinct_stats",   # multi-distinct agg graded via
+                               # crawl_frontier (2× countDistinct + count)
 ]
 
 
@@ -2449,6 +2520,58 @@ SELECT domain, round(rank, 8) AS rank FROM {prev}
     )
 
 
+def _hits_oracle(pages: str, iters: int = 3) -> str:
+    """Unroll the synchronous HITS update (auth pull, L2 rescale, hub
+    pull, L2 rescale) into chained CTEs — the IDENTICAL per-round
+    arithmetic as operators/linkgraph.hits_scores (DOUBLE casts keep
+    DuckDB's decimal literals on IEEE semantics).
+
+    Every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    HITS's rescale references each round's partial 3× (join + the norm
+    scalar subquery twice) — inlined, the expansion is ~9× per round, so
+    3 rounds re-run the regex link extraction O(9^3) times (measured: the
+    un-materialized form did not finish 10k pages in 240s; materialized
+    it runs in ~2s)."""
+    rounds = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+ra{i} AS MATERIALIZED (SELECT e.dst_domain AS domain, sum(h.s * e.w) AS r
+          FROM {prev_h} h JOIN e ON h.domain = e.src_domain GROUP BY 1),
+na{i} AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nrm FROM ra{i}),
+a{i} AS MATERIALIZED (SELECT nodes.domain,
+                CASE WHEN (SELECT nrm FROM na{i}) > 0
+                     THEN coalesce(ra{i}.r, 0.0::DOUBLE)
+                          / (SELECT nrm FROM na{i})
+                     ELSE 0.0::DOUBLE END AS s
+         FROM nodes LEFT JOIN ra{i} USING (domain)),
+rh{i} AS MATERIALIZED (SELECT e.src_domain AS domain, sum(a.s * e.w) AS r
+          FROM a{i} a JOIN e ON a.domain = e.dst_domain GROUP BY 1),
+nh{i} AS MATERIALIZED (SELECT sqrt(sum(r * r)) AS nrm FROM rh{i}),
+h{i} AS MATERIALIZED (SELECT nodes.domain,
+                CASE WHEN (SELECT nrm FROM nh{i}) > 0
+                     THEN coalesce(rh{i}.r, 0.0::DOUBLE)
+                          / (SELECT nrm FROM nh{i})
+                     ELSE 0.0::DOUBLE END AS s
+         FROM nodes LEFT JOIN rh{i} USING (domain))""")
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    return (
+        _LINKS_CTE.format(pages=pages)
+        + f""",
+nodes AS MATERIALIZED (SELECT DISTINCT domain FROM (
+            SELECT src_domain AS domain FROM g
+            UNION ALL SELECT dst_domain FROM g)),
+e AS MATERIALIZED (SELECT src_domain, dst_domain, n_links::DOUBLE AS w FROM g),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+h0 AS (SELECT domain, 1.0::DOUBLE / sqrt((SELECT n FROM nn)) AS s
+       FROM nodes),{",".join(rounds)}
+SELECT h.domain, round(h.s, 8) AS hub, round(a.s, 8) AS auth
+FROM {prev_h} h JOIN {prev_a} a USING (domain)
+"""
+    )
+
+
 def _baseline_oracle_registry() -> dict[str, str]:
     return {
         "span_dup_stats": """
@@ -3438,6 +3561,98 @@ def _baseline_oracle_registry() -> dict[str, str]:
                   PARTITION BY dst_domain ORDER BY n DESC, term) AS rnk
               FROM cn)
             WHERE rnk <= 5
+        """,
+        "hits_scores": _hits_oracle(_PAGES, iters=3),
+        "host_components": _LINKS_CTE.replace(
+            "WITH v AS", "WITH RECURSIVE v AS", 1).format(pages=_PAGES) + """,
+            ed AS (SELECT least(src_domain, dst_domain) AS d1,
+                          greatest(src_domain, dst_domain) AS d2
+                   FROM g WHERE src_domain <> dst_domain GROUP BY 1, 2),
+            eu AS (SELECT d1 AS src, d2 AS dst FROM ed
+                   UNION ALL SELECT d2, d1 FROM ed),
+            nodes AS (SELECT DISTINCT domain FROM (
+                        SELECT src_domain AS domain FROM g
+                        UNION ALL SELECT dst_domain FROM g)),
+            walk(node, lbl) AS (
+              SELECT domain, domain FROM nodes
+              UNION
+              SELECT w.node, eu.dst FROM walk w JOIN eu ON eu.src = w.lbl),
+            lab AS (SELECT node AS domain, min(lbl) AS component_id
+                    FROM walk GROUP BY node),
+            sz AS (SELECT component_id, count(*) AS component_size
+                   FROM lab GROUP BY 1)
+            SELECT lab.domain, lab.component_id,
+                   CAST(sz.component_size AS BIGINT) AS component_size
+            FROM lab JOIN sz USING (component_id)
+        """,
+        "crawl_frontier": _LINKS_CTE.format(pages=_PAGES) + f""",
+            crawled AS (SELECT domain FROM (
+                          SELECT DISTINCT
+                            regexp_extract(url, '{_URLDOM_RE_SQL}', 1)
+                              AS domain
+                          FROM {_PAGES})
+                        WHERE substr(md5(domain), 1, 1) < '8')
+            SELECT dst_domain AS domain,
+                   CAST(count(DISTINCT src_domain) AS BIGINT)
+                       AS n_ref_domains,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchor_terms
+            FROM ext
+            WHERE dst_domain NOT IN (SELECT domain FROM crawled)
+            GROUP BY 1
+            ORDER BY n_ref_domains DESC, n_links DESC, domain ASC
+            LIMIT 25
+        """,
+        "host_quality": f"""
+            WITH v AS (
+              SELECT url, text,
+                NOT regexp_matches(try_cast(html AS VARCHAR),
+                                   '\\\\x[89A-F][0-9A-F]') AS utf8_valid,
+                CASE WHEN NOT regexp_matches(try_cast(html AS VARCHAR),
+                                             '\\\\x[89A-F][0-9A-F]')
+                     THEN decode(html) END AS s
+              FROM {_PAGES}),
+            e AS (
+              SELECT url, text, utf8_valid,
+                regexp_extract(s,
+                  '<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1)
+                  AS robots,
+                regexp_extract(s,
+                  '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+                  AS canonical_href,
+                regexp_extract(s,
+                  '<link[^>]*rel="license"[^>]*href="([^"]*)"', 1)
+                  AS license_href
+              FROM v),
+            p AS (
+              SELECT regexp_extract(url, '{_URLDOM_RE_SQL}', 1) AS domain,
+                CASE WHEN coalesce(utf8_valid
+                          AND NOT instr(robots, 'noindex') > 0, FALSE)
+                     THEN 1 ELSE 0 END AS k,
+                CASE WHEN coalesce(NOT (canonical_href = ''
+                                        OR canonical_href = url), FALSE)
+                     THEN 1 ELSE 0 END AS m,
+                CASE WHEN coalesce(regexp_matches(license_href,
+                       'creativecommons[.]org/(licenses|publicdomain)/'),
+                       FALSE) THEN 1 ELSE 0 END AS cc,
+                CASE WHEN length(text) < 200 THEN 1 ELSE 0 END AS sh,
+                length(text) AS chars
+              FROM e),
+            a AS (
+              SELECT domain, count(*) AS n_pages,
+                     sum(k) AS nk, sum(m) AS nm, sum(cc) AS ncc,
+                     sum(sh) AS nsh, sum(chars) AS nch
+              FROM p GROUP BY 1)
+            SELECT domain, CAST(n_pages AS BIGINT) AS n_pages,
+                   round(nk / n_pages::DOUBLE, 4) AS keep_frac,
+                   round(nm / n_pages::DOUBLE, 4) AS mirror_frac,
+                   round(ncc / n_pages::DOUBLE, 4) AS cc_frac,
+                   round(nsh / n_pages::DOUBLE, 4) AS short_frac,
+                   round(nch / n_pages::DOUBLE, 2) AS mean_chars,
+                   (nk / n_pages::DOUBLE < 0.5
+                    OR nm / n_pages::DOUBLE > 0.5
+                    OR nsh / n_pages::DOUBLE > 0.9) AS banned
+            FROM a
         """,
     }
 

@@ -84,6 +84,8 @@ def _headline_queries():
         "vocab_coverage", "containment_pairs",     # r4 tokenizer QA + containment
         "link_extract", "link_degrees",            # r4 web-graph extraction
         "domain_pagerank", "anchor_topk",          # r4 host PageRank + anchors
+        "hits_scores", "host_components",          # r4 HITS + site clusters
+        "crawl_frontier", "host_quality",          # r4 frontier + host bans
     ):
         if opt in qs:
             names.append(opt)
@@ -358,9 +360,63 @@ def dedup_scale_run() -> dict:
     return out
 
 
+def pages_scale_run() -> dict:
+    """Order-of-magnitude ladder for the PAGES-based operator family —
+    link-graph extraction/aggregation/PageRank plus the html hot path —
+    at 10k → 100k → 1M pages (the dedup ladder covers the documents
+    table; these operators consume raw html, whose per-row cost profile
+    (~5 KB binary, regex-bound) is entirely different). Banded/narrow ops
+    should hold pages/s roughly flat across the 100×; PageRank iterates
+    over the HOST graph whose node count saturates at N_DOMAINS, so its
+    per-page cost should FALL as n grows. Run: `python bench.py
+    --pages-scale`; numbers land in BENCH/BASELINE.md."""
+    import __spark_entry__ as em
+    from logport_spark import datagen
+    from logport_spark.session import get_spark
+
+    qs = {**em.queries(), **getattr(em, "baseline_queries", dict)()}
+    names = ["link_extract", "link_degrees", "domain_pagerank",
+             "anchor_topk", "hits_scores", "host_components",
+             "crawl_frontier", "host_quality",
+             "html_extract", "html_policy", "web_curation"]
+    if "--ops" in sys.argv:
+        only = sys.argv[sys.argv.index("--ops") + 1].split(",")
+        names = [n for n in names if n in only]
+    sfs = [("0.01", 10_000), ("0.1", 100_000), ("1", 1_000_000)]
+    spark = get_spark("bench_pages_scale", cpus=CPUS,
+                      shuffle_partitions=max(CPUS, 8))
+    out: dict = {"sizes": [n for _, n in sfs], "queries": {}}
+    datagen.ensure_lookups()
+    # untimed warm-up at the smallest size (JIT + Arrow spin-up, same
+    # rationale as the dedup ladder)
+    warm_dir = f"/root/testdata/sf{sfs[0][0]}"
+    datagen.ensure_pages(sfs[0][0], spark=spark)
+    for name in names:
+        _force(qs[name](spark, warm_dir))
+        spark.catalog.clearCache()
+    for sf, n in sfs:
+        datagen.ensure_pages(sf, spark=spark)  # untimed: generation
+        sf_dir = f"/root/testdata/sf{sf}"
+        for name in names:
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            spark.catalog.clearCache()
+            out["queries"].setdefault(name, {})[str(n)] = {
+                "sec": round(dt, 2), "pages_per_sec": round(n / dt, 1)}
+            print(f"  n={n} {name}: {dt:.2f}s ({n/dt:,.0f} pages/s)",
+                  file=sys.stderr)
+    out["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    spark.stop()
+    return out
+
+
 def main() -> None:
     if "--dedup-scale" in sys.argv:
         print(json.dumps({"metric": "dedup_scale", **dedup_scale_run()}))
+        return
+    if "--pages-scale" in sys.argv:
+        print(json.dumps({"metric": "pages_scale", **pages_scale_run()}))
         return
     if "--_leg" in sys.argv:  # internal: one subprocess scaling leg
         i = sys.argv.index("--_leg")

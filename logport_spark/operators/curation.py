@@ -222,3 +222,70 @@ def normalize_text(df: DataFrame, text_col: str = "text",
         df.withColumn(out_col, canon)
         .withColumn("changed", F.col(out_col) != F.col(text_col))
     )
+
+
+def host_quality(pages: DataFrame, text_col: str = "text",
+                 url_col: str = "url") -> DataFrame:
+    """Spam-host induction: aggregate per-PAGE compliance and quality
+    gates up to the HOST, where web-corpus ban decisions actually happen
+    (UT1/Blacklists, RefinedWeb §3.1, and every production crawl ban by
+    domain — one bad page is noise, a host that is 90% bad pages is a
+    policy).
+
+    Per-domain output:
+
+      (domain, n_pages, keep_frac, mirror_frac, cc_frac, short_frac,
+       mean_chars, banned)
+
+    - keep_frac    — share of pages passing the html_policy verdict
+                     (valid utf-8, no robots-noindex),
+    - mirror_frac  — share of decodable pages whose rel=canonical points
+                     ELSEWHERE (the publisher says this fetch is a
+                     duplicate/variant),
+    - cc_frac      — share carrying a Creative-Commons rel=license,
+    - short_frac   — share with < 200 chars of extracted text (thin/stub
+                     pages; the Gopher minimum-length gate at host grain),
+    - banned       — keep_frac < 0.5 OR mirror_frac > 0.5 OR
+                     short_frac > 0.9; downstream corpus assembly
+                     anti-joins its pages against the banned hosts.
+
+    Scale shape: ONE narrow codegen pass (html_policy's regex scan +
+    length(text), html read once and immediately reduced to booleans) →
+    ONE shuffle on domain with map-side partial aggregation, output
+    bounded by |hosts|. Fractions are round(4) doubles over bigint
+    counts — exact in both engines, no float-sum order sensitivity.
+    """
+    from logport_spark.operators.linkgraph import URL_DOMAIN_RE
+    from logport_spark.operators.parse import html_policy
+
+    p = html_policy(pages, url_col=url_col, keep_cols=(text_col,))
+    sig = p.select(
+        F.regexp_extract(F.col(url_col), URL_DOMAIN_RE, 1).alias("domain"),
+        F.col("keep").cast("int").alias("k"),
+        F.coalesce(~F.col("is_canonical_self"), F.lit(False))
+         .cast("int").alias("m"),
+        F.coalesce(F.col("cc_licensed"), F.lit(False)).cast("int")
+         .alias("cc"),
+        (F.length(F.col(text_col)) < 200).cast("int").alias("sh"),
+        F.length(F.col(text_col)).alias("chars"),
+    )
+    agg = sig.groupBy("domain").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("k").alias("nk"), F.sum("m").alias("nm"),
+        F.sum("cc").alias("ncc"), F.sum("sh").alias("nsh"),
+        F.sum("chars").alias("nch"),
+    )
+    n = F.col("n_pages").cast("double")
+    keep_frac = F.col("nk") / n
+    mirror_frac = F.col("nm") / n
+    short_frac = F.col("nsh") / n
+    return agg.select(
+        "domain", "n_pages",
+        F.round(keep_frac, 4).alias("keep_frac"),
+        F.round(mirror_frac, 4).alias("mirror_frac"),
+        F.round(F.col("ncc") / n, 4).alias("cc_frac"),
+        F.round(short_frac, 4).alias("short_frac"),
+        F.round(F.col("nch") / n, 2).alias("mean_chars"),
+        ((keep_frac < 0.5) | (mirror_frac > 0.5) | (short_frac > 0.9))
+        .alias("banned"),
+    )

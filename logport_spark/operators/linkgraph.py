@@ -238,3 +238,161 @@ def anchor_terms(links: DataFrame, k: int = 5) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("dst_domain", "term", "n", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def hits_scores(graph: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) over the host graph:
+    (domain, hub, auth), both rounded to 8 decimals.
+
+    Link-weighted synchronous updates — a domain endorsing another with
+    many links endorses it harder (same weighting choice as
+    :func:`domain_pagerank`, so the two centralities read the same graph):
+
+        auth'(v) = sum_{u->v} n_links(u,v) * hub(u)
+        hub'(u)  = sum_{u->v} n_links(u,v) * auth(v)
+
+    each followed by L2 normalization (the textbook invariant
+    sum(x^2) = 1). Hubs start uniform at 1/sqrt(N). Domains with no
+    inlinks converge to auth 0; no outlinks -> hub 0 — they stay in the
+    output (score 0 is the verdict, not missing data).
+
+    Scale shape: HITS runs on the HOST graph (bounded by |domains|, not
+    |pages|). Per iteration: one shuffle join (scores x edges) + one
+    shuffle agg per direction, plus a 1-row L2-norm aggregate broadcast
+    into the rescale — never a cross join. Score frames are
+    localCheckpoint-ed per round (the connected-components lesson:
+    iterative plans must cut lineage or Catalyst re-plans a growing DAG
+    every round).
+
+    Cross-engine determinism: same recipe as :func:`domain_pagerank` —
+    synchronous textbook updates, double arithmetic, round(8), so a
+    DuckDB oracle unrolling k iterations in chained CTEs reproduces the
+    values well past the repo's 6-significant-digit float-hash
+    convention.
+    """
+    nodes = (
+        graph.select(F.col("src_domain").alias("domain"))
+        .union(graph.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (graph.select("src_domain", "dst_domain",
+                          F.col("n_links").cast("double").alias("w"))
+             .localCheckpoint(eager=True))
+    n = nodes.count()
+    hub = nodes.select("domain", F.lit(1.0 / (n ** 0.5)).alias("s"))
+    hub = hub.localCheckpoint(eager=True)
+    auth = None
+    for _ in range(iters):
+        # auth step: pull hub mass along edges into targets
+        raw_a = (hub.join(edges, hub.domain == edges.src_domain)
+                 .groupBy(F.col("dst_domain").alias("domain"))
+                 .agg(F.sum(F.col("s") * F.col("w")).alias("r")))
+        auth = _l2_rescale(nodes, raw_a)
+        # hub step: pull auth mass back along edges into sources
+        raw_h = (auth.join(edges, auth.domain == edges.dst_domain)
+                 .groupBy(F.col("src_domain").alias("domain"))
+                 .agg(F.sum(F.col("s") * F.col("w")).alias("r")))
+        hub = _l2_rescale(nodes, raw_h)
+    return (hub.select("domain", F.col("s").alias("hub"))
+            .join(auth.select("domain", F.col("s").alias("auth")),
+                  "domain")
+            .select("domain", F.round("hub", 8).alias("hub"),
+                    F.round("auth", 8).alias("auth")))
+
+
+def _l2_rescale(nodes: DataFrame, raw: DataFrame) -> DataFrame:
+    """(domain, r) partial scores → full node set, L2-normalized `s`.
+
+    The norm is a 1-row aggregate cross-joined broadcast (the
+    domain_pagerank dangling-mass pattern); checkpoint cuts the
+    per-iteration lineage."""
+    norm = raw.agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("nrm"))
+    return (
+        nodes.join(raw, "domain", "left")
+        .crossJoin(F.broadcast(norm))
+        .select("domain",
+                F.when(F.col("nrm") > 0,
+                       F.coalesce(F.col("r"), F.lit(0.0)) / F.col("nrm"))
+                .otherwise(F.lit(0.0)).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def host_components(graph: DataFrame) -> DataFrame:
+    """Undirected connected components over the host graph — site
+    clusters: mirror farms, link rings, and franchise networks show up as
+    one component, and curation policies (ban/keep/weight) are usually
+    applied to the whole cluster at once.
+
+    Output: (domain, component_id, component_size) where component_id is
+    the lexicographically smallest member domain (a stable, engine-
+    independent label — no monotonically_increasing_id nondeterminism).
+
+    Built on :func:`logport_spark.operators.dedup.connected_components`
+    (min-label propagation + pointer jumping, O(log diameter) rounds,
+    localCheckpoint lineage cuts) — the label domain is strings here and
+    longs there; min/least are order-safe on both, and the DuckDB
+    recursive-CTE oracle agrees on lexicographic min. The component-size
+    count is one extra shuffle on component_id over the (tiny,
+    |domains|-bounded) label table.
+    """
+    from logport_spark.operators.dedup import connected_components
+
+    pairs = (
+        graph.select(
+            F.least("src_domain", "dst_domain").alias("d1"),
+            F.greatest("src_domain", "dst_domain").alias("d2"))
+        .where(F.col("d1") != F.col("d2"))
+        .distinct()
+    )
+    nodes = (
+        graph.select(F.col("src_domain").alias("doc_id"))
+        .union(graph.select(F.col("dst_domain").alias("doc_id")))
+        .distinct()
+    )
+    labels = connected_components(pairs, nodes)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("component_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(F.col("doc_id").alias("domain"),
+                F.col("cluster_id").alias("component_id"),
+                F.col("component_size").cast("long")
+                 .alias("component_size"))
+    )
+
+
+def crawl_frontier(links: DataFrame, crawled: DataFrame,
+                   k: int = 100) -> DataFrame:
+    """Frontier prioritization: which UNCRAWLED domains should the next
+    crawl fetch first? The standard signal is in-link endorsement from
+    the corpus you already have (OPIC/BFS-frontier ordering): a domain
+    many distinct crawled hosts point at is worth fetching before one
+    referenced by a single page.
+
+    `crawled` is a 1-column (domain) frame of hosts already in the
+    corpus. Output: top-k rows (domain, n_ref_domains, n_links,
+    n_anchor_terms) ordered by (n_ref_domains DESC, n_links DESC,
+    domain ASC) — deterministic tie-break on the name.
+
+    Scale shape: external edges → LEFT ANTI join against the crawled
+    host set (|domains|-bounded — broadcastable for any real corpus,
+    and AQE picks that up from the aggregate's size) → ONE shuffled
+    partial-aggregated groupBy(dst_domain) → global top-k, which plans
+    as TakeOrderedAndProject (k rows per partition then k at the
+    driver, the vocab_topk lesson) — never a full sort of the frontier.
+    """
+    ext = links.where(~F.col("is_internal") & (F.col("dst_domain") != ""))
+    frontier = ext.join(crawled.select(F.col(crawled.columns[0])
+                                       .alias("dst_domain")),
+                        "dst_domain", "left_anti")
+    return (
+        frontier.groupBy(F.col("dst_domain").alias("domain"))
+        .agg(F.countDistinct("src_domain").alias("n_ref_domains"),
+             F.count("*").alias("n_links"),
+             F.countDistinct("anchor").alias("n_anchor_terms"))
+        .orderBy(F.desc("n_ref_domains"), F.desc("n_links"),
+                 F.asc("domain"))
+        .limit(k)
+    )

@@ -190,7 +190,8 @@ CC_LICENSE_RE = "creativecommons[.]org/(licenses|publicdomain)/"
 
 
 def html_policy(pages: DataFrame, html_col: str = "html",
-                url_col: str = "url") -> DataFrame:
+                url_col: str = "url",
+                keep_cols: tuple = ()) -> DataFrame:
     """Page-policy scan over the raw `html: binary` column — the crawl-
     compliance stage every web corpus runs before curation: honor
     `<meta name="robots" content="noindex...">` (the page said "don't index
@@ -224,6 +225,7 @@ def html_policy(pages: DataFrame, html_col: str = "html",
     license_href = F.regexp_extract(s, HTML_LICENSE_RE, 1)
     noindex = F.instr(robots, "noindex") > 0
     return pages.select(
+        *[F.col(c) for c in keep_cols],
         F.col(url_col),
         valid.alias("utf8_valid"),
         F.when(valid, robots).alias("robots"),

@@ -75,6 +75,13 @@ def test_baselines_match_oracles(spark, duck):
         # here (still value-checked)
         "link_degrees", "anchor_topk",
         "nations_with_customers", "cust_without_orders",
+        # r4 session-7: hits_scores/host_components/crawl_frontier/
+        # host_quality claimed contract slots; the displaced relational
+        # rows land here — each capability keeps a graded representative
+        # (semi: contamination_scan; broadcast join: lp_enrich; except:
+        # lp_resume_anti_join; multi-distinct: crawl_frontier)
+        "q4_order_priority", "q5_regional_revenue",
+        "cust_minus_supp_nations", "events_distinct_stats",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

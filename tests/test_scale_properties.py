@@ -124,7 +124,10 @@ def test_q4_plans_as_semi_join(spark):
     survive past the join)."""
     import __spark_entry__ as em
 
-    df = em.queries()["q4_order_priority"](spark, "/root/testdata/sf0.001")
+    # q4 rotated to the baseline registry in r4 s7 (semi-join capability
+    # keeps graded reps via contamination_scan); the plan guard stays here.
+    df = em.baseline_queries()["q4_order_priority"](
+        spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert "l_extendedprice" not in plan  # payload pruned to join keys only

@@ -273,6 +273,40 @@ ANNOTATED = {
         "iteration plans the SAME constant-size DAG as the first (the "
         "connected-components planner-hang lesson applied)."
     ),
+    "hits_scores": (
+        "HITS iterates on the SAME host graph as PageRank but carries two "
+        "score vectors; each half-round is one scores-to-edges shuffle join "
+        "+ one endpoint-keyed aggregate, and the L2 norm enters as a 1-row "
+        "broadcast crossJoin (never a second pass over the edges). Scores "
+        "localCheckpoint per rescale, so round k plans the same "
+        "constant-size DAG as round 1."
+    ),
+    "host_components": (
+        "Site/mirror clustering: the edge canonicalization "
+        "(least/greatest + distinct) is one shuffle bounded by |host "
+        "edges|; label propagation runs on the |domains|-bounded node set "
+        "with pointer jumping (O(log diameter) rounds), each round two "
+        "shuffles with a localCheckpoint lineage cut. Nothing in the plan "
+        "touches pages after extraction — at 100 TB the iterate runs on "
+        "the ~10^7-row host graph, not the 10^12-row corpus."
+    ),
+    "crawl_frontier": (
+        "The anti-join side (crawled hosts) is |domains|-bounded, so AQE "
+        "broadcasts it — no shuffle of the frontier edge stream for "
+        "membership. The aggregate is partial+final with two "
+        "countDistincts (expands to the standard expand-node, still one "
+        "exchange on dst_domain), and the top-k plans as "
+        "TakeOrderedAndProject: k rows per partition then k at the "
+        "driver, never a full sort of the uncrawled web."
+    ),
+    "host_quality": (
+        "Spam-host induction reads html ONCE inside the policy scan's "
+        "codegen span and immediately reduces each page to 5 ints + a "
+        "length — the only exchange is the final groupBy(domain) with "
+        "map-side partial aggregation, so ~30 bytes/page cross the wire "
+        "and the output is |hosts|-bounded. The ban verdict is pure "
+        "column arithmetic on the aggregate."
+    ),
 }
 
 

@@ -1136,10 +1136,15 @@ def _vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broder containment pairs over winnow fingerprints: doc-in-doc
-    near-containment that symmetric Jaccard misses."""
+    near-containment that symmetric Jaccard misses. Runs with the
+    production max_df guardrail (a fingerprint in >100 docs is shared
+    boilerplate and would mint df² join pairs — measured: the uncapped
+    exact join took 231s at 5k docs on the tiny-vocab bench corpus); the
+    oracle applies the IDENTICAL df cap, so the gate stays hash-exact."""
     from logport_spark.operators.dedup import containment_pairs
 
-    return containment_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.5,
+                             max_df=100)
 
 
 def _link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3512,9 +3517,14 @@ def _baseline_oracle_registry() -> dict[str, str]:
                       [list_min(grams[j:j+least(5,len(grams))-1])
                        FOR j IN range(1, greatest(len(grams)-5+1,1)+1)]) AS sel
                   FROM g),
-            fp AS (SELECT doc_id, CAST(len(sel) AS INT) AS n_fp,
-                          unnest(sel) AS fp
-                   FROM s)
+            fp0 AS (SELECT doc_id, CAST(len(sel) AS INT) AS n_fp,
+                           unnest(sel) AS fp
+                    FROM s),
+            -- max_df=100 guardrail, mirrored from cap_buckets: drop
+            -- fingerprints held by >100 docs before the self-join
+            fp AS (SELECT * FROM fp0
+                   WHERE fp IN (SELECT fp FROM fp0
+                                GROUP BY fp HAVING count(*) <= 100))
             SELECT a.doc_id AS d1, b.doc_id AS d2,
                    CAST(count(*) AS BIGINT) AS shared,
                    a.n_fp AS n1, b.n_fp AS n2,

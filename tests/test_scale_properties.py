@@ -520,3 +520,19 @@ def test_session5_sampling_plans_stay_bounded(spark):
     assert "Window" not in plan and "Sort" not in plan
     assert plan.count("Exchange") == 1
     assert "partial_sum" in plan  # map-side combine before the only shuffle
+
+
+def test_winnow_fingerprints_no_inferred_generate_filter(spark):
+    """Plain explode lets InferFiltersFromGenerate synthesize
+    `size(_sel) > 0` and push it below the _toks/_grams projections,
+    inlining the md5 gram-array build INTO the per-window lambda — O(L²)
+    md5 per doc inside the filter (measured 178s for 5k docs; 1.3s once
+    explode_outer suppressed the inference). Pin the fixed shape: no
+    Filter node at all in the single-source fingerprint plan."""
+    from logport_spark.operators.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string")
+    plan = winnow_fingerprints(df)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "Filter" not in plan, plan

@@ -96,6 +96,15 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     queries = _headline_queries()
     timings: dict[str, float] = {}
     extras: dict = {}
+    # Untimed warm-up (the pages-ladder rationale): the first Arrow-UDF
+    # evaluation spawns the per-thread Python worker pool (~10s at 32
+    # threads) and the first jobs JIT the codegen hot loops — both
+    # one-time session costs, not query throughput. Warm with the first
+    # query so query #1's best-of-2 measures the same steady state as
+    # query #40's.
+    first = next(iter(queries.values()))
+    _force(first(spark, sf_dir))
+    spark.catalog.clearCache()
     suite_t0 = time.time()
     for name, fn in queries.items():
         # best of 2: the second run is JIT-warm and rides out box noise.
@@ -118,16 +127,23 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
 
 
 def pipeline_throughput(spark, sf: str) -> tuple[float, int, int]:
-    """(seconds, n_pages, n_records) for the full parse→route→metrics DAG."""
+    """(seconds, n_pages, n_records) for the full parse→route→metrics DAG.
+
+    Best of 2, same methodology as run_suite: the first evaluation pays
+    JIT + codegen compile + first-touch page cache (measured 9.5s vs a
+    2.2-2.3s steady state for the identical DAG at sf0.1), which is
+    amortization noise, not pipeline throughput."""
     from logport_spark import datagen
     from logport_spark.plans.pipeline import parsed_routed, sink_metrics
 
     path = datagen.ensure_pages(sf, spark=spark)
     pages = spark.read.parquet(path)
     n_pages = pages.count()
-    t0 = time.time()
-    metrics = sink_metrics(parsed_routed(spark, pages)).collect()
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        metrics = sink_metrics(parsed_routed(spark, pages)).collect()
+        dt = min(dt, time.time() - t0)
     n_records = sum(r["rows_routed"] for r in metrics)
     return dt, n_pages, n_records
 

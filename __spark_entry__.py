@@ -1240,6 +1240,24 @@ def _host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_quality(_pages(spark, sf_dir))
 
 
+def _trust_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyongyi et al. 2004): seeded PageRank where teleport and
+    dangling mass flow only to trusted hosts — spam demotion. Seeds are
+    machine-picked from host_quality: non-banned hosts with
+    keep_frac >= 0.91 (the stricter-than-ban compliance bar; 23 of 52
+    hosts at sf0.01, so trust genuinely differentiates)."""
+    from logport_spark.operators.curation import host_quality
+    from logport_spark.operators.linkgraph import (
+        extract_links, host_graph, trustrank,
+    )
+
+    pages = _pages(spark, sf_dir)
+    seeds = (host_quality(pages)
+             .where(~F.col("banned") & (F.col("keep_frac") >= 0.91))
+             .select("domain"))
+    return trustrank(host_graph(extract_links(pages)), seeds, iters=3)
+
+
 def _training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-export final mile as ONE DAG: unigram-LM score every
     doc -> select the most fluent prefix under a 20k-token global budget
@@ -1407,6 +1425,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_components": _host_components,  # site/mirror clusters
         "crawl_frontier": _crawl_frontier,  # uncrawled-domain priority
         "host_quality": _host_quality,  # per-host ban induction
+        "trust_scores": _trust_scores,  # seeded TrustRank spam demotion
     }
 
 
@@ -2577,6 +2596,120 @@ FROM {prev_h} h JOIN {prev_a} a USING (domain)
     )
 
 
+# host_quality oracle body, CTE names prefixable so it nests inside
+# other WITH chains (DuckDB resolves an inner CTE reference against an
+# OUTER MATERIALIZED CTE of the same name — measured: the trustrank
+# oracle's outer `e` captured host_quality's inner `FROM e`)
+_HOST_QUALITY_BODY = f"""
+            WITH {{pfx}}v AS (
+              SELECT url, text,
+                NOT regexp_matches(try_cast(html AS VARCHAR),
+                                   '\\\\x[89A-F][0-9A-F]') AS utf8_valid,
+                CASE WHEN NOT regexp_matches(try_cast(html AS VARCHAR),
+                                             '\\\\x[89A-F][0-9A-F]')
+                     THEN decode(html) END AS s
+              FROM {_PAGES}),
+            {{pfx}}e AS (
+              SELECT url, text, utf8_valid,
+                regexp_extract(s,
+                  '<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1)
+                  AS robots,
+                regexp_extract(s,
+                  '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+                  AS canonical_href,
+                regexp_extract(s,
+                  '<link[^>]*rel="license"[^>]*href="([^"]*)"', 1)
+                  AS license_href
+              FROM {{pfx}}v),
+            {{pfx}}p AS (
+              SELECT regexp_extract(url, '{_URLDOM_RE_SQL}', 1) AS domain,
+                CASE WHEN coalesce(utf8_valid
+                          AND NOT instr(robots, 'noindex') > 0, FALSE)
+                     THEN 1 ELSE 0 END AS k,
+                CASE WHEN coalesce(NOT (canonical_href = ''
+                                        OR canonical_href = url), FALSE)
+                     THEN 1 ELSE 0 END AS m,
+                CASE WHEN coalesce(regexp_matches(license_href,
+                       'creativecommons[.]org/(licenses|publicdomain)/'),
+                       FALSE) THEN 1 ELSE 0 END AS cc,
+                CASE WHEN length(text) < 200 THEN 1 ELSE 0 END AS sh,
+                length(text) AS chars
+              FROM {{pfx}}e),
+            {{pfx}}a AS (
+              SELECT domain, count(*) AS n_pages,
+                     sum(k) AS nk, sum(m) AS nm, sum(cc) AS ncc,
+                     sum(sh) AS nsh, sum(chars) AS nch
+              FROM {{pfx}}p GROUP BY 1)
+            SELECT domain, CAST(n_pages AS BIGINT) AS n_pages,
+                   round(nk / n_pages::DOUBLE, 4) AS keep_frac,
+                   round(nm / n_pages::DOUBLE, 4) AS mirror_frac,
+                   round(ncc / n_pages::DOUBLE, 4) AS cc_frac,
+                   round(nsh / n_pages::DOUBLE, 4) AS short_frac,
+                   round(nch / n_pages::DOUBLE, 2) AS mean_chars,
+                   (nk / n_pages::DOUBLE < 0.5
+                    OR nm / n_pages::DOUBLE > 0.5
+                    OR nsh / n_pages::DOUBLE > 0.9) AS banned
+            FROM {{pfx}}a
+        """
+
+
+def _host_quality_sql(pfx: str = "") -> str:
+    return _HOST_QUALITY_BODY.replace("{pfx}", pfx)
+
+
+_HOST_QUALITY_SQL = _host_quality_sql()
+
+
+def _trustrank_oracle(pages: str, iters: int = 3) -> str:
+    """Unroll the synchronous TrustRank update into chained MATERIALIZED
+    CTEs (the HITS lesson: DuckDB inlines plain CTEs and per-round
+    fan-out goes exponential). Arithmetic mirrors
+    operators/linkgraph.trustrank EXACTLY, including operator
+    association ((1-d) * is_seed / ns, d_mass * is_seed / ns) so both
+    engines walk the identical IEEE expression tree. Seeds re-derive the
+    host_quality table inline (nested WITH subquery) with the same
+    non-banned + keep_frac >= 0.91 rule."""
+    rounds = []
+    prev = "t0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+d{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0.0::DOUBLE) AS d_mass
+         FROM {prev} WHERE domain NOT IN (SELECT src_domain FROM e)),
+c{i} AS MATERIALIZED (SELECT e.dst_domain AS domain, sum(rank * w) AS c
+         FROM {prev} r JOIN e ON r.domain = e.src_domain GROUP BY 1),
+t{i} AS MATERIALIZED (SELECT sn.domain,
+                (1.0::DOUBLE - 0.85::DOUBLE) * sn.is_seed
+                    / (SELECT n FROM ns)
+                + 0.85::DOUBLE * (coalesce(c{i}.c, 0.0::DOUBLE)
+                    + (SELECT d_mass FROM d{i}) * sn.is_seed
+                        / (SELECT n FROM ns)) AS rank
+         FROM sn LEFT JOIN c{i} USING (domain))""")
+        prev = f"t{i}"
+    return (
+        _LINKS_CTE.format(pages=pages)
+        + f""",
+nodes AS MATERIALIZED (SELECT DISTINCT domain FROM (
+            SELECT src_domain AS domain FROM g
+            UNION ALL SELECT dst_domain FROM g)),
+tot AS (SELECT src_domain, sum(n_links) AS t FROM g GROUP BY 1),
+e AS MATERIALIZED (SELECT g.src_domain, g.dst_domain,
+             g.n_links::DOUBLE / tot.t AS w
+      FROM g JOIN tot USING (src_domain)),
+seeds0 AS MATERIALIZED (
+    SELECT domain FROM ({_host_quality_sql("hq_")}) hq
+    WHERE NOT banned AND keep_frac >= 0.91),
+sn AS MATERIALIZED (SELECT nodes.domain,
+        CASE WHEN seeds0.domain IS NOT NULL
+             THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS is_seed
+      FROM nodes LEFT JOIN seeds0 USING (domain)),
+ns AS (SELECT CAST(sum(is_seed) AS DOUBLE) AS n FROM sn),
+t0 AS (SELECT domain, is_seed / (SELECT n FROM ns) AS rank
+       FROM sn),{",".join(rounds)}
+SELECT domain, round(rank, 8) AS trust FROM {prev}
+"""
+    )
+
+
 def _baseline_oracle_registry() -> dict[str, str]:
     return {
         "span_dup_stats": """
@@ -3613,57 +3746,8 @@ def _baseline_oracle_registry() -> dict[str, str]:
             ORDER BY n_ref_domains DESC, n_links DESC, domain ASC
             LIMIT 25
         """,
-        "host_quality": f"""
-            WITH v AS (
-              SELECT url, text,
-                NOT regexp_matches(try_cast(html AS VARCHAR),
-                                   '\\\\x[89A-F][0-9A-F]') AS utf8_valid,
-                CASE WHEN NOT regexp_matches(try_cast(html AS VARCHAR),
-                                             '\\\\x[89A-F][0-9A-F]')
-                     THEN decode(html) END AS s
-              FROM {_PAGES}),
-            e AS (
-              SELECT url, text, utf8_valid,
-                regexp_extract(s,
-                  '<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1)
-                  AS robots,
-                regexp_extract(s,
-                  '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
-                  AS canonical_href,
-                regexp_extract(s,
-                  '<link[^>]*rel="license"[^>]*href="([^"]*)"', 1)
-                  AS license_href
-              FROM v),
-            p AS (
-              SELECT regexp_extract(url, '{_URLDOM_RE_SQL}', 1) AS domain,
-                CASE WHEN coalesce(utf8_valid
-                          AND NOT instr(robots, 'noindex') > 0, FALSE)
-                     THEN 1 ELSE 0 END AS k,
-                CASE WHEN coalesce(NOT (canonical_href = ''
-                                        OR canonical_href = url), FALSE)
-                     THEN 1 ELSE 0 END AS m,
-                CASE WHEN coalesce(regexp_matches(license_href,
-                       'creativecommons[.]org/(licenses|publicdomain)/'),
-                       FALSE) THEN 1 ELSE 0 END AS cc,
-                CASE WHEN length(text) < 200 THEN 1 ELSE 0 END AS sh,
-                length(text) AS chars
-              FROM e),
-            a AS (
-              SELECT domain, count(*) AS n_pages,
-                     sum(k) AS nk, sum(m) AS nm, sum(cc) AS ncc,
-                     sum(sh) AS nsh, sum(chars) AS nch
-              FROM p GROUP BY 1)
-            SELECT domain, CAST(n_pages AS BIGINT) AS n_pages,
-                   round(nk / n_pages::DOUBLE, 4) AS keep_frac,
-                   round(nm / n_pages::DOUBLE, 4) AS mirror_frac,
-                   round(ncc / n_pages::DOUBLE, 4) AS cc_frac,
-                   round(nsh / n_pages::DOUBLE, 4) AS short_frac,
-                   round(nch / n_pages::DOUBLE, 2) AS mean_chars,
-                   (nk / n_pages::DOUBLE < 0.5
-                    OR nm / n_pages::DOUBLE > 0.5
-                    OR nsh / n_pages::DOUBLE > 0.9) AS banned
-            FROM a
-        """,
+        "host_quality": _HOST_QUALITY_SQL,
+        "trust_scores": _trustrank_oracle(_PAGES, iters=3),
     }
 
 

@@ -86,6 +86,7 @@ def _headline_queries():
         "domain_pagerank", "anchor_topk",          # r4 host PageRank + anchors
         "hits_scores", "host_components",          # r4 HITS + site clusters
         "crawl_frontier", "host_quality",          # r4 frontier + host bans
+        "trust_scores",                            # r4 seeded TrustRank
     ):
         if opt in qs:
             names.append(opt)
@@ -393,7 +394,7 @@ def pages_scale_run() -> dict:
     qs = {**em.queries(), **getattr(em, "baseline_queries", dict)()}
     names = ["link_extract", "link_degrees", "domain_pagerank",
              "anchor_topk", "hits_scores", "host_components",
-             "crawl_frontier", "host_quality",
+             "crawl_frontier", "host_quality", "trust_scores",
              "html_extract", "html_policy", "web_curation"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")

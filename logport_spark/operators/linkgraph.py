@@ -406,3 +406,84 @@ def crawl_frontier(links: DataFrame, crawled: DataFrame,
                  F.asc("domain"))
         .limit(k)
     )
+
+
+def trustrank(graph: DataFrame, seeds: DataFrame, iters: int = 3,
+              damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004):
+    PageRank with the teleport restricted to a trusted SEED set — trust
+    flows out of vetted hosts along links, so spam farms that earn rank
+    from their own link rings get near-zero trust. The standard webspam
+    demotion: rank/trust ratio flags the farms. Pairs with
+    :func:`logport_spark.operators.curation.host_quality`, whose
+    non-banned hosts are a natural machine-picked seed set.
+
+        t'(v) = (1-d)*s(v) + d * (sum_{u->v} t(u)*w(u,v) + D*s(v))
+
+    with s = 1/|seeds| on seeds (0 elsewhere), w the outlink-normalized
+    edge weight (same as :func:`domain_pagerank`), and D the dangling
+    mass (trust held by out-degree-0 domains, returned to the seeds).
+    Total trust stays exactly 1 every round. Returns (domain, trust)
+    rounded to 8; unreachable-from-seeds domains get exactly 0.0.
+
+    Scale shape: identical to domain_pagerank — the iterate runs on the
+    HOST graph; per round one join shuffle + one agg shuffle + a 1-row
+    broadcast dangling aggregate; the graph is localCheckpoint-ed ONCE
+    and ranks per round (the single-materialization + lineage-cut
+    lessons). `seeds` is |domains|-bounded and joins broadcast-small.
+    """
+    graph = graph.localCheckpoint(eager=True)
+    nodes = (
+        graph.select(F.col("src_domain").alias("domain"))
+        .union(graph.select(F.col("dst_domain").alias("domain")))
+        .distinct()
+    )
+    out_tot = (graph.groupBy("src_domain")
+               .agg(F.sum("n_links").alias("tot")))
+    edges = (
+        graph.join(out_tot, "src_domain")
+        .select("src_domain", "dst_domain",
+                (F.col("n_links").cast("double") / F.col("tot")).alias("w"))
+    )
+    # seed indicator over the node set; teleport mass normalizes over the
+    # seeds that are actually in the graph
+    seed_col = seeds.select(F.col(seeds.columns[0]).alias("domain"))
+    nodes = (nodes.join(seed_col.withColumn("_s", F.lit(1.0)),
+                        "domain", "left")
+             .select("domain", F.coalesce(F.col("_s"), F.lit(0.0))
+                     .alias("is_seed")))
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    n_seeds = nodes.where(F.col("is_seed") > 0).count()
+    if n_seeds == 0:
+        raise ValueError("trustrank: no seed is present in the graph")
+    s = (F.col("is_seed") / F.lit(float(n_seeds))).alias("s")
+
+    ranks = nodes.select("domain", s.alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    src_set = edges.select(F.col("src_domain").alias("domain")).distinct()
+    for _ in range(iters):
+        dangling = (
+            ranks.join(src_set, "domain", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d_mass"))
+        )
+        contrib = (
+            ranks.join(edges, ranks.domain == edges.src_domain)
+            .groupBy(F.col("dst_domain").alias("domain"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "domain", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "domain",
+                ((F.lit(1.0 - damping)
+                  * F.col("is_seed") / F.lit(float(n_seeds)))
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("c"), F.lit(0.0))
+                    + F.col("d_mass") * F.col("is_seed")
+                    / F.lit(float(n_seeds)))).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("domain", F.round("rank", 8).alias("trust"))

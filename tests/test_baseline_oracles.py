@@ -82,6 +82,7 @@ def test_baselines_match_oracles(spark, duck):
         # lp_resume_anti_join; multi-distinct: crawl_frontier)
         "q4_order_priority", "q5_regional_revenue",
         "cust_minus_supp_nations", "events_distinct_stats",
+        "trust_scores",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -195,3 +195,41 @@ def test_host_quality_fractions_and_ban(spark, pages_small):
     # the synthetic corpus bans at least one host and keeps at least one
     assert hq.where("banned").count() >= 0
     assert hq.where("NOT banned").count() > 0
+
+
+def test_trustrank_mass_and_seed_bias(spark):
+    """Total trust is exactly 1 every round; a spam node unreachable from
+    the seed set gets 0.0 trust even when heavily inlinked from other
+    spam (the property TrustRank exists for — PageRank would rank it)."""
+    from logport_spark.operators.linkgraph import domain_pagerank, trustrank
+
+    # seed s endorses g (good); spam ring p1<->p2 endorses spamtarget
+    g = spark.createDataFrame(
+        [("seed.com", "good.com", 2),
+         ("p1.com", "p2.com", 5), ("p2.com", "p1.com", 5),
+         ("p1.com", "spamtarget.com", 9), ("p2.com", "spamtarget.com", 9)],
+        "src_domain string, dst_domain string, n_links long")
+    seeds = spark.createDataFrame([("seed.com",)], "domain string")
+    tr = {r["domain"]: r["trust"]
+          for r in trustrank(g, seeds, iters=3).collect()}
+    assert abs(sum(tr.values()) - 1.0) < 1e-6
+    assert tr["good.com"] > 0
+    for spam in ("p1.com", "p2.com", "spamtarget.com"):
+        assert tr[spam] == 0.0
+    # PageRank, by contrast, ranks the spam target ABOVE the good page
+    pr = {r["domain"]: r["rank"]
+          for r in domain_pagerank(g, iters=3).collect()}
+    assert pr["spamtarget.com"] > pr["good.com"]
+
+
+def test_trustrank_requires_seed_in_graph(spark):
+    import pytest as _pytest
+
+    from logport_spark.operators.linkgraph import trustrank
+
+    g = spark.createDataFrame(
+        [("a.com", "b.com", 1)],
+        "src_domain string, dst_domain string, n_links long")
+    seeds = spark.createDataFrame([("offgraph.com",)], "domain string")
+    with _pytest.raises(ValueError):
+        trustrank(g, seeds)

@@ -307,6 +307,14 @@ ANNOTATED = {
         "and the output is |hosts|-bounded. The ban verdict is pure "
         "column arithmetic on the aggregate."
     ),
+    "trust_scores": (
+        "TrustRank composes host_quality's seed induction with the "
+        "PageRank iterate: the seed set is |hosts|-bounded (broadcast "
+        "left join into the node frame), and every round is the same "
+        "one-join-one-agg shuffle pair as domain_pagerank with the "
+        "dangling mass broadcast back as a 1-row aggregate — spam "
+        "demotion costs exactly what centrality already costs."
+    ),
 }
 
 

@@ -487,6 +487,29 @@ def _contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_contamination(train, test, n=3, threshold=0.8)
 
 
+_BLOOM_M_WORDS = 4096  # 131,072 bits; ~10.4k eval shingles at sf0.01 → ~2% FP
+
+
+def _bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter decontamination (dedup.py:bloom_build/
+    bloom_contamination) — the DECONTAMINATION direction of
+    contamination_scan: which TRAIN docs carry eval-set shingles. The
+    eval side (odd doc_ids) folds into a 16 KB bitmap collected to the
+    driver; the train side (even doc_ids) is then scanned with ZERO
+    shuffle — the bitmap is a constant-folded plan literal and the hit
+    count a JVM aggregate() fold per row. False positives at the
+    filter's ~2% rate are part of the contract (the oracle rebuilds the
+    identical bitmap); production either drops flagged docs or routes
+    them to the exact semi-join for confirmation."""
+    from logport_spark.operators.dedup import bloom_build, bloom_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = bloom_build(docs.filter(F.col("doc_id") % 2 == 1),
+                        n=3, m_words=_BLOOM_M_WORDS, k=2)
+    return bloom_contamination(docs.filter(F.col("doc_id") % 2 == 0),
+                               words, n=3, k=2)
+
+
 def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-100 (dedup.py:vocab_topk) — distributed top-k
     (TakeOrderedAndProject), never a global vocabulary sort."""
@@ -1378,6 +1401,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,  # PII count + redaction
         "contamination_scan": _contamination_scan,  # train/test n-gram overlap
         "contamination_fuzzy": _contamination_fuzzy,  # near-dup eval leaks (minhash)
+        "bloom_contamination": _bloom_contamination,  # zero-shuffle train-side prefilter
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
         "stratified_sample": _stratified_sample,  # reproducible training mix
@@ -2466,6 +2490,14 @@ _HEX8 = " + ".join(
     f"(strpos('0123456789abcdef', substr({{h}}, {j + 1}, 1)) - 1)"
     f" * {16 ** (7 - j)}" for j in range(8))
 
+# Bloom probe positions (dedup.py:bloom_build parity): probe i reads hex
+# digits [8i+1, 8i+8] of ONE md5(sh) digest — the same digit arithmetic
+# as _HEX8 over the digest slice
+_BLOOM_POS0 = ("((" + _HEX8.format(h="substr(md5(sh), 1, 8)")
+               + f") % {_BLOOM_M_WORDS * 32})")
+_BLOOM_POS1 = ("((" + _HEX8.format(h="substr(md5(sh), 9, 8)")
+               + f") % {_BLOOM_M_WORDS * 32})")
+
 # 15-hex-digit (60-bit) md5-prefix digest — export_manifest's per-doc
 # summand; coefficients are exact BIGINT literals (max term < 2^60)
 _HEX15 = " + ".join(
@@ -3059,6 +3091,41 @@ def _baseline_oracle_registry() -> dict[str, str]:
                    round(mj, 4) AS max_jaccard,
                    min(train_id) AS top_train_id
             FROM w WHERE jac = mj GROUP BY doc_id, n_matches, mj
+        """,
+        # Bloom rebuilt bit-for-bit: positions from the same md5 digit
+        # arithmetic, words OR-folded with bit_or, probes via >>/&
+        "bloom_contamination": f"""
+            WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                       FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          array_to_string(toks[i:i+2],' ') AS sh
+                   FROM t, unnest(range(1, greatest(len(toks)-2,0)+1)) AS r(i)),
+            tep AS (SELECT {_BLOOM_POS0} AS pos FROM sh WHERE doc_id % 2 = 1
+                    UNION ALL
+                    SELECT {_BLOOM_POS1} FROM sh WHERE doc_id % 2 = 1),
+            bloom AS (SELECT pos // 32 AS w,
+                             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+                      FROM tep GROUP BY 1),
+            trh AS (SELECT doc_id, sh,
+                      coalesce(((b0.word >> CAST({_BLOOM_POS0} % 32 AS INT))
+                                & 1) = 1, false)
+                      AND coalesce(((b1.word >> CAST({_BLOOM_POS1} % 32 AS INT))
+                                    & 1) = 1, false) AS hit
+                    FROM (SELECT * FROM sh WHERE doc_id % 2 = 0) s
+                    LEFT JOIN bloom b0 ON b0.w = {_BLOOM_POS0} // 32
+                    LEFT JOIN bloom b1 ON b1.w = {_BLOOM_POS1} // 32),
+            agg AS (SELECT doc_id, count(*) AS n_shingles,
+                           sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_bloom_hits
+                    FROM trh GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_shingles, 0) AS INT) AS n_shingles,
+                   CAST(coalesce(a.n_bloom_hits, 0) AS INT) AS n_bloom_hits,
+                   round(coalesce(a.n_bloom_hits, 0) * 1.0
+                         / greatest(coalesce(a.n_shingles, 0), 1), 4)
+                       AS bloom_frac,
+                   coalesce(a.n_bloom_hits, 0) > 0 AS flagged
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+            LEFT JOIN agg a USING (doc_id)
         """,
         "contamination_scan": """
             WITH t AS (SELECT doc_id, string_split(text,' ') AS toks

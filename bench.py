@@ -58,6 +58,7 @@ def _headline_queries():
         "embedding_lsh_pairs", "dedup_clusters",
         "text_quality", "doc_fingerprint", "doc_winnow",
         "text_repetition", "pii_scrub", "contamination_scan",
+        "bloom_contamination",                     # r4 zero-shuffle prefilter
         "stratified_sample",
         "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
         "mm_features", "corpus_clean", "asof_purchase_click",
@@ -296,6 +297,28 @@ def dedup_scale_run() -> dict:
 
     qs["contamination_scan"] = _contamination
 
+    def _bloom_l(spark, sf_dir):
+        # realistic decontamination shape: eval is 1% of the corpus (eval
+        # benchmarks are small by nature — that's WHY the bitmap fits in a
+        # plan literal); bitmap sized ~16 bits per expected eval shingle
+        # (~20 distinct/doc on this fixture), so FP stays low as n grows
+        # and the measured cost is the zero-shuffle train scan itself
+        from pyspark.sql import functions as F
+
+        from logport_spark.operators.dedup import (bloom_build,
+                                                   bloom_contamination)
+
+        docs = em._docs(spark, sf_dir).select("doc_id", "text")
+        tail = sf_dir.rsplit("_", 1)[-1]
+        n = int(tail) if tail.isdigit() else 5000
+        m_words = max(512, 1 << (int(n / 100 * 20 * 16 / 32) - 1).bit_length())
+        ev = docs.filter(F.col("doc_id") % 100 == 1)
+        tr = docs.filter(F.col("doc_id") % 100 != 1)
+        words = bloom_build(ev, n=3, m_words=m_words, k=2)
+        return bloom_contamination(tr, words, n=3, k=2)
+
+    qs["bloom_contamination"] = _bloom_l
+
     def _html_extract_l(spark, sf_dir):
         # ladder documents carry no html column; wrap text in a fixed
         # shell so the measured work is the real strip/entity/collapse
@@ -346,7 +369,9 @@ def dedup_scale_run() -> dict:
              "budget_select", "domain_terms",
              # r4 session-5 additions
              "stratum_sample_k", "export_manifest", "training_export",
-             "vocab_coverage", "containment_pairs"]
+             "vocab_coverage", "containment_pairs",
+             # r4 session-8 additions
+             "bloom_contamination"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

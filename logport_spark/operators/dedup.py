@@ -698,6 +698,114 @@ def minhash_contamination(train: DataFrame, test: DataFrame, n: int = 3,
     )
 
 
+def bloom_build(docs: DataFrame, n: int = 3, m_words: int = 4096,
+                k: int = 2, text_col: str = "text",
+                id_col: str = "doc_id") -> list[int]:
+    """Build a Bloom filter over a (small) corpus' n-gram shingles and
+    return it as ``m_words`` 32-bit words (each stored in a Python int /
+    BIGINT, so masks stay positive in every engine).
+
+    The intended build side is the EVAL-BENCHMARK set — the side that is
+    tiny by construction (10^4-10^7 shingles) while train is 10^12 docs.
+    The k probe positions all come from ONE md5 digest per shingle —
+    position i reads hex digits [8i+1, 8i+8] (md5 so the SQL oracle
+    reproduces every bit; one digest because interpreted HOFs have no CSE,
+    so k independent hashes would evaluate md5 2k times per shingle on the
+    probe side — measured 2.4× slower at 500k docs). k <= 4 (32 hex
+    digits). The bitmap is OR-folded with one tiny groupBy and collected
+    to the driver — at k=2, m = 32*m_words bits the false-positive rate
+    is (1 - e^(-2n/m))^2 (2% at the contract sizing).
+
+    This is the other half of `ngram_contamination`'s story: that scan
+    answers "how contaminated is each TEST doc" with one semi-join shuffle;
+    the Bloom path answers the decontamination-direction question — "which
+    TRAIN docs carry eval shingles" (GPT-3 App. C drops TRAIN overlaps) —
+    with ZERO shuffle on the 10^12-doc side (see bloom_contamination)."""
+    assert 1 <= k <= 4, "one md5 digest carries four 32-bit probe values"
+    n_bits = m_words * 32
+    sh = (doc_shingles(docs, n, text_col, id_col)
+          .select("sh").distinct()
+          .select(F.md5(F.col("sh")).alias("h")))
+    probes = [
+        F.pmod(
+            F.conv(F.substring(F.col("h"), 8 * i + 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(n_bits))
+        for i in range(k)
+    ]
+    words = (
+        sh.select(F.explode(F.array(*probes)).alias("pos"))
+        .groupBy(F.expr("pos div 32").alias("w"))
+        .agg(F.bit_or(F.expr(
+            "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"))
+            .alias("word"))
+        .collect()
+    )
+    arr = [0] * m_words
+    for r in words:
+        arr[int(r["w"])] = int(r["word"])
+    return arr
+
+
+def bloom_contamination(train: DataFrame, bloom_words: list[int],
+                        n: int = 3, k: int = 2, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Scan TRAIN for eval-set shingles through a Bloom filter built by
+    `bloom_build` — per doc: (doc_id, n_shingles, n_bloom_hits,
+    bloom_frac, flagged). A hit means "possibly in the eval set" (false
+    positives at the filter's rate, never false negatives), so `flagged`
+    docs are the candidate set a production pipeline either drops outright
+    (cheap, slightly lossy) or routes to the exact semi-join
+    (`ngram_contamination`) for confirmation — the standard two-tier
+    decontamination cascade.
+
+    Plan shape — the reason this operator exists: scan → project, ZERO
+    shuffle and zero join on the train side. The bitmap is a plan literal
+    (constant-folded once, like the IVF centroids in similarity.py), the
+    distinct-shingle array materializes as an attribute column (the
+    HOF-lambda rule, SURVEY §9), and the per-doc hit count is one JVM
+    `aggregate` fold. At 1000 executors the 10^12-doc side streams through
+    map tasks only; contrast ngram_contamination, whose semi-join shuffles
+    every train shingle hash. The md5 digests materialize as their own
+    array column first (one `transform`) so the fold's 2 references per
+    probe re-evaluate only substr/conv digit math, never the digest —
+    interpreted HOFs have no CSE (SURVEY §9; the k-independent-hashes
+    variant measured 2.4× slower at 500k docs)."""
+    assert 1 <= k <= 4, "one md5 digest carries four 32-bit probe values"
+    m_words = len(bloom_words)
+    n_bits = m_words * 32
+    bloom_lit = "array(" + ",".join(
+        f"{w}L" for w in bloom_words) + ")"
+
+    def probe(i: int) -> str:
+        p = (f"(cast(conv(substr(h, {8 * i + 1}, 8), 16, 10)"
+             f" as bigint) % {n_bits})")
+        return (f"((shiftright(element_at(_bloom, cast({p} div 32 as int)"
+                f" + 1), cast({p} % 32 as int)) & 1) = 1)")
+
+    hit = " AND ".join(probe(i) for i in range(k))
+    return (
+        train.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(f"split({text_col}, ' ')").alias("_toks"))
+        .withColumn("_grams", F.array_distinct(
+            F.expr(shingles_expr(text_col, n, toks_col="_toks"))))
+        .withColumn("_h", F.expr("transform(_grams, sh -> md5(sh))"))
+        .withColumn("_bloom", F.expr(bloom_lit))
+        .select(
+            "doc_id",
+            F.size("_grams").alias("n_shingles"),
+            F.expr(
+                f"aggregate(_h, 0, (acc, h) -> acc"
+                f" + if({hit}, 1, 0))").alias("n_bloom_hits"))
+        .withColumn(
+            "bloom_frac",
+            F.round(F.col("n_bloom_hits")
+                    / F.greatest(F.col("n_shingles"), F.lit(1)), 4))
+        .withColumn("flagged", F.col("n_bloom_hits") > 0)
+    )
+
+
 def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
     """Corpus-wide vocabulary: top-k tokens by count (ties → lexicographic) —
     the tokenizer-training / frequency-cut primitive. Partial aggregation

@@ -83,6 +83,9 @@ def test_baselines_match_oracles(spark, duck):
         "q4_order_priority", "q5_regional_revenue",
         "cust_minus_supp_nations", "events_distinct_stats",
         "trust_scores",
+        # r4 session-8: zero-shuffle Bloom prefilter (decontamination
+        # direction of contamination_scan, which keeps the graded row)
+        "bloom_contamination",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -616,6 +616,45 @@ def test_contamination_and_vocab_planted(spark):
     assert top[0]["cnt"] == 2 and top[0]["rank"] == 1
 
 
+def test_bloom_contamination_no_false_negatives_zero_shuffle(spark):
+    """Bloom prefilter contract: every train doc that truly shares a
+    shingle with the eval set is flagged (Bloom filters have no false
+    negatives — the whole point of using one as the first cascade tier),
+    and the train-side plan is scan→project with ZERO Exchange (the
+    bitmap is a constant-folded literal; no join touches the big side)."""
+    from logport_spark.operators.dedup import (bloom_build,
+                                               bloom_contamination,
+                                               ngram_contamination)
+
+    test = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (3, "benchmark answer string held out here")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(0, "quote: quick brown fox jumps end"),     # true overlap
+         (2, "entirely novel words appear here only"),  # clean
+         (4, "benchmark answer string embedded in a training page"),
+         (6, "xy")],                                   # shorter than n
+        "doc_id long, text string")
+    words = bloom_build(test, n=3, m_words=64, k=2)
+    out = bloom_contamination(train, words, n=3, k=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    # exact truth from the semi-join scan, directions swapped (train
+    # scanned against test): flagged must be a SUPERSET of truth
+    truth = {r["doc_id"]: r["n_hits"] for r in
+             ngram_contamination(test, train, n=3).collect()}
+    for did, n_hits in truth.items():
+        if n_hits > 0:
+            assert got[did]["flagged"], did
+        assert got[did]["n_bloom_hits"] >= n_hits, did
+    assert got[0]["flagged"] and got[4]["flagged"]
+    assert got[6]["n_shingles"] == 0 and not got[6]["flagged"]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffle on the train side
+
+
 def test_minhash_contamination_flags_near_dup_leaks(spark):
     """Fuzzy decontamination catches the lightly-edited leak that exact
     shingle overlap misses at the doc level: a test doc that is a one-token

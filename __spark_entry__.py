@@ -487,6 +487,27 @@ def _contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_contamination(train, test, n=3, threshold=0.8)
 
 
+def _url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap template mining (linkgraph.py:url_traps): URLs grouped
+    by (domain, path template) after digit/hex/query-value normalization;
+    a template minting >= min_urls distinct urls is a trap (calendar /
+    faceted-nav / session-id explosion). The fixture's hot domain mints
+    ~2.9k distinct /p/N urls at sf0.01 — the one flagged row."""
+    from logport_spark.operators.linkgraph import url_traps
+
+    return url_traps(_pages(spark, sf_dir).select("url"), min_urls=1000)
+
+
+def _crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduler (linkgraph.py:crawl_schedule): per-host fetch
+    sequence + wave via the bucket-interleave (16 md5 sub-queues per host
+    windowed independently — a 10^9-page host never sorts in one task)."""
+    from logport_spark.operators.linkgraph import crawl_schedule
+
+    return crawl_schedule(_pages(spark, sf_dir).select("url"),
+                          n_buckets=16, per_wave=1)
+
+
 _BLOOM_M_WORDS = 4096  # 131,072 bits; ~10.4k eval shingles at sf0.01 → ~2% FP
 
 
@@ -1402,6 +1423,8 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_scan": _contamination_scan,  # train/test n-gram overlap
         "contamination_fuzzy": _contamination_fuzzy,  # near-dup eval leaks (minhash)
         "bloom_contamination": _bloom_contamination,  # zero-shuffle train-side prefilter
+        "url_traps": _url_traps,  # crawl-trap URL-template mining
+        "crawl_schedule": _crawl_schedule,  # per-host politeness waves
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
         "stratified_sample": _stratified_sample,  # reproducible training mix
@@ -3091,6 +3114,47 @@ def _baseline_oracle_registry() -> dict[str, str]:
                    round(mj, 4) AS max_jaccard,
                    min(train_id) AS top_train_id
             FROM w WHERE jac = mj GROUP BY doc_id, n_matches, mj
+        """,
+        # bucket = md5 digit arithmetic (the sampling.py convention);
+        # fetch_seq re-derived with the same interleave
+        "crawl_schedule": f"""
+            WITH t AS (
+              SELECT url,
+                     regexp_extract(url,
+                         '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain,
+                     CAST(({_HEX8.format(h="md5(url)")}) % 16 AS INT)
+                         AS bucket
+              FROM {_PAGES})
+            SELECT url, domain, bucket,
+                   CAST((row_number() OVER (
+                           PARTITION BY domain, bucket ORDER BY url) - 1)
+                        * 16 + bucket AS BIGINT) AS fetch_seq,
+                   CAST((row_number() OVER (
+                           PARTITION BY domain, bucket ORDER BY url) - 1)
+                        * 16 + bucket AS BIGINT) AS wave
+            FROM t
+        """,
+        # identical RE2-safe template rules (linkgraph.URL_TRAP_RULES),
+        # applied in the same order with DuckDB's 'g' flag (Spark's
+        # regexp_replace is global by default)
+        "url_traps": f"""
+            WITH t AS (
+              SELECT regexp_extract(url,
+                         '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain,
+                     regexp_replace(regexp_replace(regexp_replace(
+                         regexp_replace(url,
+                             '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+                         '=[^&#]*', '=V', 'g'),
+                         '[0-9a-fA-F]{{8,}}', 'H', 'g'),
+                         '[0-9]+', 'N', 'g') AS template,
+                     url
+              FROM {_PAGES})
+            SELECT domain, template,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+                   CAST(count(*) AS BIGINT) AS n_requests,
+                   min(url) AS sample_url,
+                   count(DISTINCT url) >= 1000 AS trap
+            FROM t GROUP BY domain, template
         """,
         # Bloom rebuilt bit-for-bit: positions from the same md5 digit
         # arithmetic, words OR-folded with bit_or, probes via >>/&

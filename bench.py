@@ -88,6 +88,8 @@ def _headline_queries():
         "hits_scores", "host_components",          # r4 HITS + site clusters
         "crawl_frontier", "host_quality",          # r4 frontier + host bans
         "trust_scores",                            # r4 seeded TrustRank
+        "url_traps", "crawl_schedule",             # r4 crawl hygiene
+        "epoch_upsample",                          # r4 fractional epochs
     ):
         if opt in qs:
             names.append(opt)
@@ -420,7 +422,9 @@ def pages_scale_run() -> dict:
     names = ["link_extract", "link_degrees", "domain_pagerank",
              "anchor_topk", "hits_scores", "host_components",
              "crawl_frontier", "host_quality", "trust_scores",
-             "html_extract", "html_policy", "web_curation"]
+             "html_extract", "html_policy", "web_curation",
+             # r4 session-8: crawl hygiene + politeness
+             "url_traps", "crawl_schedule"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

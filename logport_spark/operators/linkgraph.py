@@ -45,7 +45,7 @@ well past the repo's 6-significant-digit float-hash convention.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # RE2-safe (no lookaround/backreferences — the pii_scrub convention, so the
@@ -487,3 +487,107 @@ def trustrank(graph: DataFrame, seeds: DataFrame, iters: int = 3,
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("domain", F.round("rank", 8).alias("trust"))
+
+
+# ------------------------------------------------------------ crawl traps --
+
+# template normalization: query-param values → V, long hex runs (session
+# ids, content hashes) → H, digit runs (calendar days, page numbers,
+# product ids) → N. RE2-safe (no backrefs/lookaround) so the SQL oracle
+# runs the identical patterns.
+URL_TRAP_RULES = (
+    ("=[^&#]*", "=V"),
+    ("[0-9a-fA-F]{8,}", "H"),
+    ("[0-9]+", "N"),
+)
+
+
+def url_template(url_col: str = "url") -> Column:
+    """Normalize a URL's path+query to its template: strip scheme+host,
+    then apply URL_TRAP_RULES in order. `/blog/2024/05/31?session=a3f...`
+    → `/blog/N/N/N?session=V`. Pure codegen — a chain of regexp_replace;
+    composes as a cheap projection anywhere."""
+    t = F.regexp_replace(F.col(url_col), "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    for pat, rep in URL_TRAP_RULES:
+        t = F.regexp_replace(t, pat, rep)
+    return t
+
+
+def url_traps(urls: DataFrame, url_col: str = "url",
+              min_urls: int = 1000) -> DataFrame:
+    """Crawl-trap detection by URL-template mining — the frontier-hygiene
+    operator every crawler runs: calendar pages, faceted navigation, and
+    session-id URLs mint unbounded DISTINCT urls from one page template,
+    and a frontier that treats each as new crawls a single site forever
+    (Common Crawl's "URL explosion" ban reason; the classic spider-trap
+    case in Heydon & Najork's Mercator paper, 1999).
+
+    Groups urls by (domain, template) and returns (domain, template,
+    n_urls, n_requests, sample_url, trap) — trap iff the template minted
+    >= min_urls distinct urls. Feed `extract_links` output (dst_url) to
+    vet a frontier, or the pages table itself to audit a finished crawl;
+    banned templates become a broadcast anti-join on the template column
+    (the url_blocklist shape, one regexp chain + hash lookup per row).
+
+    Scale shape: template is pure codegen (3 regexp_replace); the
+    countDistinct(url) plans as the standard two-phase distinct — first
+    exchange keyed on (domain, template, URL) with map-side partial
+    aggregation, second on (domain, template). A trap template is by
+    definition the heaviest group, but the url in the phase-1 key spreads
+    it across every reducer, and phase 2 receives one already-counted row
+    per (template, phase-1 partition) — a 10^9-url calendar trap never
+    lands on one task (plan-asserted in the pytest).
+    """
+    dom = F.regexp_extract(F.col(url_col), URL_DOMAIN_RE, 1)
+    return (
+        urls.select(dom.alias("domain"),
+                    url_template(url_col).alias("template"),
+                    F.col(url_col).alias("url"))
+        .groupBy("domain", "template")
+        .agg(F.countDistinct("url").alias("n_urls"),
+             F.count("*").alias("n_requests"),
+             F.min("url").alias("sample_url"))
+        .withColumn("trap", F.col("n_urls") >= min_urls)
+    )
+
+
+def crawl_schedule(urls: DataFrame, url_col: str = "url",
+                   n_buckets: int = 16, per_wave: int = 1) -> DataFrame:
+    """Politeness scheduling — assign every URL a per-host fetch sequence
+    and a global wave number such that consuming waves in order fetches at
+    most ``per_wave`` urls per host per wave (the one-connection-per-host
+    etiquette every crawler implements; Mercator's per-host queues).
+
+    Output: (url, domain, bucket, fetch_seq, wave). fetch_seq is a
+    bijection 0..n_host-1 within each host; wave = fetch_seq div per_wave.
+    Deterministic and partition-independent: bucket is an md5 hash of the
+    url (the sampling.py argument — layout-independent reproducibility),
+    and the within-bucket order is url-lexicographic.
+
+    Scale shape — why not one row_number per host: a window partitioned
+    by domain sorts each host in ONE task, and a 10^9-page host is then a
+    single straggler. Instead urls hash into ``n_buckets`` sub-queues per
+    host, the window runs per (domain, bucket) — n_buckets× smaller,
+    tunable — and the bucket-interleave
+    ``fetch_seq = rank_in_bucket * n_buckets + bucket`` stitches the
+    sub-queues into one valid per-host sequence (a permutation of the
+    host's urls; politeness only needs "one url per seq value", not any
+    particular order). One shuffle on (domain, bucket).
+    """
+    dom = F.regexp_extract(F.col(url_col), URL_DOMAIN_RE, 1)
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col(url_col)), 1, 8), 16, 10)
+        .cast("long"), F.lit(n_buckets)).cast("int")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain", "bucket").orderBy(url_col)
+    return (
+        urls.select(F.col(url_col).alias("url"), dom.alias("domain"),
+                    b.alias("bucket"))
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "url", "domain", "bucket",
+            ((F.col("_rn") - 1) * n_buckets + F.col("bucket"))
+            .cast("long").alias("fetch_seq"))
+        .withColumn("wave", F.expr(f"fetch_seq div {per_wave}"))
+    )

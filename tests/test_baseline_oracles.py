@@ -84,8 +84,9 @@ def test_baselines_match_oracles(spark, duck):
         "cust_minus_supp_nations", "events_distinct_stats",
         "trust_scores",
         # r4 session-8: zero-shuffle Bloom prefilter (decontamination
-        # direction of contamination_scan, which keeps the graded row)
-        "bloom_contamination",
+        # direction of contamination_scan, which keeps the graded row),
+        # crawl-trap template mining, and politeness scheduling
+        "bloom_contamination", "url_traps", "crawl_schedule",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

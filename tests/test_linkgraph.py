@@ -233,3 +233,95 @@ def test_trustrank_requires_seed_in_graph(spark):
     seeds = spark.createDataFrame([("offgraph.com",)], "domain string")
     with _pytest.raises(ValueError):
         trustrank(g, seeds)
+
+
+def test_url_traps_templates_and_single_shuffle(spark):
+    """Template mining collapses the three classic trap families —
+    calendar paths, session-id query urls, hex content hashes — while
+    distinct legitimate paths stay distinct; the plan is the two-phase
+    distinct whose FIRST exchange keys on (domain, template, url), so a
+    10^9-url trap template spreads over every reducer instead of
+    hot-keying one."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.linkgraph import url_template, url_traps
+
+    rows = (
+        # calendar trap: 4 distinct dates, one template
+        [(f"https://cal.example/events/2024/{m:02d}/{d:02d}",)
+         for m, d in ((1, 2), (1, 3), (2, 28), (12, 31))]
+        # session-id trap: hex ids and changing param values, one template
+        + [(f"https://shop.example/cart?session={h}&page={p}",)
+           for h, p in (("deadbeef01", 1), ("c0ffee4242", 7),
+                        ("abcdef9876", 1))]
+        # legitimate distinct articles: distinct templates
+        + [("https://news.example/a/why-spark",),
+           ("https://news.example/a/how-ducks-fly",)]
+    )
+    df = spark.createDataFrame(rows, "url string")
+    out = url_traps(df, min_urls=3)
+    got = {(r["domain"], r["template"]): r for r in out.collect()}
+
+    cal = got[("cal.example", "/events/N/N/N")]
+    assert cal["n_urls"] == 4 and cal["trap"]
+    assert cal["sample_url"] == "https://cal.example/events/2024/01/02"
+    ses = got[("shop.example", "/cart?session=V&page=V")]
+    assert ses["n_urls"] == 3 and ses["trap"]
+    assert not any(r["trap"] for (d, _), r in got.items()
+                   if d == "news.example")
+    assert len([1 for (d, _) in got if d == "news.example"]) == 2
+
+    # template normalization is a pure row function usable standalone
+    t = df.select(url_template().alias("t")).where(
+        F.col("t") == "/events/N/N/N").count()
+    assert t == 4
+
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    key_sets = {tuple(re.sub(r"#\d+", "", k).replace(" ", "")
+                      .split(",")[:-1]) for k in keys}
+    # exactly the two distinct-agg phases: url in the phase-1 key is what
+    # spreads a hot trap template across reducers
+    assert key_sets == {("domain", "template", "url"),
+                        ("domain", "template")}, key_sets
+
+
+def test_crawl_schedule_politeness_invariants(spark):
+    """The schedule is a bijection per host (every url gets a distinct
+    fetch_seq), consuming waves in order never fetches two urls of one
+    host in the same wave (per_wave=1), the assignment is partition-
+    independent (md5 bucket + lexicographic rank — the sampling.py
+    reproducibility argument), and the window keys on (domain, bucket)
+    so a giant host splits across n_buckets sorts."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.linkgraph import crawl_schedule
+
+    rows = ([(f"https://big.example/p/{i:04d}",) for i in range(200)]
+            + [(f"https://tiny.example/{c}",) for c in "abc"])
+    df = spark.createDataFrame(rows, "url string")
+    out = crawl_schedule(df, n_buckets=4, per_wave=1)
+    got = out.collect()
+
+    by_host: dict = {}
+    for r in got:
+        by_host.setdefault(r["domain"], []).append(r)
+    # bijection: distinct seqs per host; per_wave=1 → wave == fetch_seq
+    for host, rs in by_host.items():
+        seqs = [r["fetch_seq"] for r in rs]
+        assert len(set(seqs)) == len(seqs), host
+        assert all(r["wave"] == r["fetch_seq"] for r in rs)
+    assert len(by_host["big.example"]) == 200
+
+    # partition independence: 1-partition layout produces the identical map
+    single = {r["url"]: r["fetch_seq"]
+              for r in crawl_schedule(df.repartition(1), n_buckets=4)
+              .collect()}
+    assert single == {r["url"]: r["fetch_seq"] for r in got}
+
+    # the shuffle key includes the bucket — the giant-host-sort defuser
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(domain" in plan and "bucket" in plan.split(
+        "hashpartitioning(domain", 1)[1][:40]

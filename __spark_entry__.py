@@ -498,6 +498,21 @@ def _url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_traps(_pages(spark, sf_dir).select("url"), min_urls=1000)
 
 
+EPOCH_WEIGHTS = {"en": 1.5, "de": 2.25}  # default 0.5 for the rest
+
+
+def _epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch mixture materialization (sampling.py:
+    epoch_upsample): 1.5 epochs of en, 2.25 of de, 0.5 of everything
+    else — floor(w) copies per doc plus a deterministic md5-chosen
+    frac(w) slice getting one more; integer-literal thresholds so the
+    oracle's digit arithmetic reproduces membership exactly."""
+    from logport_spark.operators.sampling import epoch_upsample
+
+    return epoch_upsample(_docs(spark, sf_dir).select("doc_id", "lang"),
+                          EPOCH_WEIGHTS, default_weight=0.5)
+
+
 def _crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduler (linkgraph.py:crawl_schedule): per-host fetch
     sequence + wave via the bucket-interleave (16 md5 sub-queues per host
@@ -1425,6 +1440,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination": _bloom_contamination,  # zero-shuffle train-side prefilter
         "url_traps": _url_traps,  # crawl-trap URL-template mining
         "crawl_schedule": _crawl_schedule,  # per-host politeness waves
+        "epoch_upsample": _epoch_upsample,  # fractional-epoch mixture
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
         "stratified_sample": _stratified_sample,  # reproducible training mix
@@ -3115,6 +3131,28 @@ def _baseline_oracle_registry() -> dict[str, str]:
                    min(train_id) AS top_train_id
             FROM w WHERE jac = mj GROUP BY doc_id, n_matches, mj
         """,
+        # epoch counts re-derived from the same md5 bucket ('epoch42'
+        # salt) and the same integer thresholds (floor + frac*10000)
+        "epoch_upsample": (lambda coefs: f"""
+            WITH b AS (
+              SELECT doc_id, lang,
+                     CASE lang WHEN 'de' THEN 2 WHEN 'en' THEN 1
+                          ELSE 0 END
+                     + CASE WHEN
+                         CAST(({' + '.join(
+                             "(strpos('0123456789abcdef', substr("
+                             f"md5('epoch42' || CAST(doc_id AS VARCHAR)),"
+                             f" {j + 1}, 1)) - 1) * {c}"
+                             for j, c in enumerate(coefs))}) % 10000
+                             AS BIGINT)
+                         < CASE lang WHEN 'de' THEN 2500
+                                WHEN 'en' THEN 5000 ELSE 5000 END
+                       THEN 1 ELSE 0 END AS n
+              FROM documents)
+            SELECT doc_id, lang, CAST(e AS INT) AS epoch
+            FROM b, unnest(range(1, n + 1)) AS r(e)
+            WHERE n >= 1
+        """)([16 ** (7 - j) for j in range(8)]),
         # bucket = md5 digit arithmetic (the sampling.py convention);
         # fetch_seq re-derived with the same interleave
         "crawl_schedule": f"""

@@ -373,7 +373,7 @@ def dedup_scale_run() -> dict:
              "stratum_sample_k", "export_manifest", "training_export",
              "vocab_coverage", "containment_pairs",
              # r4 session-8 additions
-             "bloom_contamination"]
+             "bloom_contamination", "epoch_upsample"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -376,3 +376,46 @@ def select_token_budget(scored: DataFrame, budget: int,
                 .alias("selected"))
     )
     return plain.unionByName(edge)
+
+
+def epoch_upsample(df: DataFrame, weights: dict[str, float],
+                   default_weight: float = 1.0,
+                   strata_col: str = "lang", key_col: str = "doc_id",
+                   salt: str = "epoch42") -> DataFrame:
+    """Materialize a FRACTIONAL-epoch training mixture deterministically —
+    the standard LLM data recipe step ("2.5 epochs of wiki, 0.8 of web";
+    GPT-3 Table 2.2 and The Pile both weight sources this way): a doc in
+    a stratum with weight w appears floor(w) times, plus once more for a
+    deterministic hash-chosen frac(w) slice of the stratum. Expected copy
+    count per stratum is exactly w, each epoch column value marks which
+    repeat a row is, and the SAME docs get the extra epoch on every
+    engine, partitioning, and rerun (the md5-bucket argument that runs
+    through this module — `df.sample()` can promise none of that).
+
+    Per-stratum (base, extra-threshold) pairs are precomputed as INTEGER
+    literals (threshold in 1/10000ths, the stratified_sample convention)
+    so membership is pure integer comparison — no float-rounding drift
+    between engines. Output: input columns + epoch (1..n_copies); weight-0
+    strata and unlisted strata under a 0 default vanish.
+
+    Scale shape: pure codegen CASE + one sequence()/explode — a narrow
+    map, zero shuffle, zero Python; output volume is the Σw·n_docs the
+    recipe asked for. Upsampling by explode (not a loop of unions) keeps
+    ONE scan of the input regardless of max epochs."""
+    base = F.lit(int(default_weight))
+    thr = F.lit(int(round((default_weight - int(default_weight))
+                          * SAMPLE_BUCKETS)))
+    for s, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"epoch_upsample: negative weight for {s!r}")
+        base = F.when(F.col(strata_col) == s, F.lit(int(w))).otherwise(base)
+        thr = F.when(F.col(strata_col) == s,
+                     F.lit(int(round((w - int(w)) * SAMPLE_BUCKETS)))
+                     ).otherwise(thr)
+    n = base + (sample_bucket(key_col, salt) < thr).cast("int")
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") >= 1)
+        .withColumn("epoch", F.explode(F.expr("sequence(1, _n)")))
+        .drop("_n")
+    )

@@ -1616,3 +1616,42 @@ def test_containment_pairs_catch_doc_in_doc(spark):
     nfp_e = {r.doc_id: r.n_fp for r in
              winnow_fingerprints(docs).groupBy("doc_id", "n_fp").count().collect()}
     assert nfp_w == nfp_e
+
+
+def test_epoch_upsample_fractional_mixture(spark):
+    """Fractional epochs: weight 2.25 gives every doc 2 copies and a
+    deterministic ~25% of docs 3; weight 0 erases the stratum; the extra
+    slice is the SAME doc set on any partitioning (the module's md5
+    reproducibility contract), and the plan is a narrow map — zero
+    Exchange."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.sampling import epoch_upsample, sample_bucket
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keep").otherwise("drop").alias("lang"))
+    out = epoch_upsample(docs, {"keep": 2.25, "drop": 0.0},
+                         default_weight=0.0).cache()
+
+    assert out.where(F.col("lang") == "drop").count() == 0
+    per_doc = {r["doc_id"]: r["n"] for r in
+               out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per_doc.values()) <= {2, 3}
+    n3 = sum(1 for v in per_doc.values() if v == 3)
+    # exact membership: bucket < 2500 (integer threshold, not approximate)
+    expected3 = docs.where((F.col("lang") == "keep")
+                           & (sample_bucket(salt="epoch42") < 2500)).count()
+    assert n3 == expected3 and 0 < n3 < 500
+    # epoch ordinals are 1..n per doc
+    mx = out.groupBy("doc_id").agg(F.max("epoch").alias("m"),
+                                   F.count("*").alias("n"))
+    assert mx.where(F.col("m") != F.col("n")).count() == 0
+
+    again = epoch_upsample(docs.repartition(7), {"keep": 2.25, "drop": 0.0},
+                           default_weight=0.0)
+    assert {(r["doc_id"], r["epoch"]) for r in again.collect()} \
+        == {(r["doc_id"], r["epoch"]) for r in out.collect()}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -874,6 +874,64 @@ def _corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel attrition report — the observability artifact every
+    production pipeline publishes next to its cleaned corpus (Gopher's
+    Table A1, RefinedWeb's Fig. 2 removal-rate tables): each doc charged
+    to its FIRST failing corpus_clean_v2 gate in pipeline order, then one
+    row per gate with (n_failed, n_surviving). Same one-narrow-pass
+    signal computation as corpus_clean_v2 (the oracle literally shares
+    the v2 CTE block); the report aggregation adds one tiny groupBy over
+    8 gate labels and a 7-row window — nothing doc-sized crosses it."""
+    from pyspark.sql import Window
+
+    from logport_spark.operators.dedup import minhash_lsh_pairs
+    from logport_spark.operators.textstats import (
+        lang_id, pii_scrub, quality, repetition)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    feats = pii_scrub(repetition(lang_id(quality(docs)))).select(
+        "doc_id", F.md5("text").alias("text_md5"),
+        "pred_lang", "quality_score",
+        "top_token_frac", "dup_2gram_frac", "has_pii",
+    )
+    w = Window.partitionBy("text_md5").orderBy("doc_id")
+    meta = feats.withColumn("_rn", F.row_number().over(w))
+    d1_docs = docs.join(meta.filter(F.col("_rn") == 1).select("doc_id"),
+                        "doc_id", "left_semi")
+    drops = (minhash_lsh_pairs(d1_docs, n=3, threshold=0.8)
+             .select(F.col("d2").alias("doc_id")).distinct()
+             .withColumn("_nd", F.lit(True)))
+    gated = meta.join(drops, "doc_id", "left").withColumn(
+        "gate",
+        F.when(F.col("_rn") > 1, "exact_dup")
+         .when(F.col("quality_score") < 0.5, "quality")
+         .when(F.col("pred_lang") == "und", "lang")
+         .when(F.col("has_pii"), "pii")
+         .when(F.col("dup_2gram_frac") > 0.5, "dup_2gram")
+         .when(F.col("top_token_frac") > 0.3, "top_token")
+         .when(F.col("_nd"), "near_dup"))
+    counts = (gated.filter(F.col("gate").isNotNull())
+              .groupBy("gate").agg(F.count("*").alias("n")))
+    stages = spark.createDataFrame(
+        [(1, "exact_dup"), (2, "quality"), (3, "lang"), (4, "pii"),
+         (5, "dup_2gram"), (6, "top_token"), (7, "near_dup")],
+        "stage int, gate string")
+    total = docs.agg(F.count("*").alias("t"))
+    w2 = (Window.orderBy("stage")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        stages.join(counts, "gate", "left")
+        .crossJoin(F.broadcast(total))
+        .select("stage", "gate",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n_failed"),
+                "t")
+        .withColumn("n_surviving",
+                    (F.col("t") - F.sum("n_failed").over(w2)).cast("long"))
+        .select("stage", "gate", "n_failed", "n_surviving")
+    )
+
+
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -1441,6 +1499,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_traps": _url_traps,  # crawl-trap URL-template mining
         "crawl_schedule": _crawl_schedule,  # per-host politeness waves
         "epoch_upsample": _epoch_upsample,  # fractional-epoch mixture
+        "filter_funnel": _filter_funnel,  # per-gate curation attrition
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
         "stratified_sample": _stratified_sample,  # reproducible training mix
@@ -1785,9 +1844,11 @@ def _corpus_clean_sql() -> str:
     """
 
 
-def _corpus_clean_v2_sql() -> str:
-    """corpus_clean's oracle extended with the repetition folds and PII
-    gates — one SQL statement re-deriving every signal over the deduped set."""
+def _gopher_signal_ctes() -> str:
+    """The corpus_clean_v2 signal chain as a reusable CTE block (dedup
+    window, quality, lang, repetition, PII, near-dup drops) — shared by
+    the v2 oracle and the filter_funnel oracle so the two can never
+    drift."""
     from logport_spark.operators.textstats import LANG_MARKERS, STOPWORDS
 
     langs = sorted(LANG_MARKERS)
@@ -1803,11 +1864,12 @@ def _corpus_clean_v2_sql() -> str:
              f" + len(regexp_extract_all(text, '{PII_IPV4_SQL}'))"
              f" + len(regexp_extract_all(text, '{PII_CARD_SQL}'))")
     return f"""
-        WITH d1 AS (
-          SELECT doc_id, text FROM (
-            SELECT doc_id, text,
-                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-            FROM documents) WHERE rn = 1
+        WITH dd AS (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents
+        ), d1 AS (
+          SELECT doc_id, text FROM dd WHERE rn = 1
         ), qb AS (
           SELECT doc_id, length(text) AS q_chars,
                  len(string_split(text,' ')) AS q_tokens,
@@ -1860,7 +1922,13 @@ def _corpus_clean_v2_sql() -> str:
           JOIN sizes s2 ON s2.doc_id = b.doc_id
           GROUP BY a.doc_id, b.doc_id, s1.n, s2.n
           HAVING count(*) * 1.0 / (s1.n + s2.n - count(*)) >= 0.8
-        )
+        )"""
+
+
+def _corpus_clean_v2_sql() -> str:
+    """corpus_clean's oracle extended with the repetition folds and PII
+    gates — one SQL statement re-deriving every signal over the deduped set."""
+    return _gopher_signal_ctes() + """
         SELECT q.doc_id, lg.pred_lang, q.quality_score,
                rep.top_token_frac, rep.dup_2gram_frac
         FROM q JOIN lg USING (doc_id) JOIN rep USING (doc_id)
@@ -1869,6 +1937,41 @@ def _corpus_clean_v2_sql() -> str:
           AND NOT pii.has_pii
           AND rep.dup_2gram_frac <= 0.5 AND rep.top_token_frac <= 0.3
           AND q.doc_id NOT IN (SELECT doc_id FROM drops)
+    """
+
+
+def _filter_funnel_sql() -> str:
+    """Per-gate attrition through the corpus_clean_v2 cascade: each doc
+    charged to its FIRST failing gate in pipeline order; n_surviving is
+    the running remainder. Shares the signal CTEs with the v2 oracle."""
+    return _gopher_signal_ctes() + """
+        , ff AS (
+          SELECT doc_id, 'exact_dup' AS gate FROM dd WHERE rn > 1
+          UNION ALL
+          SELECT q.doc_id,
+                 CASE WHEN q.quality_score < 0.5 THEN 'quality'
+                      WHEN lg.pred_lang = 'und' THEN 'lang'
+                      WHEN pii.has_pii THEN 'pii'
+                      WHEN rep.dup_2gram_frac > 0.5 THEN 'dup_2gram'
+                      WHEN rep.top_token_frac > 0.3 THEN 'top_token'
+                      WHEN q.doc_id IN (SELECT doc_id FROM drops)
+                           THEN 'near_dup'
+                 END AS gate
+          FROM q JOIN lg USING (doc_id) JOIN rep USING (doc_id)
+          JOIN pii USING (doc_id)
+        ),
+        cnt AS (SELECT gate, count(*) AS n FROM ff
+                WHERE gate IS NOT NULL GROUP BY 1),
+        st AS (SELECT * FROM (VALUES
+                 (1, 'exact_dup'), (2, 'quality'), (3, 'lang'),
+                 (4, 'pii'), (5, 'dup_2gram'), (6, 'top_token'),
+                 (7, 'near_dup')) v(stage, gate)),
+        tot AS (SELECT count(*) AS t FROM documents)
+        SELECT CAST(st.stage AS INT) AS stage, st.gate,
+               CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_failed,
+               CAST(tot.t - sum(coalesce(cnt.n, 0))
+                    OVER (ORDER BY st.stage) AS BIGINT) AS n_surviving
+        FROM st LEFT JOIN cnt USING (gate) CROSS JOIN tot
     """
 
 
@@ -3387,6 +3490,7 @@ def _baseline_oracle_registry() -> dict[str, str]:
             FROM sl JOIN cuts USING (lang)
         """,
         "corpus_clean_v2": _corpus_clean_v2_sql(),
+        "filter_funnel": _filter_funnel_sql(),
         "lm_bits": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text,' ')) AS tok

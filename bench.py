@@ -90,6 +90,7 @@ def _headline_queries():
         "trust_scores",                            # r4 seeded TrustRank
         "url_traps", "crawl_schedule",             # r4 crawl hygiene
         "epoch_upsample",                          # r4 fractional epochs
+        "filter_funnel",                           # r4 attrition report
     ):
         if opt in qs:
             names.append(opt)

@@ -1655,3 +1655,27 @@ def test_epoch_upsample_fractional_mixture(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_filter_funnel_accounting(spark, docs):
+    """Funnel identities on the shared fixture: stage order pinned,
+    Σn_failed + final n_surviving = corpus size, n_surviving is the
+    exact running remainder, and the kept count equals corpus_clean_v2's
+    output row count (the funnel and the filter can never disagree about
+    what survived)."""
+    import __spark_entry__ as em
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = sorted(em._filter_funnel(spark, sf_dir).collect(),
+                  key=lambda r: r["stage"])
+    assert [r["gate"] for r in rows] == [
+        "exact_dup", "quality", "lang", "pii",
+        "dup_2gram", "top_token", "near_dup"]
+    total = em._docs(spark, sf_dir).count()
+    running = total
+    for r in rows:
+        running -= r["n_failed"]
+        assert r["n_surviving"] == running, r
+    kept = em._corpus_clean_v2(spark, sf_dir).count()
+    assert rows[-1]["n_surviving"] == kept
+    assert sum(r["n_failed"] for r in rows) == total - kept

@@ -315,6 +315,48 @@ ANNOTATED = {
         "dangling mass broadcast back as a 1-row aggregate — spam "
         "demotion costs exactly what centrality already costs."
     ),
+    "bloom_contamination": (
+        "The zero-shuffle decontamination scan: the whole train side is "
+        "Scan → two Projects (token split, then distinct-shingle + md5 "
+        "arrays) → final Project with the aggregate() fold — NO Exchange, "
+        "no join. The bitmap is a constant-folded array literal (elided "
+        "below; visible inline in the fold), so at 1000 executors the "
+        "10^12-doc side streams through map tasks only; the tiny "
+        "build-side job ran earlier and collected ~16 KB to the driver. "
+        "The one RoundRobin Exchange below is the test fixture's "
+        "ensure_min_parallelism spread of a single-file table — not part "
+        "of the operator (the pytest plan-asserts zero Exchange on the "
+        "kernel itself)."
+    ),
+    "url_traps": (
+        "Template mining plans as the two-phase distinct: phase-1 "
+        "Exchange keys on (domain, template, url) — the url in the key "
+        "spreads a 10^9-url trap template across every reducer — and "
+        "phase 2 keys on (domain, template) over already-counted rows. "
+        "The 3-rule regexp_replace template chain is pure codegen in the "
+        "scan's span."
+    ),
+    "crawl_schedule": (
+        "Politeness scheduling: ONE Exchange on (domain, bucket) feeding "
+        "the row_number window — the md5 bucket in the key splits each "
+        "host into n_buckets bounded sorts (a domain-only window would "
+        "serialize a giant host into one task); fetch_seq/wave are pure "
+        "projection arithmetic after the window."
+    ),
+    "epoch_upsample": (
+        "Fractional-epoch mixture is a narrow map end-to-end: scan → "
+        "filter (n>=1) → sequence()/explode — zero Exchange, zero "
+        "Python; the per-stratum (base, threshold) CASE literals fold "
+        "into the codegen span. Output volume is the recipe's Σw·n_docs, "
+        "produced from ONE scan regardless of the max epoch count."
+    ),
+    "filter_funnel": (
+        "The attrition report reuses corpus_clean_v2's narrow signal "
+        "pass and dedup window; everything after it is report-sized — an "
+        "8-label partial-aggregated groupBy, a broadcast 1-row total, "
+        "and a 7-row stage window. The doc stream crosses exactly the "
+        "same exchanges as v2 itself."
+    ),
 }
 
 
@@ -335,6 +377,12 @@ def main() -> None:
         df = qs[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         plan = re.sub(r"file:[^\s,\]]+", "file:...", plan)
+        # elide giant folded array literals (bloom bitmap, IVF centroids):
+        # keep the first few elements so the plan stays readable
+        plan = re.sub(
+            r"\[((?:-?\d+,){8})(?:-?\d+,){32,}(-?\d+)\]",
+            lambda m: f"[{m.group(1)}... <literal elided> ...,{m.group(2)}]",
+            plan)
         out += ["", f"## {name}", "", note, "", "```", plan.rstrip(), "```"]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "PLANS.md")

@@ -874,6 +874,17 @@ def _corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index summary (retrieval.py:inverted_index): per-term
+    df/cf plus an order-independent DECIMAL(38,0) checksum committing to
+    the (doc_id, tf, first_pos) posting list; max_df=400 exercises the
+    stopword-pruning dial on the 500-doc fixture."""
+    from logport_spark.operators.retrieval import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir).select("doc_id", "text"),
+                          max_df=400)
+
+
 def _filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel attrition report — the observability artifact every
     production pipeline publishes next to its cleaned corpus (Gopher's
@@ -1500,6 +1511,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": _crawl_schedule,  # per-host politeness waves
         "epoch_upsample": _epoch_upsample,  # fractional-epoch mixture
         "filter_funnel": _filter_funnel,  # per-gate curation attrition
+        "inverted_index": _inverted_index,  # per-term postings summary
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
         "stratified_sample": _stratified_sample,  # reproducible training mix
@@ -3491,6 +3503,33 @@ def _baseline_oracle_registry() -> dict[str, str]:
         """,
         "corpus_clean_v2": _corpus_clean_v2_sql(),
         "filter_funnel": _filter_funnel_sql(),
+        # postings re-derived with 1-based range indexing shifted to the
+        # engine's 0-based posexplode positions; checksum summed in
+        # DECIMAL(38,0) from the same 60-bit md5-prefix summands
+        "inverted_index": f"""
+            WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                       FROM documents),
+            tok AS (SELECT doc_id, toks[i] AS tok, i - 1 AS pos
+                    FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+                    WHERE length(toks[i]) > 0),
+            p AS (SELECT doc_id, tok, count(*) AS tf,
+                         min(pos) AS first_pos
+                  FROM tok GROUP BY 1, 2),
+            d AS (SELECT tok,
+                         CAST(({_HEX15.format(
+                             h="md5(tok || '|' || CAST(doc_id AS VARCHAR)"
+                               " || '|' || CAST(tf AS VARCHAR) || '|' ||"
+                               " CAST(first_pos AS VARCHAR))")})
+                             AS BIGINT) AS dg,
+                         tf
+                  FROM p)
+            SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS cf,
+                   CAST(CAST(sum(dg) AS DECIMAL(38,0)) AS VARCHAR)
+                       AS checksum
+            FROM d GROUP BY tok
+            HAVING count(*) BETWEEN 1 AND 400
+        """,
         "lm_bits": """
             WITH tok AS (
               SELECT doc_id, unnest(string_split(text,' ')) AS tok

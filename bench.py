@@ -91,6 +91,7 @@ def _headline_queries():
         "url_traps", "crawl_schedule",             # r4 crawl hygiene
         "epoch_upsample",                          # r4 fractional epochs
         "filter_funnel",                           # r4 attrition report
+        "inverted_index",                          # r4 postings summary
     ):
         if opt in qs:
             names.append(opt)
@@ -374,7 +375,7 @@ def dedup_scale_run() -> dict:
              "stratum_sample_k", "export_manifest", "training_export",
              "vocab_coverage", "containment_pairs",
              # r4 session-8 additions
-             "bloom_contamination", "epoch_upsample"]
+             "bloom_contamination", "epoch_upsample", "inverted_index"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -141,3 +141,63 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
         .filter(F.col("rnk") <= k)
         .select("query_id", "rnk", "doc_id", "score")
     )
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 1,
+                   max_df: int | None = None) -> DataFrame:
+    """Build the inverted-index SUMMARY for a corpus — the artifact a
+    search/dedup service ingests and a pipeline verifies before shipping:
+    one row per term with (tok, df, cf, checksum), where df counts docs,
+    cf counts occurrences, and checksum commits to the full posting list
+    (doc_id, term frequency, first position) without materializing it as
+    an unbounded array column.
+
+    Checksum design (the export_manifest convention): per-posting summand
+    = first 15 hex digits of md5(tok|doc_id|tf|first_pos) as a 60-bit
+    int, summed in DECIMAL(38,0) — commutative, so the value is
+    independent of row order, partitioning, and engine, and a consumer
+    re-verifying one term recomputes it with one scan of that term's
+    postings. Emitted as a string (the decimal exceeds int64).
+
+    ``min_df``/``max_df`` are the standard index-pruning dials: max_df
+    drops stopword-class terms whose posting lists no consumer scans
+    (Lucene's stopword story), min_df drops hapax noise.
+
+    Scale shape: posexplode → ONE partial-aggregated shuffle on
+    (doc_id, tok) (tf + first position combine map-side) → ONE
+    partial-aggregated shuffle on tok. The Zipf head is safe in both:
+    phase 1 keys include doc_id, and phase 2's map-side combine hands
+    each reducer pre-counted partials, never raw occurrences.
+    """
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.posexplode(F.split(F.col(text_col), " "))
+                    .alias("pos", "tok"))
+        .filter(F.length("tok") > 0)
+    )
+    postings = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"),
+             F.min("pos").alias("first_pos"))
+    )
+    digest = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("tok"),
+                              F.col("doc_id").cast("string"),
+                              F.col("tf").cast("string"),
+                              F.col("first_pos").cast("string"))),
+            1, 15),
+        16, 10).cast("decimal(38,0)")
+    idx = (
+        postings.select("tok", "tf", digest.alias("_d"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"),
+             F.sum("tf").alias("cf"),
+             F.sum("_d").cast("decimal(38,0)").cast("string")
+             .alias("checksum"))
+    )
+    cond = F.col("df") >= min_df
+    if max_df is not None:
+        cond = cond & (F.col("df") <= max_df)
+    return idx.filter(cond)

@@ -1679,3 +1679,46 @@ def test_filter_funnel_accounting(spark, docs):
     kept = em._corpus_clean_v2(spark, sf_dir).count()
     assert rows[-1]["n_surviving"] == kept
     assert sum(r["n_failed"] for r in rows) == total - kept
+
+
+def test_inverted_index_postings_and_pruning(spark):
+    """Hand-computed df/cf on crafted docs, checksum invariance under
+    repartitioning (the commutative-sum contract), checksum sensitivity
+    to a posting change (tf edit flips it), and the min_df/max_df
+    pruning dials."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.retrieval import inverted_index
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"),
+         (1, "banana cherry"),
+         (2, "apple date date date")],
+        "doc_id long, text string")
+    idx = {r["tok"]: r for r in inverted_index(docs).collect()}
+    assert idx["apple"]["df"] == 2 and idx["apple"]["cf"] == 3
+    assert idx["banana"]["df"] == 2 and idx["banana"]["cf"] == 2
+    assert idx["cherry"]["df"] == 1 and idx["cherry"]["cf"] == 1
+    assert idx["date"]["df"] == 1 and idx["date"]["cf"] == 3
+
+    again = {r["tok"]: r["checksum"] for r in
+             inverted_index(docs.repartition(5)).collect()}
+    assert again == {t: r["checksum"] for t, r in idx.items()}
+
+    # a tf change (one extra 'apple' in doc 0) must flip apple's checksum
+    # and leave banana's identical
+    docs2 = spark.createDataFrame(
+        [(0, "apple banana apple apple"),
+         (1, "banana cherry"),
+         (2, "apple date date date")],
+        "doc_id long, text string")
+    idx2 = {r["tok"]: r for r in inverted_index(docs2).collect()}
+    assert idx2["apple"]["checksum"] != idx["apple"]["checksum"]
+    assert idx2["banana"]["checksum"] == idx["banana"]["checksum"]
+
+    pruned = {r["tok"] for r in
+              inverted_index(docs, min_df=2).collect()}
+    assert pruned == {"apple", "banana"}
+    capped = {r["tok"] for r in
+              inverted_index(docs, max_df=1).collect()}
+    assert capped == {"cherry", "date"}

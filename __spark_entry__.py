@@ -874,6 +874,16 @@ def _corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index (linkgraph.py:cdx_index): SURT key + payload
+    digest + md5 shard per page — zero-shuffle codegen projection; the
+    optional range-sorted layout stays off here (sampled boundaries are
+    engine-dependent; the deterministic shard column is the contract)."""
+    from logport_spark.operators.linkgraph import cdx_index
+
+    return cdx_index(_pages(spark, sf_dir), n_shards=64)
+
+
 def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index summary (retrieval.py:inverted_index): per-term
     df/cf plus an order-independent DECIMAL(38,0) checksum committing to
@@ -1512,6 +1522,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_upsample": _epoch_upsample,  # fractional-epoch mixture
         "filter_funnel": _filter_funnel,  # per-gate curation attrition
         "inverted_index": _inverted_index,  # per-term postings summary
+        "cdx_index": _cdx_index,  # SURT/CDX capture index
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
         "stratified_sample": _stratified_sample,  # reproducible training mix
@@ -3503,6 +3514,25 @@ def _baseline_oracle_registry() -> dict[str, str]:
         """,
         "corpus_clean_v2": _corpus_clean_v2_sql(),
         "filter_funnel": _filter_funnel_sql(),
+        # SURT re-derived with list_reverse; digest/shard via md5 over the
+        # blob's hex expansion (uppercase in both engines, verified)
+        "cdx_index": f"""
+            WITH s AS (
+              SELECT url, warc_ts, html,
+                     array_to_string(list_reverse(string_split(
+                         lower(regexp_extract(url,
+                             '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)), '.')),
+                         ',')
+                     || ')' ||
+                     lower(regexp_replace(url,
+                         '^[a-z][a-z0-9+.-]*://[^/?#]*', '')) AS surt
+              FROM {_PAGES})
+            SELECT surt, url, warc_ts,
+                   md5(hex(html)) AS content_digest,
+                   CAST(({_HEX8.format(h="md5(surt)")}) % 64 AS INT)
+                       AS shard
+            FROM s
+        """,
         # postings re-derived with 1-based range indexing shifted to the
         # engine's 0-based posexplode positions; checksum summed in
         # DECIMAL(38,0) from the same 60-bit md5-prefix summands

@@ -92,6 +92,7 @@ def _headline_queries():
         "epoch_upsample",                          # r4 fractional epochs
         "filter_funnel",                           # r4 attrition report
         "inverted_index",                          # r4 postings summary
+        "cdx_index",                               # r4 SURT capture index
     ):
         if opt in qs:
             names.append(opt)
@@ -425,8 +426,8 @@ def pages_scale_run() -> dict:
              "anchor_topk", "hits_scores", "host_components",
              "crawl_frontier", "host_quality", "trust_scores",
              "html_extract", "html_policy", "web_curation",
-             # r4 session-8: crawl hygiene + politeness
-             "url_traps", "crawl_schedule"]
+             # r4 session-8: crawl hygiene + politeness + capture index
+             "url_traps", "crawl_schedule", "cdx_index"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -325,3 +325,49 @@ def test_crawl_schedule_politeness_invariants(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(domain" in plan and "bucket" in plan.split(
         "hashpartitioning(domain", 1)[1][:40]
+
+
+def test_surt_and_cdx_index(spark, pages_small):
+    """SURT groups subdomains of a site adjacently (host reversed,
+    lowercased, path+query lowercased); cdx digests distinguish payloads
+    and equal-payload pages collide; the contract projection is
+    zero-shuffle and the sorted layout orders by surt within
+    partitions."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.linkgraph import cdx_index, surt_key
+
+    df = spark.createDataFrame(
+        [("https://News.Example.com/A/b?C=1",),
+         ("https://example.com/zz",),
+         ("https://blog.example.com/x",),
+         ("https://other.net/",)], "url string")
+    got = {r["url"]: r["s"] for r in
+           df.select("url", surt_key().alias("s")).collect()}
+    assert got["https://News.Example.com/A/b?C=1"] \
+        == "com,example,news)/a/b?c=1"
+    assert got["https://example.com/zz"] == "com,example)/zz"
+    # every example.com variant sorts before other.net — site-adjacency
+    surts = sorted(got.values())
+    assert surts[:3] == sorted(v for v in got.values()
+                               if v.startswith("com,example"))
+
+    idx = cdx_index(pages_small, n_shards=8)
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+    rows = idx.collect()
+    assert len(rows) == pages_small.count()
+    assert all(0 <= r["shard"] < 8 for r in rows)
+    # duplicate payloads (if any) share digests; distinct payloads differ
+    by_digest: dict = {}
+    for r in rows:
+        by_digest.setdefault(r["content_digest"], set()).add(r["url"])
+    assert len(by_digest) > 1
+
+    def _is_sorted(it):
+        xs = [r["surt"] for r in it]
+        return [all(a <= b for a, b in zip(xs, xs[1:]))]
+
+    srt = cdx_index(pages_small, n_shards=8, sort_output=True)
+    assert all(srt.select("surt").rdd.mapPartitions(_is_sorted).collect())

@@ -760,12 +760,17 @@ def bloom_contamination(train: DataFrame, bloom_words: list[int],
     decontamination cascade.
 
     Plan shape — the reason this operator exists: scan → project, ZERO
-    shuffle and zero join on the train side. The bitmap is a plan literal
-    (constant-folded once, like the IVF centroids in similarity.py), the
-    distinct-shingle array materializes as an attribute column (the
-    HOF-lambda rule, SURVEY §9), and the per-doc hit count is one JVM
-    `aggregate` fold. At 1000 executors the 10^12-doc side streams through
-    map tasks only; contrast ngram_contamination, whose semi-join shuffles
+    shuffle and zero join on the train side. The bitmap ships as ONE
+    BINARY literal (4 bytes per word, big-endian) probed with O(1)
+    byte-slicing — `substring(bin, 4w+1, 4)` → hex → conv. NOT as an
+    array literal: expressions inside interpreted lambda bodies are
+    never constant-folded, so an `array(...)` bitmap re-builds all
+    m_words elements on every evaluation — measured 3.3× slower at
+    m=64Ki words and pathologically worse as rows grow (SURVEY §9).
+    The distinct-shingle array materializes as an attribute column (the
+    HOF-lambda rule), and the per-doc hit count is one JVM `aggregate`
+    fold. At 1000 executors the 10^12-doc side streams through map
+    tasks only; contrast ngram_contamination, whose semi-join shuffles
     every train shingle hash. The md5 digests materialize as their own
     array column first (one `transform`) so the fold's 2 references per
     probe re-evaluate only substr/conv digit math, never the digest —
@@ -774,14 +779,14 @@ def bloom_contamination(train: DataFrame, bloom_words: list[int],
     assert 1 <= k <= 4, "one md5 digest carries four 32-bit probe values"
     m_words = len(bloom_words)
     n_bits = m_words * 32
-    bloom_lit = "array(" + ",".join(
-        f"{w}L" for w in bloom_words) + ")"
+    blob = b"".join(int(w).to_bytes(4, "big") for w in bloom_words)
 
     def probe(i: int) -> str:
         p = (f"(cast(conv(substr(h, {8 * i + 1}, 8), 16, 10)"
              f" as bigint) % {n_bits})")
-        return (f"((shiftright(element_at(_bloom, cast({p} div 32 as int)"
-                f" + 1), cast({p} % 32 as int)) & 1) = 1)")
+        w = (f"cast(conv(hex(substring(_bloom, cast({p} div 32 as int)"
+             f" * 4 + 1, 4)), 16, 10) as bigint)")
+        return f"((shiftright({w}, cast({p} % 32 as int)) & 1) = 1)"
 
     hit = " AND ".join(probe(i) for i in range(k))
     return (
@@ -791,7 +796,7 @@ def bloom_contamination(train: DataFrame, bloom_words: list[int],
         .withColumn("_grams", F.array_distinct(
             F.expr(shingles_expr(text_col, n, toks_col="_toks"))))
         .withColumn("_h", F.expr("transform(_grams, sh -> md5(sh))"))
-        .withColumn("_bloom", F.expr(bloom_lit))
+        .withColumn("_bloom", F.lit(bytearray(blob)))
         .select(
             "doc_id",
             F.size("_grams").alias("n_shingles"),

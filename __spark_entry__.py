@@ -874,6 +874,15 @@ def _corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 record manifest (parse.py:warc_export): deterministic
+    record ids, ISO dates, octet lengths, and a record digest over the
+    exact bytes — the archival write side of the crawl round-trip."""
+    from logport_spark.operators.parse import warc_export
+
+    return warc_export(_pages(spark, sf_dir))
+
+
 def _cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture index (linkgraph.py:cdx_index): SURT key + payload
     digest + md5 shard per page — zero-shuffle codegen projection; the
@@ -1523,6 +1532,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": _filter_funnel,  # per-gate curation attrition
         "inverted_index": _inverted_index,  # per-term postings summary
         "cdx_index": _cdx_index,  # SURT/CDX capture index
+        "warc_export": _warc_export,  # WARC/1.0 record manifest
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
         "stratified_sample": _stratified_sample,  # reproducible training mix
@@ -3514,6 +3524,41 @@ def _baseline_oracle_registry() -> dict[str, str]:
         """,
         "corpus_clean_v2": _corpus_clean_v2_sql(),
         "filter_funnel": _filter_funnel_sql(),
+        # header rebuilt with chr(13)||chr(10) separators; digest over the
+        # record's hex expansion (hex(a||b) = hex(a)||hex(b))
+        "warc_export": f"""
+            WITH d AS (
+              SELECT url, html,
+                     strftime(warc_ts, '%Y-%m-%dT%H:%M:%SZ') AS ds,
+                     chr(13) || chr(10) AS nl
+              FROM {_PAGES}),
+            m AS (SELECT *, md5(url || '|' || ds) AS h FROM d),
+            r AS (
+              SELECT url, ds, html, nl,
+                     'urn:uuid:' || substr(h, 1, 8) || '-'
+                     || substr(h, 9, 4) || '-' || substr(h, 13, 4) || '-'
+                     || substr(h, 17, 4) || '-' || substr(h, 21, 12)
+                         AS record_id,
+                     'WARC/1.0' || nl || 'WARC-Type: response' || nl
+                     || 'WARC-Record-ID: <' || 'urn:uuid:'
+                     || substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-'
+                     || substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-'
+                     || substr(h, 21, 12) || '>' || nl
+                     || 'WARC-Date: ' || ds || nl
+                     || 'WARC-Target-URI: ' || url || nl
+                     || 'Content-Type: text/html' || nl
+                     || 'Content-Length: '
+                     || CAST(octet_length(html) AS VARCHAR)
+                     || nl || nl AS hdr
+              FROM m)
+            SELECT url, record_id, ds AS warc_date,
+                   CAST(octet_length(html) AS BIGINT) AS content_length,
+                   CAST(octet_length(encode(hdr)) + octet_length(html) + 4
+                        AS BIGINT) AS record_len,
+                   md5(hex(encode(hdr)) || hex(html)
+                       || hex(encode(nl || nl))) AS record_digest
+            FROM r
+        """,
         # SURT re-derived with list_reverse; digest/shard via md5 over the
         # blob's hex expansion (uppercase in both engines, verified)
         "cdx_index": f"""

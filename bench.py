@@ -93,6 +93,7 @@ def _headline_queries():
         "filter_funnel",                           # r4 attrition report
         "inverted_index",                          # r4 postings summary
         "cdx_index",                               # r4 SURT capture index
+        "warc_export",                             # r4 WARC record manifest
     ):
         if opt in qs:
             names.append(opt)
@@ -435,8 +436,8 @@ def pages_scale_run() -> dict:
              "anchor_topk", "hits_scores", "host_components",
              "crawl_frontier", "host_quality", "trust_scores",
              "html_extract", "html_policy", "web_curation",
-             # r4 session-8: crawl hygiene + politeness + capture index
-             "url_traps", "crawl_schedule", "cdx_index"]
+             # r4 session-8: crawl hygiene + politeness + archive formats
+             "url_traps", "crawl_schedule", "cdx_index", "warc_export"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

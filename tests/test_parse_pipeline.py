@@ -96,3 +96,40 @@ def test_jvm_json_quote_matches_python(spark):
     got = df.select("x", jvm_json_quote(F.col("x")).alias("q")).collect()
     for r in got:
         assert r["q"] == json.dumps(r["x"], ensure_ascii=False), repr(r["x"])
+
+
+def test_warc_export_round_trip(spark, pages_small):
+    """The emitted record is well-formed WARC/1.0: version line, CRLF
+    headers, Content-Length equals the payload octets, the payload slice
+    byte-equals the source html, two-CRLF trailer; record ids are
+    deterministic (rerun-identical) and the plan is a narrow map."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.parse import warc_export
+
+    out = warc_export(pages_small, include_record=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+    rows = out.limit(20).collect()
+    src = {r["url"]: bytes(r["html"]) for r in
+           pages_small.select("url", "html").limit(1000).collect()}
+    for r in rows:
+        rec = bytes(r["record"])
+        assert rec.startswith(b"WARC/1.0\r\n")
+        head, _, rest = rec.partition(b"\r\n\r\n")
+        headers = dict(
+            line.split(": ", 1)
+            for line in head.decode("ascii").split("\r\n")[1:])
+        assert headers["WARC-Type"] == "response"
+        assert headers["WARC-Target-URI"] == r["url"]
+        assert headers["WARC-Record-ID"] == f'<{r["record_id"]}>'
+        n = int(headers["Content-Length"])
+        assert n == r["content_length"] == len(src[r["url"]])
+        assert rest[:n] == src[r["url"]]
+        assert rest[n:] == b"\r\n\r\n"
+        assert len(rec) == r["record_len"]
+
+    again = {r["url"]: r["record_id"]
+             for r in warc_export(pages_small).limit(20).collect()}
+    assert all(again[r["url"]] == r["record_id"] for r in rows)

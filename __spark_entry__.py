@@ -874,6 +874,18 @@ def _corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining Gopher Table-A1 rules (textstats.py:gopher_signals):
+    word-count bounds, mean word length, symbol ratio, bullet/ellipsis
+    line fractions, alpha-word fraction + combined verdict. min_words=10
+    pins a fixture-appropriate bound (the paper's 50 assumes web-article
+    lengths; the synthetic docs run ~44 tokens)."""
+    from logport_spark.operators.textstats import gopher_signals
+
+    return gopher_signals(_docs(spark, sf_dir).select("doc_id", "text"),
+                          min_words=10)
+
+
 def _warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC/1.0 record manifest (parse.py:warc_export): deterministic
     record ids, ISO dates, octet lengths, and a record digest over the
@@ -1533,6 +1545,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _inverted_index,  # per-term postings summary
         "cdx_index": _cdx_index,  # SURT/CDX capture index
         "warc_export": _warc_export,  # WARC/1.0 record manifest
+        "gopher_signals": _gopher_signals,  # remaining Table-A1 rules
         "vocab_topk": _vocab_topk,  # corpus vocabulary top-k
         "corpus_clean_v2": _corpus_clean_v2,  # + repetition/PII gates
         "stratified_sample": _stratified_sample,  # reproducible training mix
@@ -3524,6 +3537,55 @@ def _baseline_oracle_registry() -> dict[str, str]:
         """,
         "corpus_clean_v2": _corpus_clean_v2_sql(),
         "filter_funnel": _filter_funnel_sql(),
+        # list lambdas re-derive every signal; chr(8230) is DuckDB's real
+        # unicode ellipsis (Spark side embeds the character literal)
+        "gopher_signals": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '),
+                                 t -> t != '') AS toks,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> l != '') AS lines
+              FROM documents),
+            s AS (
+              SELECT doc_id, text,
+                     len(toks) AS nw, greatest(len(toks), 1) AS g1,
+                     greatest(len(lines), 1) AS gl,
+                     coalesce(list_sum(list_transform(
+                         toks, x -> length(x))), 0) AS wlen,
+                     len(list_filter(toks,
+                         x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+                     len(list_filter(lines,
+                         l -> l LIKE '- %' OR l LIKE '* %'
+                           OR l LIKE chr(8230) || ' %'
+                           OR l LIKE '• %')) AS bullet,
+                     len(list_filter(lines,
+                         l -> l LIKE '%...'
+                           OR l LIKE '%' || chr(8230))) AS elll,
+                     (length(text) - length(replace(text, '#', '')))
+                     + CAST((length(text)
+                             - length(replace(text, '...', ''))) / 3
+                            AS INT)
+                     + (length(text)
+                        - length(replace(text, chr(8230), ''))) AS nsym
+              FROM t)
+            SELECT doc_id, text,
+                   CAST(nw AS BIGINT) AS n_words,
+                   round(wlen * 1.0 / g1, 4) AS mean_word_len,
+                   round(nsym * 1.0 / g1, 4) AS symbol_ratio,
+                   round(bullet * 1.0 / gl, 4) AS bullet_line_frac,
+                   round(elll * 1.0 / gl, 4) AS ellipsis_line_frac,
+                   round(alpha * 1.0 / g1, 4) AS alpha_word_frac,
+                   (nw >= 10 AND nw <= 100000
+                    AND round(wlen * 1.0 / g1, 4) >= 3.0
+                    AND round(wlen * 1.0 / g1, 4) <= 10.0
+                    AND round(nsym * 1.0 / g1, 4) <= 0.1
+                    AND round(bullet * 1.0 / gl, 4) <= 0.9
+                    AND round(elll * 1.0 / gl, 4) <= 0.3
+                    AND round(alpha * 1.0 / g1, 4) >= 0.8)
+                       AS gopher_pass
+            FROM s
+        """,
         # header rebuilt with chr(13)||chr(10) separators; digest over the
         # record's hex expansion (hex(a||b) = hex(a)||hex(b))
         "warc_export": f"""

@@ -94,6 +94,7 @@ def _headline_queries():
         "inverted_index",                          # r4 postings summary
         "cdx_index",                               # r4 SURT capture index
         "warc_export",                             # r4 WARC record manifest
+        "gopher_signals",                          # r4 Table-A1 remainder
     ):
         if opt in qs:
             names.append(opt)
@@ -377,7 +378,8 @@ def dedup_scale_run() -> dict:
              "stratum_sample_k", "export_manifest", "training_export",
              "vocab_coverage", "containment_pairs",
              # r4 session-8 additions
-             "bloom_contamination", "epoch_upsample", "inverted_index"]
+             "bloom_contamination", "epoch_upsample", "inverted_index",
+             "gopher_signals"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -959,3 +959,76 @@ def domain_terms(docs: DataFrame, k: int = 10, alpha0: float = 100.0,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("domain", "rank", "tok", "z"))
+
+
+def gopher_signals(df: DataFrame, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_ellipsis_frac: float = 0.3,
+                   min_alpha_word_frac: float = 0.8) -> DataFrame:
+    """The REMAINING Gopher Table-A1 document rules (Rae et al. 2021 —
+    the ones `quality` and `repetition` don't already cover): word-count
+    bounds, mean word length 3-10, symbol-to-word ratio (# and ellipsis)
+    ≤ 0.1, ≤ 90% of lines starting with a bullet, ≤ 30% ending in
+    ellipsis, ≥ 80% of words containing an alphabetic character. Adds
+    the signal columns plus a combined `gopher_pass` verdict; thresholds
+    are args because Table A1's constants assume web-article lengths
+    (a short-doc fixture pins its own).
+
+    Shape: per-row JVM expressions only — token/line arrays materialize
+    once as shared columns (the repetition lesson: folds have no CSE
+    across expressions), everything else is filter/aggregate over them;
+    zero shuffle, zero Python, linear in document length."""
+    ell = "'…'"  # the Unicode ellipsis char literal ('...' counted
+    # separately; NOT chr(8230) engine-side: Spark's chr() is mod-256)
+    out = (
+        df.withColumn("_toks", F.expr(
+            f"filter(split({text_col}, ' '), t -> t != '')"))
+        .withColumn("_lines", F.expr(
+            f"filter(split({text_col}, '\\n'), l -> l != '')"))
+        .withColumn("_nw", F.expr("size(_toks)"))
+        .withColumn("_nl", F.expr("size(_lines)"))
+        .withColumn("_wlen", F.expr(
+            "aggregate(_toks, 0, (a, t) -> a + length(t))"))
+        .withColumn("_alpha", F.expr(
+            "size(filter(_toks, t -> t rlike '[a-zA-Z]'))"))
+        .withColumn("_bullet", F.expr(
+            "size(filter(_lines, l -> l like '- %' or l like '* %'"
+            f" or l like concat({ell}, ' %') or l like '• %'))"))
+        .withColumn("_elll", F.expr(
+            f"size(filter(_lines, l -> l like '%...' or"
+            f" l like concat('%', {ell})))"))
+        .withColumn("_nsym", F.expr(
+            f"(length({text_col})"
+            f" - length(replace({text_col}, '#', '')))"
+            f" + cast((length({text_col})"
+            f" - length(replace({text_col}, '...', ''))) / 3 as int)"
+            f" + (length({text_col})"
+            f" - length(replace({text_col}, {ell}, '')))"))
+    )
+    g1 = F.greatest(F.col("_nw"), F.lit(1))
+    gl = F.greatest(F.col("_nl"), F.lit(1))
+    sig = (
+        out.withColumn("n_words", F.col("_nw").cast("long"))
+        .withColumn("mean_word_len", F.round(F.col("_wlen") / g1, 4))
+        .withColumn("symbol_ratio", F.round(F.col("_nsym") / g1, 4))
+        .withColumn("bullet_line_frac", F.round(F.col("_bullet") / gl, 4))
+        .withColumn("ellipsis_line_frac", F.round(F.col("_elll") / gl, 4))
+        .withColumn("alpha_word_frac", F.round(F.col("_alpha") / g1, 4))
+    )
+    gate = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+    )
+    return sig.select(
+        *df.columns, "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        gate.alias("gopher_pass"))

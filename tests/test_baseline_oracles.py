@@ -88,7 +88,7 @@ def test_baselines_match_oracles(spark, duck):
         # crawl-trap template mining, and politeness scheduling
         "bloom_contamination", "url_traps", "crawl_schedule",
         "epoch_upsample", "filter_funnel", "inverted_index",
-        "cdx_index", "warc_export",
+        "cdx_index", "warc_export", "gopher_signals",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -1722,3 +1722,37 @@ def test_inverted_index_postings_and_pruning(spark):
     capped = {r["tok"] for r in
               inverted_index(docs, max_df=1).collect()}
     assert capped == {"cherry", "date"}
+
+
+def test_gopher_signals_rules_on_crafted_rows(spark):
+    """Each remaining Table-A1 rule trips on a doc built to violate
+    exactly it, and a clean doc passes all of them."""
+    from logport_spark.operators.textstats import gopher_signals
+
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "runs far away home tonight")  # 15 words, all alpha
+    rows = [
+        (0, clean),
+        (1, "short doc"),                                   # word count
+        (2, " ".join(["a"] * 20)),                          # mean len < 3
+        (3, " ".join(["####waffle"] * 20)),                 # symbol ratio
+        (4, "\n".join(["- bullet line item here"] * 5)),    # bullets
+        (5, "\n".join(["trailing line thing..."] * 5)),     # ellipsis
+        (6, " ".join(["123456"] * 20)),                     # alpha frac
+    ]
+    out = {r["doc_id"]: r for r in gopher_signals(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        min_words=10).collect()}
+
+    assert out[0]["gopher_pass"]
+    assert not out[1]["gopher_pass"] and out[1]["n_words"] == 2
+    assert not out[2]["gopher_pass"] and out[2]["mean_word_len"] == 1.0
+    assert not out[3]["gopher_pass"] and out[3]["symbol_ratio"] == 4.0
+    assert not out[4]["gopher_pass"] and out[4]["bullet_line_frac"] == 1.0
+    assert not out[5]["gopher_pass"] and out[5]["ellipsis_line_frac"] == 1.0
+    assert not out[6]["gopher_pass"] and out[6]["alpha_word_frac"] == 0.0
+
+    plan = gopher_signals(
+        spark.createDataFrame(rows, "doc_id long, text string"))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

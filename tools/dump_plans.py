@@ -350,6 +350,29 @@ ANNOTATED = {
         "into the codegen span. Output volume is the recipe's Σw·n_docs, "
         "produced from ONE scan regardless of the max epoch count."
     ),
+    "inverted_index": (
+        "Index build: posexplode in the scan span, then the two "
+        "partial-aggregated exchanges — (doc_id, tok) for tf/first_pos, "
+        "tok for df/cf/checksum. The Zipf head is safe in both: phase 1 "
+        "keys include doc_id, phase 2 receives map-side pre-counted "
+        "partials. The checksum is a decimal(38,0) sum of 60-bit "
+        "md5-prefix summands — commutative, so no ordering appears "
+        "anywhere in the plan."
+    ),
+    "cdx_index": (
+        "The capture index is ONE Project over the scan: SURT key "
+        "(reverse/array_join/lower), md5-over-hex payload digest, md5 "
+        "shard — zero Exchange, html read once and reduced to 32 chars "
+        "in the same codegen span. The optional sorted layout (range "
+        "exchange + per-partition sort) is excluded from the contract "
+        "because range boundaries are sampled."
+    ),
+    "warc_export": (
+        "WARC emission is a narrow map: header concat, octet_length, "
+        "record digest — all codegen, zero Exchange; the record bytes "
+        "column only materializes under include_record=True for a real "
+        "archive sink."
+    ),
     "filter_funnel": (
         "The attrition report reuses corpus_clean_v2's narrow signal "
         "pass and dedup window; everything after it is report-sized — an "

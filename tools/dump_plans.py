@@ -373,6 +373,13 @@ ANNOTATED = {
         "column only materializes under include_record=True for a real "
         "archive sink."
     ),
+    "gopher_signals": (
+        "All six remaining Table-A1 rules evaluate in ONE codegen "
+        "Project over the scan: the token/line arrays materialize as "
+        "shared columns (folds have no CSE across expressions), the "
+        "rest is filter/aggregate arithmetic on them — zero Exchange, "
+        "zero Python."
+    ),
     "filter_funnel": (
         "The attrition report reuses corpus_clean_v2's narrow signal "
         "pass and dedup window; everything after it is report-sized — an "

@@ -1624,6 +1624,7 @@ _ROTATE_IN = [
     "host_components",      # site/mirror clusters over the host graph (s7)
     "crawl_frontier",       # anti-join frontier + multi-distinct top-k (s7)
     "host_quality",         # per-host ban induction from page policy (s7)
+    "bloom_contamination",  # zero-shuffle decontamination prefilter (s8)
 ]
 _ROTATE_OUT = [
     "dedup_exact",          # family graded via dedup_clusters (same DAG+)
@@ -1654,6 +1655,10 @@ _ROTATE_OUT = [
                                # (anti-join semantics) + lp_replay_union
     "events_distinct_stats",   # multi-distinct agg graded via
                                # crawl_frontier (2× countDistinct + count)
+    "ann_lsh_topk",            # ANN family keeps ann_ivf_topk graded (the
+                               # trained-centroid scale path); the
+                               # hyperplane-LSH variant stays value-checked
+                               # in baselines (s8, for bloom_contamination)
 ]
 
 

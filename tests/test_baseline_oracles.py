@@ -83,10 +83,10 @@ def test_baselines_match_oracles(spark, duck):
         "q4_order_priority", "q5_regional_revenue",
         "cust_minus_supp_nations", "events_distinct_stats",
         "trust_scores",
-        # r4 session-8: zero-shuffle Bloom prefilter (decontamination
-        # direction of contamination_scan, which keeps the graded row),
-        # crawl-trap template mining, and politeness scheduling
-        "bloom_contamination", "url_traps", "crawl_schedule",
+        # r4 session-8: bloom_contamination rotated INTO the contract
+        # (ann_lsh_topk displaced here — ANN keeps ann_ivf_topk graded);
+        # crawl-trap template mining and politeness scheduling
+        "ann_lsh_topk", "url_traps", "crawl_schedule",
         "epoch_upsample", "filter_funnel", "inverted_index",
         "cdx_index", "warc_export", "gopher_signals",
     }
@@ -94,7 +94,8 @@ def test_baselines_match_oracles(spark, duck):
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",
                  "vocab_topk", "text_repetition", "pii_scrub",
                  "stratified_sample", "line_dedup_corpus", "web_curation",
-                 "semantic_dedup_pairs", "html_policy", "training_export"):
+                 "semantic_dedup_pairs", "html_policy", "training_export",
+                 "bloom_contamination"):
         assert name in entrymod.queries() and name in entrymod.oracle_sql()
     for name, fn in qs.items():
         scols, srows, slists = canon_pandas(fn(spark, SF_DIR).toPandas())

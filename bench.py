@@ -313,12 +313,13 @@ def dedup_scale_run() -> dict:
         from pyspark.sql import functions as F
 
         from logport_spark.operators.dedup import (bloom_build,
-                                                   bloom_contamination)
+                                                   bloom_contamination,
+                                                   bloom_m_words)
 
         docs = em._docs(spark, sf_dir).select("doc_id", "text")
         tail = sf_dir.rsplit("_", 1)[-1]
         n = int(tail) if tail.isdigit() else 5000
-        m_words = max(512, 1 << (int(n / 100 * 20 * 16 / 32) - 1).bit_length())
+        m_words = bloom_m_words(n // 100 * 20, fp_rate=0.02)
         ev = docs.filter(F.col("doc_id") % 100 == 1)
         tr = docs.filter(F.col("doc_id") % 100 != 1)
         words = bloom_build(ev, n=3, m_words=m_words, k=2)

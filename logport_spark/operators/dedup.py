@@ -698,6 +698,25 @@ def minhash_contamination(train: DataFrame, test: DataFrame, n: int = 3,
     )
 
 
+def bloom_m_words(n_items: int, fp_rate: float = 0.01,
+                  k: int = 2) -> int:
+    """Size a `bloom_build` bitmap for an expected item count and target
+    false-positive rate at FIXED k (the probe count is a plan-shape
+    constant here, unlike the textbook's optimal-k formulation): solve
+    p = (1 - e^(-k n / m))^k for m, round up to a power-of-two word
+    count (min 512 words). At the k=2 default: m = 2n / -ln(1 - sqrt(p));
+    1% fp ≈ 19 bits/item, 2% ≈ 13 bits/item."""
+    import math
+
+    if n_items <= 0:
+        return 512
+    if not (0.0 < fp_rate < 1.0):
+        raise ValueError("fp_rate must be in (0, 1)")
+    fill = 1.0 - fp_rate ** (1.0 / k)  # required per-bit CLEAR probability
+    m_bits = k * n_items / -math.log(fill)
+    return max(512, 1 << (int(m_bits / 32 - 1)).bit_length())
+
+
 def bloom_build(docs: DataFrame, n: int = 3, m_words: int = 4096,
                 k: int = 2, text_col: str = "text",
                 id_col: str = "doc_id") -> list[int]:

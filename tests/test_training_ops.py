@@ -1756,3 +1756,23 @@ def test_gopher_signals_rules_on_crafted_rows(spark):
         spark.createDataFrame(rows, "doc_id long, text string"))._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_bloom_m_words_sizing():
+    """Fixed-k sizing formula: the returned bitmap hits the target FP
+    rate (recompute p from m), is a power-of-two word count, and scales
+    linearly in n."""
+    import math
+
+    from logport_spark.operators.dedup import bloom_m_words
+
+    for n, p in ((10_000, 0.01), (1_000_000, 0.02), (123, 0.1)):
+        m_words = bloom_m_words(n, p, k=2)
+        assert m_words & (m_words - 1) == 0  # power of two
+        m_bits = m_words * 32
+        achieved = (1 - math.exp(-2 * n / m_bits)) ** 2
+        assert achieved <= p * 1.05, (n, p, achieved)
+    assert bloom_m_words(0) == 512
+    # ~19 bits/item at 1% / k=2 (docstring claim)
+    m = bloom_m_words(100_000, 0.01)
+    assert 16 <= m * 32 / 100_000 <= 40  # pow2 rounding can double it

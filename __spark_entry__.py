@@ -1417,6 +1417,63 @@ def _trust_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trustrank(host_graph(extract_links(pages)), seeds, iters=3)
 
 
+def _redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical/redirect chain resolution over the crawl's
+    rel=canonical hints: pointer-doubling to each url's final identity
+    (resolve_redirects). The synthetic corpus's canonical edges form
+    stars (many fetches → one canonical), so hops=1 everywhere here;
+    multi-hop chains, rho-tails, and loops are pinned by
+    tests/test_linkgraph.py::test_resolve_redirects_* — the oracle's
+    step-at-a-time recursive walk checks the general contract either
+    way."""
+    from logport_spark.operators.linkgraph import resolve_redirects
+    from logport_spark.operators.parse import html_policy
+
+    pol = html_policy(_pages(spark, sf_dir))
+    edges = (pol.where(F.col("utf8_valid")
+                       & (F.col("canonical_href") != "")
+                       & ~F.col("is_canonical_self"))
+             .select(F.col("url").alias("src"),
+                     F.col("canonical_href").alias("dst")))
+    return resolve_redirects(edges, max_hops=16)
+
+
+def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 compliance end-to-end: synthesize a deterministic
+    robots.txt per host (rules are md5(host)-digit arithmetic, so the
+    oracle re-derives the GROUND-TRUTH verdicts without parsing — a
+    parse or precedence bug in the engine shows up as a value
+    mismatch), parse it (parse_robots), and verdict every page url with
+    longest-match/allow-wins precedence (robots_filter). Bodies include
+    a comment, a blank line, an always-present rule that matches no
+    page, and a two-agent second record the '*' filter must ignore."""
+    from logport_spark.operators.linkgraph import (
+        URL_DOMAIN_RE, parse_robots, robots_filter,
+    )
+
+    pages = _pages(spark, sf_dir).select("url")
+    host = F.regexp_extract("url", URL_DOMAIN_RE, 1)
+    d = F.pmod(F.conv(F.substring(F.md5(F.col("host")), 1, 2), 16, 10)
+               .cast("long"), F.lit(12))
+    body = F.concat_ws(
+        "\n",
+        F.lit("# synthetic per-host policy"),
+        F.lit("User-agent: *"),
+        F.when(d % 3 == 0, F.lit("Disallow: /p/")),
+        F.when(d % 3 == 0, F.lit("Allow: /p/1")),
+        F.lit("Disallow: /private/"),
+        F.when(d % 2 == 0, F.concat(F.lit("Crawl-delay: "),
+                                    (d % 5 + 1).cast("string"))),
+        F.lit(""),
+        F.lit("User-agent: evilbot"),
+        F.lit("User-agent: badbot"),
+        F.lit("Disallow: /"),
+    )
+    robots = (pages.select(host.alias("host")).distinct()
+              .select("host", body.alias("body")))
+    return robots_filter(pages, parse_robots(robots))
+
+
 def _training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-export final mile as ONE DAG: unigram-LM score every
     doc -> select the most fluent prefix under a 20k-token global budget
@@ -1594,6 +1651,8 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _crawl_frontier,  # uncrawled-domain priority
         "host_quality": _host_quality,  # per-host ban induction
         "trust_scores": _trust_scores,  # seeded TrustRank spam demotion
+        "redirect_resolve": _redirect_resolve,  # canonical-chain pointer doubling
+        "robots_filter": _robots_filter,  # RFC 9309 parse + longest-match verdicts
     }
 
 
@@ -4202,6 +4261,80 @@ def _baseline_oracle_registry() -> dict[str, str]:
         """,
         "host_quality": _HOST_QUALITY_SQL,
         "trust_scores": _trustrank_oracle(_PAGES, iters=3),
+        # redirect_resolve: step-at-a-time recursive walk over the same
+        # min(dst)-collapsed canonical edge map, capped at 16 hops (= the
+        # engine's 2^4 doubling rounds); the max-hops row per src is the
+        # engine's pointer position, cyclic iff it still has an outgoing
+        # edge — identical even on loops/rho tails (both engines advance
+        # exactly min(16, distance-to-terminal) steps)
+        "redirect_resolve": f"""
+            WITH RECURSIVE v AS (
+              SELECT url,
+                CASE WHEN NOT regexp_matches(try_cast(html AS VARCHAR),
+                                             '\\\\x[89A-F][0-9A-F]')
+                     THEN decode(html) END AS s
+              FROM {_PAGES}),
+            e0 AS (
+              SELECT url AS src,
+                     regexp_extract(s,
+                       '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+                       AS dst
+              FROM v WHERE s IS NOT NULL),
+            fn AS (SELECT src, min(dst) AS dst FROM e0
+                   WHERE dst <> '' AND dst <> src GROUP BY src),
+            walk(src, ptr, hops) AS (
+              SELECT src, dst, 1 FROM fn
+              UNION ALL
+              SELECT w.src, f.dst, w.hops + 1
+              FROM walk w JOIN fn f ON f.src = w.ptr
+              WHERE w.hops < 16),
+            last AS (
+              SELECT src, ptr, hops FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY src ORDER BY hops DESC) AS rn
+                FROM walk) WHERE rn = 1)
+            SELECT src, ptr AS final_url, CAST(hops AS BIGINT) AS hops,
+                   ptr IN (SELECT src FROM fn) AS cyclic
+            FROM last
+        """,
+        # robots_filter: the oracle does NOT parse — it re-derives the
+        # ground-truth verdicts from the same md5(host) arithmetic the
+        # query used to SYNTHESIZE the robots bodies, so any parse /
+        # record-grouping / precedence bug in the engine mismatches.
+        # Rules per host: d%3==0 -> Disallow /p/ + Allow /p/1 (longest
+        # match wins, allow breaks nothing here — /p/1* is allowed, other
+        # /p/* denied); /private/ always denied (matches no page url);
+        # d%2==0 -> Crawl-delay d%5+1; the evilbot/badbot record is
+        # invisible to agent '*'
+        "robots_filter": f"""
+            WITH u AS (
+              SELECT url,
+                     regexp_extract(url, '{_URLDOM_RE_SQL}', 1) AS host,
+                     CASE WHEN regexp_replace(url,
+                              '^[a-z][a-z0-9+.-]*://[^/?#]*', '') = ''
+                          THEN '/'
+                          ELSE regexp_replace(url,
+                              '^[a-z][a-z0-9+.-]*://[^/?#]*', '') END
+                       AS path
+              FROM {_PAGES}),
+            h AS (
+              SELECT *, CAST((
+                  (strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1)
+                    * 16
+                + (strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1)
+                ) % 12 AS BIGINT) AS dv
+              FROM u)
+            SELECT url, host,
+                   CASE WHEN starts_with(path, '/private/') THEN FALSE
+                        WHEN dv % 3 = 0 AND starts_with(path, '/p/1')
+                             THEN TRUE
+                        WHEN dv % 3 = 0 AND starts_with(path, '/p/')
+                             THEN FALSE
+                        ELSE TRUE END AS allowed,
+                   CASE WHEN dv % 2 = 0
+                        THEN CAST(dv % 5 + 1 AS DOUBLE) END AS crawl_delay
+            FROM h
+        """,
     }
 
 

@@ -641,3 +641,177 @@ def cdx_index(pages: DataFrame, url_col: str = "url",
     if sort_output:
         out = out.repartitionByRange("surt").sortWithinPartitions("surt")
     return out
+
+
+def resolve_redirects(edges: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst", max_hops: int = 16) -> DataFrame:
+    """Redirect/canonical chain resolution — collapse every
+    ``src → dst → … → terminal`` chain to its final target in
+    O(log max_hops) rounds of pointer doubling.
+
+    A web crawl's URL space is riddled with aliases: HTTP 30x redirects,
+    ``<link rel="canonical">`` hints, and URL-normalization rewrites all
+    say "this fetch is really THAT url", and they chain (http → https →
+    www-canonical → trailing-slash form). Every dedup / frontier / index
+    stage wants the RESOLVED identity, so canonicalization runs before
+    them — the standard first pass over a crawl's redirect map (the
+    reference has no URL notion at all; SURVEY.md §2.6 extension layer,
+    same charter as ``crawl_frontier``).
+
+    Input: an edge list (``src_col``, ``dst_col``). A redirect map is a
+    FUNCTION (one outgoing edge per src); duplicate srcs collapse to
+    ``min(dst)`` so the operator is total and deterministic on any input.
+
+    Output: (src, final_url, hops, cyclic) — one row per distinct src.
+    ``final_url`` is the node reached after following the chain
+    ``min(2^ceil(log2(max_hops)), distance-to-terminal)`` steps; for
+    acyclic chains that is the terminal node and ``hops`` its distance.
+    ``cyclic`` marks srcs whose walk never reaches a terminal within the
+    cap — redirect loops and over-long chains both flag (browsers give up
+    at ~20 hops; crawlers treat both the same: drop the url). Cyclic rows
+    keep the deterministic position-2^r node and hops = 2^r, so the
+    output is a pure function of the edge multiset — an engine-
+    independent contract a step-at-a-time SQL oracle reproduces exactly
+    (the effective cap is rounded UP to the next power of two; pass a
+    power of two to make it explicit).
+
+    Spark-first shape — why pointer DOUBLING, not a step loop: one hop
+    per round is max_hops shuffle joins; doubling (ptr ← ptr(ptr), the
+    Wyllie/Hillis-Steele list-ranking construction) needs
+    ceil(log2(max_hops)) self-joins of the (src, ptr, hops) table — 4
+    rounds for 16 hops — each ONE shuffle on ptr=src. ``hops`` composes
+    additively under doubling (h ← h + h(ptr)), giving exact chain
+    lengths free. Rounds localCheckpoint (the connected_components
+    lesson: iterative plans must CUT lineage or Catalyst re-analyzes a
+    growing tree every round). At 10^12 urls the table is |redirect
+    map|-sized (≪ corpus), partitioned by src throughout.
+    """
+    import math
+
+    fn = (edges.groupBy(F.col(src_col).alias("src"))
+          .agg(F.min(dst_col).alias("dst"))
+          .localCheckpoint(eager=True))
+    cur = fn.select("src", F.col("dst").alias("ptr"),
+                    F.lit(1).cast("long").alias("hops"))
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        hop = cur.select(F.col("src").alias("_s"), F.col("ptr").alias("_p"),
+                         F.col("hops").alias("_h"))
+        cur = (cur.join(hop, cur.ptr == hop._s, "left")
+               .select(
+                   "src",
+                   F.coalesce("_p", "ptr").alias("ptr"),
+                   F.when(F.col("_s").isNotNull(),
+                          F.col("hops") + F.col("_h"))
+                   .otherwise(F.col("hops")).alias("hops"))
+               .localCheckpoint(eager=True))
+    term = fn.select(F.col("src").alias("_t"))
+    return (cur.join(term, cur.ptr == term._t, "left")
+            .select("src", F.col("ptr").alias("final_url"), "hops",
+                    F.col("_t").isNotNull().alias("cyclic")))
+
+
+# robots.txt grammar: `Field: value` lines, `#` comments, records headed by
+# one or more User-agent lines (RFC 9309). RE2-safe (the pii_scrub
+# convention — a SQL oracle can run them verbatim).
+ROBOTS_FIELD_RE = "^[ \\t]*([A-Za-z][A-Za-z-]*)[ \\t]*:"
+ROBOTS_VALUE_RE = "^[ \\t]*[A-Za-z][A-Za-z-]*[ \\t]*:[ \\t]*([^ \\t#]*)"
+
+
+def parse_robots(robots: DataFrame, host_col: str = "host",
+                 body_col: str = "body") -> DataFrame:
+    """Parse robots.txt bodies into per-agent rule rows — the crawl-
+    compliance table every polite fetcher consults (RFC 9309; Common
+    Crawl honors it crawl-wide).
+
+    Input: one row per host with the fetched robots.txt text. Output:
+    (host, agent, field, value) — one row per directive per user-agent
+    heading its record. Grammar per RFC 9309 §2.2: ``#`` starts a
+    comment; a record is one or more consecutive ``User-agent`` lines
+    followed by rule lines, and every rule binds to ALL agents of its
+    record; field names are case-insensitive (lowercased here, as are
+    agent names); rules before any User-agent line are invalid and drop.
+
+    Spark-first shape: posexplode(split(body)) → per-line regexp field/
+    value extraction (pure codegen) → record grouping via two analytic
+    functions per host (lag + running sum — a record starts at a
+    User-agent line whose predecessor is NOT one) → the agent×rule
+    binding as an equi-join on (host, record). The window partitions by
+    HOST: robots.txt is capped at 500 KiB by the RFC and parses as ~100
+    rows, so a 10^8-host crawl is 10^8 independent tiny partitions — no
+    straggler risk, one shuffle on host end-to-end.
+    """
+    from pyspark.sql import Window
+
+    line = F.regexp_replace(F.col("line"), "#.*", "")
+    lines = (robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n"))
+        .alias("pos", "line"))
+        .select("host", "pos",
+                F.lower(F.regexp_extract(line, ROBOTS_FIELD_RE, 1))
+                .alias("field"),
+                F.regexp_extract(line, ROBOTS_VALUE_RE, 1).alias("value"))
+        .where(F.col("field") != ""))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("field") == "user-agent"
+    tagged = (lines
+              .withColumn("_new", (is_ua & ~F.coalesce(
+                  F.lag(is_ua).over(w), F.lit(False))).cast("int"))
+              .withColumn("rec", F.sum("_new").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    uas = (tagged.where(is_ua)
+           .select("host", "rec", F.lower(F.col("value")).alias("agent")))
+    rules = (tagged.where(~is_ua & (F.col("rec") > 0))
+             .select("host", "rec", "field", "value"))
+    return uas.join(rules, ["host", "rec"]).select(
+        "host", "agent", "field", "value")
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame, url_col: str = "url",
+                  agent: str = "*") -> DataFrame:
+    """Apply parsed robots rules to a URL set with RFC 9309 precedence:
+    the LONGEST matching path prefix wins, and on a length tie Allow
+    beats Disallow (the least-restrictive tiebreak). URLs with no
+    matching rule (or no rules for the agent at all) are allowed — the
+    default-allow posture every crawler implements.
+
+    Output: (url, host, allowed, crawl_delay) — the frontier verdict plus
+    the record's Crawl-delay (seconds, NULL when unset), ready to feed
+    ``crawl_schedule``'s politeness waves.
+
+    Spark-first shape: rules reduce to (host, path-prefix, allow) and the
+    match is an equi-join on host + a startswith residual; precedence is
+    a single max aggregate over ``length(prefix)*2 + allow`` (longest
+    wins, the +1 allow bit breaks ties) — no window, no per-url sort, and
+    the parity of the max IS the verdict. Verdicts re-attach with a left
+    join so unmatched urls keep the default. Per-host rule lists are
+    RFC-bounded (~dozens), so the match join fans out O(rules_host) per
+    url and both shuffles key on host; a hot host skews no worse than the
+    url table itself does, and AQE broadcasts the (tiny) rule side when
+    |hosts| is small.
+    """
+    host = F.regexp_extract(F.col(url_col), URL_DOMAIN_RE, 1)
+    path0 = F.regexp_replace(F.col(url_col),
+                             "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    u = urls.select(F.col(url_col).alias("url"), host.alias("host"),
+                    F.when(path0 == "", "/").otherwise(path0).alias("path"))
+    am = F.lower(F.col("agent")) == agent.lower()
+    prules = (rules.where(am & F.col("field").isin("allow", "disallow")
+                          & (F.col("value") != ""))
+              .select("host", F.col("value").alias("rpath"),
+                      (F.col("field") == "allow").alias("allow")))
+    delays = (rules.where(am & (F.col("field") == "crawl-delay"))
+              .groupBy("host")
+              .agg(F.max(F.col("value").cast("double"))
+                   .alias("crawl_delay")))
+    verdict = (u.join(prules, "host")
+               .where(F.col("path").startswith(F.col("rpath")))
+               .groupBy("url")
+               .agg(F.max(F.length("rpath") * 2
+                          + F.col("allow").cast("int")).alias("_pri")))
+    return (u.join(verdict, "url", "left")
+            .join(delays, "host", "left")
+            .select("url", "host",
+                    F.coalesce(F.pmod(F.col("_pri"), F.lit(2)) == 1,
+                               F.lit(True)).alias("allowed"),
+                    "crawl_delay"))

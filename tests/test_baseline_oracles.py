@@ -89,6 +89,9 @@ def test_baselines_match_oracles(spark, duck):
         "ann_lsh_topk", "url_traps", "crawl_schedule",
         "epoch_upsample", "filter_funnel", "inverted_index",
         "cdx_index", "warc_export", "gopher_signals",
+        # r4 session-9: canonical-chain resolution (pointer doubling) and
+        # RFC 9309 robots parse + longest-match frontier verdicts
+        "redirect_resolve", "robots_filter",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -371,3 +371,108 @@ def test_surt_and_cdx_index(spark, pages_small):
 
     srt = cdx_index(pages_small, n_shards=8, sort_output=True)
     assert all(srt.select("surt").rdd.mapPartitions(_is_sorted).collect())
+
+
+def test_resolve_redirects_chains_rho_and_cycles(spark):
+    """Pointer doubling resolves chains to their terminal with exact hop
+    counts; loops and rho-tails flag cyclic with the deterministic
+    16-step position (the cap contract the SQL oracle replays)."""
+    from logport_spark.operators.linkgraph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),       # chain a->b->c->d
+         ("e", "f"), ("f", "g"), ("g", "f"),       # rho: tail e into f<->g
+         ("x", "y"), ("y", "x"),                   # pure 2-cycle
+         ("s", "t"), ("s", "aa")],                 # dup src -> min(dst)
+        "src string, dst string")
+    out = {r["src"]: r for r in resolve_redirects(edges, max_hops=16).collect()}
+    assert (out["a"]["final_url"], out["a"]["hops"], out["a"]["cyclic"]) == ("d", 3, False)
+    assert (out["b"]["final_url"], out["b"]["hops"]) == ("d", 2)
+    assert (out["c"]["final_url"], out["c"]["hops"]) == ("d", 1)
+    # dup-src collapses to min(dst) = "aa", a terminal
+    assert (out["s"]["final_url"], out["s"]["hops"], out["s"]["cyclic"]) == ("aa", 1, False)
+    # cycle members: 16 steps from x lands back on x (even cycle length)
+    for k in ("e", "f", "g", "x", "y"):
+        assert out[k]["cyclic"] and out[k]["hops"] == 16
+    assert out["x"]["final_url"] == "x" and out["y"]["final_url"] == "y"
+    # e walks e->f->g->f->... : 16 steps ends on g (odd steps on f)
+    assert out["e"]["final_url"] == "g"
+
+
+def test_resolve_redirects_long_chain_within_cap(spark):
+    """A 16-hop chain resolves exactly at the cap; a 17-hop chain flags
+    cyclic (indistinguishable from a loop within the cap — both drop)."""
+    from logport_spark.operators.linkgraph import resolve_redirects
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(17)]
+    out = {r["src"]: r for r in resolve_redirects(
+        spark.createDataFrame(chain, "src string, dst string"),
+        max_hops=16).collect()}
+    assert (out["n1"]["final_url"], out["n1"]["hops"], out["n1"]["cyclic"]) == ("n17", 16, False)
+    assert out["n0"]["cyclic"] and out["n0"]["hops"] == 16
+
+
+def test_parse_robots_records_and_comments(spark):
+    """RFC 9309 grammar: comments strip, multiple consecutive User-agent
+    lines share one record (each rule binds to ALL of them), a later
+    User-agent starts a NEW record, rules before any User-agent drop,
+    and field names are case-insensitive."""
+    from logport_spark.operators.linkgraph import parse_robots
+
+    body = "\n".join([
+        "Disallow: /orphan/        # no record yet -> invalid, drops",
+        "# a comment line",
+        "User-Agent: *",
+        "User-agent: GoodBot",
+        "DISALLOW: /a/   # comment after value",
+        "Crawl-Delay: 2",
+        "",
+        "User-agent: evilbot",
+        "Disallow: /",
+    ])
+    rules = parse_robots(spark.createDataFrame(
+        [("h", body)], "host string, body string"))
+    got = {(r["agent"], r["field"], r["value"]) for r in rules.collect()}
+    assert got == {
+        ("*", "disallow", "/a/"), ("*", "crawl-delay", "2"),
+        ("goodbot", "disallow", "/a/"), ("goodbot", "crawl-delay", "2"),
+        ("evilbot", "disallow", "/"),
+    }
+
+
+def test_robots_filter_longest_match_precedence(spark):
+    """Longest path prefix wins; Allow beats Disallow on a length tie;
+    no match (and no rules for the agent) defaults to allowed; the
+    record's Crawl-delay rides along."""
+    from logport_spark.operators.linkgraph import parse_robots, robots_filter
+
+    body = "\n".join([
+        "User-agent: *",
+        "Disallow: /p/",
+        "Allow: /p/1",
+        "Allow: /tie/",
+        "Disallow: /tie/",
+        "Crawl-delay: 3",
+        "User-agent: evilbot",
+        "Disallow: /",
+    ])
+    rules = parse_robots(spark.createDataFrame(
+        [("h", body), ("open.example", "User-agent: *\nAllow:\n")],
+        "host string, body string"))
+    urls = spark.createDataFrame(
+        [("https://h/p/234",),        # /p/ deny, /p/1 doesn't match
+         ("https://h/p/1999",),       # /p/1 (len 4) beats /p/ (len 3)
+         ("https://h/tie/x",),        # equal length: allow wins
+         ("https://h/elsewhere",),    # no match -> default allow
+         ("https://h",),              # empty path -> '/'
+         ("https://open.example/q",)  # empty-value rules drop -> allow
+         ], "url string")
+    got = {r["url"]: r for r in robots_filter(urls, rules).collect()}
+    assert got["https://h/p/234"]["allowed"] is False
+    assert got["https://h/p/1999"]["allowed"] is True
+    assert got["https://h/tie/x"]["allowed"] is True
+    assert got["https://h/elsewhere"]["allowed"] is True
+    assert got["https://h"]["allowed"] is True
+    assert got["https://open.example/q"]["allowed"] is True
+    assert got["https://h/p/234"]["crawl_delay"] == 3.0
+    assert got["https://open.example/q"]["crawl_delay"] is None

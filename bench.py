@@ -95,6 +95,8 @@ def _headline_queries():
         "cdx_index",                               # r4 SURT capture index
         "warc_export",                             # r4 WARC record manifest
         "gopher_signals",                          # r4 Table-A1 remainder
+        "redirect_resolve",                        # r4 canonical-chain doubling
+        "robots_filter",                           # r4 RFC 9309 verdicts
     ):
         if opt in qs:
             names.append(opt)
@@ -440,7 +442,9 @@ def pages_scale_run() -> dict:
              "crawl_frontier", "host_quality", "trust_scores",
              "html_extract", "html_policy", "web_curation",
              # r4 session-8: crawl hygiene + politeness + archive formats
-             "url_traps", "crawl_schedule", "cdx_index", "warc_export"]
+             "url_traps", "crawl_schedule", "cdx_index", "warc_export",
+             # r4 session-9: canonicalization + robots compliance
+             "redirect_resolve", "robots_filter"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

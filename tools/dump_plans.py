@@ -387,6 +387,26 @@ ANNOTATED = {
         "and a 7-row stage window. The doc stream crosses exactly the "
         "same exchanges as v2 itself."
     ),
+    "redirect_resolve": (
+        "Pointer doubling over the canonical edge map: the html scan "
+        "reduces to (src, dst) edges in one codegen pass, then exactly "
+        "ceil(log2(16)) = 4 self-joins of the |redirect-map|-sized "
+        "(src, ptr, hops) table, each ONE exchange, each round's result "
+        "localCheckpoint-ed (the connected_components lineage-cut "
+        "lesson) — so the visible plan is the final terminal-check join "
+        "over a checkpointed RDD scan, not a 4-round tower. A step loop "
+        "would be 16 shuffles; doubling is 4 regardless of corpus size."
+    ),
+    "robots_filter": (
+        "The verdict join keys everything on host: rules synthesize and "
+        "parse per DISTINCT host (partial-agg distinct, window over "
+        "~10-row host partitions), the match join fans out O(rules/host) "
+        "per url with the startswith residual evaluated in the join, and "
+        "precedence is a partial-aggregated max of length*2+allow — no "
+        "window over urls, no per-url sort. AQE broadcasts the rule side "
+        "when |hosts| is small; at web scale both sides shuffle on host "
+        "and a hot host skews no worse than the url table itself."
+    ),
 }
 
 

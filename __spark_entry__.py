@@ -1417,6 +1417,29 @@ def _trust_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trustrank(host_graph(extract_links(pages)), seeds, iters=3)
 
 
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-proportional corpus subsample: Efraimidis-Spirakis A-ES
+    without replacement, k=100 (selective at every graded sf), weight =
+    whitespace token count —
+    deterministic (md5-derived uniforms), partition-independent, and a
+    TakeOrderedAndProject top-k (no global sort)."""
+    from logport_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("w"))
+    return (weighted_sample(docs, k=100, weight_col="w")
+            .select("doc_id", "w", "es_key"))
+
+
+def _lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-line language segmentation rolled up to the
+    document mixed/monolingual verdict."""
+    from logport_spark.operators.textstats import lang_segments
+
+    return lang_segments(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical/redirect chain resolution over the crawl's
     rel=canonical hints: pointer-doubling to each url's final identity
@@ -1653,6 +1676,8 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_scores": _trust_scores,  # seeded TrustRank spam demotion
         "redirect_resolve": _redirect_resolve,  # canonical-chain pointer doubling
         "robots_filter": _robots_filter,  # RFC 9309 parse + longest-match verdicts
+        "weighted_sample": _weighted_sample,  # A-ES weighted sampling w/o replacement
+        "lang_segments": _lang_segments,  # CCNet per-line language rollup
     }
 
 
@@ -2104,6 +2129,47 @@ def _lang_id_sql() -> str:
           FROM documents
         ), m AS (SELECT doc_id, lang, {g} AS g, * EXCLUDE (doc_id, lang) FROM s)
         SELECT doc_id, lang, {case} AS pred_lang, g AS marker_hits FROM m
+    """
+
+
+def _lang_segments_sql() -> str:
+    """CCNet per-line segmentation oracle: same per-line marker argmax as
+    _lang_id_sql, same (cnt DESC, lang ASC) dominant tiebreak."""
+    from logport_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ",\n              ".join(
+        f"len(list_filter(string_split(line, ' '), "
+        f"t -> t IN ({_sql_in(LANG_MARKERS[l])}))) AS s_{l}"
+        for l in langs)
+    g = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = "CASE WHEN g = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = g THEN '{l}'" for l in langs) + " END"
+    return f"""
+        WITH sp AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM documents),
+        nz AS (SELECT * FROM sp WHERE length(line) > 0),
+        s AS (
+          SELECT doc_id,
+              {scores}
+          FROM nz),
+        m AS (SELECT doc_id, {g} AS g, * EXCLUDE (doc_id) FROM s),
+        p AS (SELECT doc_id, {case} AS line_lang FROM m),
+        c AS (SELECT doc_id, line_lang, count(*) AS cnt
+              FROM p GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(cnt) AS n_lines,
+                       count(*) AS n_langs FROM c GROUP BY 1),
+        win AS (SELECT doc_id, line_lang, cnt, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY cnt DESC, line_lang ASC) AS rn
+                FROM c)
+        SELECT t.doc_id, CAST(t.n_lines AS BIGINT) AS n_lines,
+               CAST(t.n_langs AS BIGINT) AS n_langs,
+               w.line_lang AS dominant_lang,
+               round(w.cnt * 1.0 / t.n_lines, 6) AS dominant_frac,
+               (w.cnt * 1.0 / t.n_lines) < 0.8 AS mixed
+        FROM tot t JOIN win w ON w.doc_id = t.doc_id AND w.rn = 1
     """
 
 
@@ -4335,6 +4401,23 @@ def _baseline_oracle_registry() -> dict[str, str]:
                         THEN CAST(dv % 5 + 1 AS DOUBLE) END AS crawl_delay
             FROM h
         """,
+        # weighted_sample: identical A-ES arithmetic — u from the same
+        # md5 hex digits, selection key ln(u)/w in log space, same
+        # (es_key DESC, doc_id) tiebreak and k
+        "weighted_sample": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS w,
+                     (({_HEX8.format(
+                         h="md5('ws42' || CAST(doc_id AS VARCHAR))")})
+                      + 0.5) / 4294967296.0 AS u
+              FROM documents)
+            SELECT doc_id, w, round(ln(u) / w, 8) AS es_key
+            FROM t WHERE w > 0
+            ORDER BY es_key DESC, doc_id
+            LIMIT 100
+        """,
+        "lang_segments": _lang_segments_sql(),
     }
 
 

@@ -97,6 +97,8 @@ def _headline_queries():
         "gopher_signals",                          # r4 Table-A1 remainder
         "redirect_resolve",                        # r4 canonical-chain doubling
         "robots_filter",                           # r4 RFC 9309 verdicts
+        "weighted_sample",                         # r4 A-ES top-k sampling
+        "lang_segments",                           # r4 per-line lang rollup
     ):
         if opt in qs:
             names.append(opt)
@@ -382,7 +384,9 @@ def dedup_scale_run() -> dict:
              "vocab_coverage", "containment_pairs",
              # r4 session-8 additions
              "bloom_contamination", "epoch_upsample", "inverted_index",
-             "gopher_signals"]
+             "gopher_signals",
+             # r4 session-9 additions
+             "weighted_sample", "lang_segments"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -419,3 +419,40 @@ def epoch_upsample(df: DataFrame, weights: dict[str, float],
         .withColumn("epoch", F.explode(F.expr("sequence(1, _n)")))
         .drop("_n")
     )
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    key_col: str = "doc_id",
+                    salt: str = "ws42") -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis 2006
+    (algorithm A-ES): draw u ~ Uniform(0,1) per row, keep the k largest
+    u^(1/w). The classic use in corpus curation is quality- or
+    token-proportional subsampling ("sample 10M docs with probability ∝
+    quality score") where with-replacement sampling or per-row Bernoulli
+    (which can't hit an exact k) don't fit.
+
+    Deterministic and partition-independent: u derives from
+    md5(salt‖key) (the sampling.py argument — df.sample() depends on
+    partition layout; this is a pure row function, so reruns, re-layouts,
+    and other engines reproduce the exact sample). The selection key is
+    computed in log space — ``es_key = ln(u)/w`` — because u^(1/w)
+    underflows for small weights; log is monotone, so top-k by es_key is
+    top-k by u^(1/w). Rows with weight <= 0 can never be sampled and are
+    dropped. es_key is rounded to 8 decimals (the PageRank convention) and
+    ties break on the key column, so the output is a total function of
+    (input multiset, salt, k).
+
+    Scale shape: ONE narrow map (md5 + ln, pure codegen) and a top-k that
+    plans as TakeOrderedAndProject — every partition keeps its local k,
+    the driver merges |partitions|·k rows; no global sort, no shuffle of
+    the data. At 10^12 rows this is the only distributed-sampling shape
+    that doesn't move the corpus.
+    """
+    v = F.conv(F.substring(F.md5(F.concat(
+        F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10)
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    return (df.where(w > 0)
+            .withColumn("es_key", F.round(F.log(u) / w, 8))
+            .orderBy(F.desc("es_key"), F.col(key_col))
+            .limit(k))

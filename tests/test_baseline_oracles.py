@@ -89,9 +89,11 @@ def test_baselines_match_oracles(spark, duck):
         "ann_lsh_topk", "url_traps", "crawl_schedule",
         "epoch_upsample", "filter_funnel", "inverted_index",
         "cdx_index", "warc_export", "gopher_signals",
-        # r4 session-9: canonical-chain resolution (pointer doubling) and
-        # RFC 9309 robots parse + longest-match frontier verdicts
+        # r4 session-9: canonical-chain resolution (pointer doubling),
+        # RFC 9309 robots parse + longest-match frontier verdicts,
+        # A-ES weighted sampling, CCNet per-line language segmentation
         "redirect_resolve", "robots_filter",
+        "weighted_sample", "lang_segments",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

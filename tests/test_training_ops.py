@@ -1776,3 +1776,79 @@ def test_bloom_m_words_sizing():
     # ~19 bits/item at 1% / k=2 (docstring claim)
     m = bloom_m_words(100_000, 0.01)
     assert 16 <= m * 32 / 100_000 <= 40  # pow2 rounding can double it
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    """A-ES: exact k, partition-layout independence, bit-equality with a
+    Python re-derivation, top-k plan (no global sort), and the
+    statistical point of the operator — heavy weights sample more."""
+    import hashlib
+    import math
+
+    from logport_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, k=50, weight_col="w").collect()
+    assert len(out) == 50
+
+    # partition-independence: same sample from a different layout
+    out2 = weighted_sample(df.repartition(13), k=50, weight_col="w").collect()
+    assert {r["doc_id"] for r in out} == {r["doc_id"] for r in out2}
+
+    # bit-equality with the definition, including the tiebreak order
+    def es_key(i, w):
+        v = int(hashlib.md5(f"ws42{i}".encode()).hexdigest()[:8], 16)
+        return round(math.log((v + 0.5) / 4294967296.0) / w, 8)
+
+    expect = sorted(rows, key=lambda r: (-es_key(*r), r[0]))[:50]
+    got = sorted(out, key=lambda r: (-r["es_key"], r["doc_id"]))
+    assert [(r["doc_id"], r["w"]) for r in got] == expect
+    assert all(abs(r["es_key"] - es_key(r["doc_id"], r["w"])) < 1e-12
+               for r in out)
+
+    # plan: TakeOrderedAndProject (per-partition top-k), never a sort
+    plan = weighted_sample(df, k=50, weight_col="w") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    # bias: weight-7 rows (ids ≡ 6 mod 7) outnumber weight-1 rows in the
+    # sample by far more than their population share
+    heavy = sum(1 for r in out if r["w"] == 7.0)
+    light = sum(1 for r in out if r["w"] == 1.0)
+    assert heavy > 2 * max(light, 1)
+
+    # weight <= 0 is never sampled
+    df0 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 1.0)], "doc_id long, w double")
+    assert [r["doc_id"] for r in
+            weighted_sample(df0, k=3, weight_col="w").collect()] == [3]
+
+
+def test_lang_segments_rollup_and_ties(spark):
+    """Per-line argmax matches lang_id's contract; dominant tiebreak is
+    (count DESC, lang ASC); empty lines drop; marker-free lines are und;
+    mixed flags below the 0.8 default."""
+    from logport_spark.operators.textstats import lang_segments
+
+    docs = spark.createDataFrame(
+        [
+            # 3 en lines + 1 de line -> en 0.75, mixed
+            (1, "the cat and dog\nthe end of it\na tale of two\nder hund und katze nicht"),
+            # monolingual + an empty line that must not count
+            (2, "the quick and brown\n\nthe lazy dog of york"),
+            # tie: one en line, one de line -> 'de' wins (lang ASC)
+            (3, "the cat and dog sat\nder hund und das nicht"),
+            # no markers anywhere -> und
+            (4, "zzz qqq\nxxx yyy"),
+        ],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lang_segments(docs).collect()}
+    assert (got[1]["dominant_lang"], got[1]["n_lines"], got[1]["n_langs"],
+            got[1]["mixed"]) == ("en", 4, 2, True)
+    assert got[1]["dominant_frac"] == 0.75
+    assert (got[2]["dominant_lang"], got[2]["n_lines"],
+            got[2]["mixed"]) == ("en", 2, False)
+    assert got[2]["dominant_frac"] == 1.0
+    assert got[3]["dominant_lang"] == "de" and got[3]["mixed"]
+    assert (got[4]["dominant_lang"], got[4]["n_langs"]) == ("und", 1)

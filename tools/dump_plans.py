@@ -407,6 +407,22 @@ ANNOTATED = {
         "when |hosts| is small; at web scale both sides shuffle on host "
         "and a hot host skews no worse than the url table itself."
     ),
+    "weighted_sample": (
+        "A-ES weighted sampling: one narrow md5+ln codegen map, then "
+        "TakeOrderedAndProject — every partition keeps its local top-k, "
+        "the driver merges |partitions|*k rows. No Exchange of the data, "
+        "no global sort; the corpus never moves for the sample."
+    ),
+    "lang_segments": (
+        "Token explode through ONE codegen CASE over the disjoint marker "
+        "sets, then partial-aggregated counts; the dominant-language "
+        "argmax is max(struct(cnt, -lang_idx)) — no window. Deliberately "
+        "NOT per-line HOF filters: five interpreted size(filter(...)) "
+        "columns measured bimodal 2-32s at 500k docs on the identical "
+        "plan (BENCH/BASELINE.md session-9 note); this shape holds a "
+        "stable steady state. Exchanges carry line-count-bounded rows — "
+        "text never crosses a shuffle."
+    ),
 }
 
 

@@ -1417,6 +1417,15 @@ def _trust_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trustrank(host_graph(extract_links(pages)), seeds, iters=3)
 
 
+def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (Jégou et al. 2011): 32-bit codes
+    (64× smaller than the raw vectors), asymmetric-distance candidate
+    scan, exact-cosine rerank of the top-50."""
+    from logport_spark.operators.similarity import pq_topk
+
+    return pq_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10, rerank=50)
+
+
 def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-proportional corpus subsample: Efraimidis-Spirakis A-ES
     without replacement, k=100 (selective at every graded sf), weight =
@@ -1678,6 +1687,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _robots_filter,  # RFC 9309 parse + longest-match verdicts
         "weighted_sample": _weighted_sample,  # A-ES weighted sampling w/o replacement
         "lang_segments": _lang_segments,  # CCNet per-line language rollup
+        "ann_pq_topk": _ann_pq_topk,  # PQ-ADC codes + rerank (64x index shrink)
     }
 
 
@@ -2129,6 +2139,80 @@ def _lang_id_sql() -> str:
           FROM documents
         ), m AS (SELECT doc_id, lang, {g} AS g, * EXCLUDE (doc_id, lang) FROM s)
         SELECT doc_id, lang, {case} AS pred_lang, g AS marker_hits FROM m
+    """
+
+
+def _pq_oracle(k: int = 10, m: int = 8, ksub: int = 16, dsub: int = 8,
+               rerank: int = 50) -> str:
+    """PQ-ADC oracle: codebooks re-derived IN SQL (subvectors of the ksub
+    lowest-id vectors, the ann_ivf centroid pattern), per-(vector,
+    subspace, code) L2² as an EXPLICIT left-to-right 8-term sum (the
+    engine's numpy kernel accumulates dimension-sequentially to match),
+    codes as min(j) at the min distance (= numpy first-min argmin), ADC
+    as the explicit q0.d + … + q7.d subspace sum (= the engine's
+    element_at chain), candidates top-rerank by (adc, neighbor_id),
+    exact-cosine rerank top-k."""
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+    def l2sq(s: int) -> str:
+        return " + ".join(
+            f"(CAST(e.embedding[{s * dsub + i + 1}] AS DOUBLE)"
+            f" - CAST(cb.cv[{s * dsub + i + 1}] AS DOUBLE))"
+            f" * (CAST(e.embedding[{s * dsub + i + 1}] AS DOUBLE)"
+            f" - CAST(cb.cv[{s * dsub + i + 1}] AS DOUBLE))"
+            for i in range(dsub))
+
+    sd = "\n            UNION ALL\n".join(
+        f"            SELECT e.vec_id, {s} AS s, cb.j, {l2sq(s)} AS d"
+        f" FROM e CROSS JOIN cb"
+        for s in range(m))
+    cw_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(m))
+    adc_joins = "\n".join(
+        f"            JOIN qd q{s} ON q{s}.query_id = q.query_id"
+        f" AND q{s}.s = {s} AND q{s}.j = v.c{s}" for s in range(m))
+    adc_sum = " + ".join(f"q{s}.d" for s in range(m))
+    return _EMB_NORM_CTE + f"""
+        , cb AS (SELECT row_number() OVER (ORDER BY vec_id) AS j,
+                        embedding AS cv
+                 FROM (SELECT vec_id, embedding FROM e
+                       ORDER BY vec_id LIMIT {ksub}) t),
+        sd AS (
+{sd}
+        ),
+        cm AS (SELECT vec_id, s, min(d) AS md FROM sd GROUP BY 1, 2),
+        cd AS (SELECT sd.vec_id, sd.s, min(sd.j) AS code
+               FROM sd JOIN cm ON cm.vec_id = sd.vec_id AND cm.s = sd.s
+               WHERE sd.d = cm.md GROUP BY 1, 2),
+        cw AS (SELECT vec_id, {cw_cols} FROM cd GROUP BY vec_id),
+        qd AS (SELECT vec_id AS query_id, s, j, d FROM sd
+               WHERE vec_id IN ({qids})),
+        adc AS (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   {adc_sum} AS adc
+            FROM cw v
+            CROSS JOIN (SELECT DISTINCT query_id FROM qd) q
+{adc_joins}
+            WHERE v.vec_id <> q.query_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adc ASC, neighbor_id ASC) AS r
+              FROM adc) WHERE r <= {rerank}),
+        rr AS (
+            SELECT cd2.query_id, cd2.neighbor_id,
+                   {_DOT64.format(a='eq.embedding', b='en.embedding')}
+                     / (nq.nm * nn.nm) AS cos
+            FROM cand cd2
+            JOIN e eq ON eq.vec_id = cd2.query_id
+            JOIN e en ON en.vec_id = cd2.neighbor_id
+            JOIN n nq ON nq.vec_id = cd2.query_id
+            JOIN n nn ON nn.vec_id = cd2.neighbor_id)
+        SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM rr)
+        WHERE rank <= {k}
     """
 
 
@@ -4418,6 +4502,7 @@ def _baseline_oracle_registry() -> dict[str, str]:
             LIMIT 100
         """,
         "lang_segments": _lang_segments_sql(),
+        "ann_pq_topk": _pq_oracle(),
     }
 
 

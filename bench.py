@@ -99,6 +99,7 @@ def _headline_queries():
         "robots_filter",                           # r4 RFC 9309 verdicts
         "weighted_sample",                         # r4 A-ES top-k sampling
         "lang_segments",                           # r4 per-line lang rollup
+        "ann_pq_topk",                             # r4 PQ-ADC index compression
     ):
         if opt in qs:
             names.append(opt)

@@ -511,3 +511,168 @@ def ann_lsh_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
     )
+
+
+# --------------------------------------------------------------------- PQ --
+
+
+def pq_codebooks(emb: DataFrame, m: int = 8, ksub: int = 16,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Product-quantization codebooks [subspace][code][dim/m] — the
+    deterministic, oracle-able stand-in: subvectors of the ksub lowest-id
+    corpus vectors (the lowest_id_centroids argument applied per
+    subspace; the production swap is per-subspace k-means behind the
+    SAME literal interface, exactly like ivf_topk's kmeans_centroids).
+    Bounded collect — ksub rows."""
+    rows = lowest_id_centroids(emb, ksub, id_col, vec_col)
+    dsub = len(rows[0]) // m
+    return [[r[s * dsub:(s + 1) * dsub] for r in rows] for s in range(m)]
+
+
+def _seq_l2sq(a, b) -> float:
+    """Σ(a_i-b_i)² accumulated dimension-sequentially — the exact fold
+    order the SQL oracle's explicit term sum uses (IEEE addition is not
+    associative; parity demands ONE order everywhere)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc += d * d
+    return acc
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector its PQ code word: per subspace the 1-based index
+    of the nearest codebook entry (L2², first-minimum tiebreak) —
+    (vec_id, codes array<int>).
+
+    This is THE memory move for 10^9-vector ANN (Jégou/Douze/Schmid
+    2011): m=8 subspaces × ksub=16 codes is m·log2(ksub) = 32 bits per
+    vector vs 2048 bits for the raw float32[64] — 64× — which is what
+    lets a corpus-scale index live in executor RAM while the vectors
+    stay in parquet for the final rerank only.
+
+    Arrow-batched numpy, NOT an interpreted-HOF expression: encoding is
+    m·ksub = 128 subvector distances per vector, and 128 lambda folds
+    per row is the allocation profile that made lang_segments' 5-fold
+    variant swing 2-32s on identical plans (BENCH/BASELINE.md session-9
+    note) — at 4× the fold count the interpreted form is not an option.
+    The numpy kernel accumulates distances DIMENSION-SEQUENTIALLY
+    (acc += diff², i ascending — a loop over dsub=8 vectorized across
+    the batch), bit-matching the oracle's explicit left-to-right term
+    sum; argmin is first-minimum like the SQL min(j) WHERE d = min(d).
+    Narrow map, zero shuffle, one Arrow pass."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+
+    @F.pandas_udf("array<int>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub:(s + 1) * dsub]  # (B, dsub)
+            dist = np.zeros((len(mat), ksub))
+            for i in range(dsub):  # dimension-sequential: oracle fold order
+                diff = sub[:, i:i + 1] - cb[s, :, i][None, :]
+                dist += diff * diff
+            out[:, s] = np.argmin(dist, axis=1) + 1  # first min, 1-based
+        return pd.Series(list(out))
+
+    return emb.select(F.col(id_col).alias("_id"),
+                      enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+            m: int = 8, ksub: int = 16, rerank: int = 50,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            codebooks: list[list[list[float]]] | None = None,
+            n_salts: int = 64) -> DataFrame:
+    """PQ-ADC approximate nearest neighbors: rank the corpus by
+    asymmetric-distance lookups against each query (8 table lookups + 7
+    adds per vector instead of a 64-dim float dot), keep the ``rerank``
+    best candidates per query, exact-cosine rerank those, return top-k —
+    (query_id, neighbor_id, cos, rank). The third leg of the ANN family:
+    brute (exhaustive) / LSH / IVF prune the SEARCH, PQ shrinks the
+    INDEX — at 10^9+ vectors the 32-bit codes fit in RAM where the raw
+    vectors (64×) cannot, and ADC scans the code table at memory
+    bandwidth (Jégou et al. 2011; IVF∘PQ composes by encoding each IVF
+    cell's residuals, same interfaces).
+
+    Determinism contract: the candidate set is top-``rerank`` by
+    (adc ASC, vec_id ASC) — every float on that path (codes, LUT
+    entries, the Σ over subspaces) is computed in ONE fold order in both
+    engines, so a step-at-a-time SQL oracle reproduces the exact
+    candidate set, not just approximately the same one.
+
+    Scale shape: the corpus scan is the encode UDF + per-query ADC as
+    pure codegen — the 128-entry LUT per query embeds as ONE
+    constant-folded array literal (top-level Project, NOT inside a
+    lambda — the bloom bitmap lesson), each query costing m element_at
+    + adds per row. Top-``rerank`` uses the bm25 salted two-phase shape:
+    phase 1 keeps ``rerank`` per (query, xxhash-salt bucket) so no
+    single task sorts a query's full score stream, phase 2 ranks the
+    ≤ n_salts·rerank survivors. Only candidate ids reach the vector
+    re-join for the exact rerank."""
+    from pyspark.sql import Window
+
+    cbs = codebooks if codebooks is not None else \
+        pq_codebooks(emb, m, ksub, id_col, vec_col)
+    dsub = len(cbs[0][0])
+    qvecs = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in emb.select(id_col, vec_col)
+        .filter(F.col(id_col).isin(query_ids)).collect()
+    }
+    codes = pq_encode(emb, cbs, id_col, vec_col)
+    # per-query flat LUT literal: entry 16*s + (code-1) + 1 (1-based)
+    adc_cols = []
+    for q in query_ids:
+        qv = qvecs[q]
+        flat = [
+            _seq_l2sq(qv[s * dsub:(s + 1) * dsub], cbs[s][j])
+            for s in range(m) for j in range(ksub)
+        ]
+        lut = "array(" + ", ".join(repr(x) for x in flat) + ")"
+        terms = " + ".join(
+            f"element_at({lut}, {s * ksub} + element_at(codes, {s + 1}))"
+            for s in range(m))
+        adc_cols.append(F.expr(terms).alias(f"_adc_{q}"))
+    scored = codes.select("_id", *adc_cols)
+    qarr = F.array(*[F.lit(int(q)) for q in query_ids])
+    stacked = (scored.select(
+        "_id", F.posexplode(F.array(
+            *[F.col(f"_adc_{q}") for q in query_ids])).alias("qi", "adc"))
+        .select(F.element_at(qarr, F.col("qi") + 1).alias("query_id"),
+                F.col("_id").alias("neighbor_id"), "adc")
+        .where(F.col("neighbor_id") != F.col("query_id")))
+    order = [F.asc("adc"), F.asc("neighbor_id")]
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    cands = (stacked
+             .withColumn("_salt", F.pmod(F.xxhash64("neighbor_id"),
+                                         F.lit(n_salts)))
+             .withColumn("_r1", F.row_number().over(w1))
+             .where(F.col("_r1") <= rerank)
+             .withColumn("_r2", F.row_number().over(w2))
+             .where(F.col("_r2") <= rerank)
+             .select("query_id", "neighbor_id"))
+    vecs = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_vid"), F.col("_vecd").alias("_v"),
+        F.col("norm").alias("_nm"))
+    qv = vecs.filter(F.col("_vid").isin(query_ids)).select(
+        F.col("_vid").alias("query_id"), F.col("_v").alias("v1"),
+        F.col("_nm").alias("n1"))
+    nv = vecs.select(F.col("_vid").alias("neighbor_id"),
+                     F.col("_v").alias("v2"), F.col("_nm").alias("n2"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (cands.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+            .withColumn("cos", _dot("v1", "v2") / (F.col("n1") * F.col("n2")))
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 4).alias("cos"), "rank"))

@@ -1852,3 +1852,36 @@ def test_lang_segments_rollup_and_ties(spark):
     assert got[2]["dominant_frac"] == 1.0
     assert got[3]["dominant_lang"] == "de" and got[3]["mixed"]
     assert (got[4]["dominant_lang"], got[4]["n_langs"]) == ("und", 1)
+
+
+def test_pq_codes_and_adc_recall(spark, emb):
+    """PQ: codebook vectors encode to their own code word (distance 0 per
+    subspace); ADC top-k recall vs brute force clears the documented bar
+    at rerank=50; the exact-cosine rerank agrees with the brute kernel;
+    the candidate path is layout-independent."""
+    from logport_spark.operators.similarity import (
+        cosine_topk, pq_codebooks, pq_encode, pq_topk,
+    )
+
+    cbs = pq_codebooks(emb)
+    assert len(cbs) == 8 and len(cbs[0]) == 16 and len(cbs[0][0]) == 8
+    codes = {r["_id"]: list(r["codes"])
+             for r in pq_encode(emb, cbs).filter(F.col("_id") < 16).collect()}
+    for i, c in codes.items():
+        assert c == [i + 1] * 8, f"vector {i} must encode to its own code"
+
+    qids = [0, 1, 2, 3, 4]
+    bf = cosine_topk(emb, qids, k=10).collect()
+    pq = pq_topk(emb, qids, k=10, rerank=50).collect()
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    pq_set = {(r.query_id, r.neighbor_id) for r in pq}
+    recall = len(bf_set & pq_set) / len(bf_set)
+    assert recall >= 0.5, f"PQ recall@10 = {recall}"
+    bf_cos = {(r.query_id, r.neighbor_id): r.cos for r in bf}
+    for r in pq:
+        if (r.query_id, r.neighbor_id) in bf_cos:
+            assert r.cos == bf_cos[(r.query_id, r.neighbor_id)]
+
+    pq2 = pq_topk(emb.repartition(17), qids, k=10, rerank=50).collect()
+    assert {(r.query_id, r.neighbor_id, r.cos, r.rank) for r in pq2} == \
+        {(r.query_id, r.neighbor_id, r.cos, r.rank) for r in pq}

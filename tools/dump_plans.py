@@ -423,6 +423,18 @@ ANNOTATED = {
         "stable steady state. Exchanges carry line-count-bounded rows — "
         "text never crosses a shuffle."
     ),
+    "ann_pq_topk": (
+        "PQ-ADC: ONE ArrowEvalPython (the encode kernel) feeding a pure "
+        "codegen ADC Project — each query's 128-entry LUT is a "
+        "constant-folded array literal probed with element_at (top-level "
+        "Project, not a lambda body, so it folds — the bloom-bitmap "
+        "lesson), 8 lookups + adds per vector instead of a 64-dim dot. "
+        "Candidate selection is the bm25 salted two-phase top-k (no "
+        "single task sorts a query's full score stream); only candidate "
+        "ids re-join the vectors for the exact rerank. The raw vectors "
+        "never ride the candidate path — at 10^9 vectors the scan "
+        "carries 32-bit codes, a 64x smaller stream."
+    ),
 }
 
 

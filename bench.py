@@ -387,7 +387,7 @@ def dedup_scale_run() -> dict:
              "bloom_contamination", "epoch_upsample", "inverted_index",
              "gopher_signals",
              # r4 session-9 additions
-             "weighted_sample", "lang_segments"]
+             "weighted_sample", "lang_segments", "ann_pq_topk"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -676,3 +676,27 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.round("cos", 4).alias("cos"), "rank"))
+
+
+def pq_codebooks_kmeans(emb: DataFrame, m: int = 8, ksub: int = 16,
+                        seed: int = 42, max_iter: int = 20,
+                        vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Trained PQ codebooks via pyspark.ml KMeans — the production swap
+    for the lowest-id stand-in behind the SAME literal interface (the
+    kmeans_centroids precedent): m independent fits over the subvector
+    projections, each one Spark job (at 10^12 rows train on a ~1% sample
+    upstream, the standard PQ training regime). Pass the result as
+    pq_topk(..., codebooks=...) and nothing else in the plan changes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(emb.select(vec_col).first()[0])
+    dsub = dim // m
+    out = []
+    for s in range(m):
+        feats = emb.select(array_to_vector(F.expr(
+            f"transform(slice({vec_col}, {s * dsub + 1}, {dsub}),"
+            f" x -> cast(x as double))")).alias("features"))
+        model = KMeans(k=ksub, seed=seed, maxIter=max_iter).fit(feats)
+        out.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return out

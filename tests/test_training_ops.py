@@ -1885,3 +1885,42 @@ def test_pq_codes_and_adc_recall(spark, emb):
     pq2 = pq_topk(emb.repartition(17), qids, k=10, rerank=50).collect()
     assert {(r.query_id, r.neighbor_id, r.cos, r.rank) for r in pq2} == \
         {(r.query_id, r.neighbor_id, r.cos, r.rank) for r in pq}
+
+
+def test_pq_kmeans_codebooks_beat_standin(spark, emb):
+    """Trained per-subspace codebooks (the production swap, same literal
+    interface) must cut quantization DISTORTION vs the 16-lowest-id
+    stand-in — the objective k-means actually minimizes (lower
+    reconstruction error => ADC distances closer to true distances).
+    Candidate recall stays above the documented bar; on this tiny
+    fixture recall itself can go either way (ADC is L2-based while the
+    rerank is cosine), so distortion is the pinned claim."""
+    import numpy as np
+
+    from logport_spark.operators.similarity import (
+        cosine_topk, pq_codebooks, pq_codebooks_kmeans, pq_topk,
+    )
+
+    def distortion(vecs, cbs):
+        m, dsub = len(cbs), len(cbs[0][0])
+        total = 0.0
+        for s in range(m):
+            sub = vecs[:, s * dsub:(s + 1) * dsub]
+            cb = np.asarray(cbs[s])  # (ksub, dsub)
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            total += d.min(axis=1).sum()
+        return total
+
+    vecs = np.stack([np.asarray(r[0], dtype=np.float64) for r in
+                     emb.select("embedding").orderBy("vec_id").collect()])
+    standin_cbs = pq_codebooks(emb)
+    trained_cbs = pq_codebooks_kmeans(emb)
+    assert distortion(vecs, trained_cbs) < distortion(vecs, standin_cbs)
+
+    qids = [0, 1, 2, 3, 4]
+    bf_set = {(r.query_id, r.neighbor_id)
+              for r in cosine_topk(emb, qids, k=10).collect()}
+    trained = {(r.query_id, r.neighbor_id)
+               for r in pq_topk(emb, qids, k=10, rerank=50,
+                                codebooks=trained_cbs).collect()}
+    assert len(bf_set & trained) / len(bf_set) >= 0.5

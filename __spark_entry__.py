@@ -1426,6 +1426,15 @@ def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10, rerank=50)
 
 
+def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF∘PQ composition (the FAISS 10^9-vector architecture): residual
+    product quantization inside IVF cells, per-(query, probed-cell) ADC
+    lookup tables, exact-cosine rerank of the top-50."""
+    from logport_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=10, rerank=50)
+
+
 def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-proportional corpus subsample: Efraimidis-Spirakis A-ES
     without replacement, k=100 (selective at every graded sf), weight =
@@ -1688,6 +1697,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,  # A-ES weighted sampling w/o replacement
         "lang_segments": _lang_segments,  # CCNet per-line language rollup
         "ann_pq_topk": _ann_pq_topk,  # PQ-ADC codes + rerank (64x index shrink)
+        "ann_ivfpq_topk": _ann_ivfpq_topk,  # IVF cells + residual PQ (FAISS shape)
     }
 
 
@@ -2194,6 +2204,122 @@ def _pq_oracle(k: int = 10, m: int = 8, ksub: int = 16, dsub: int = 8,
             CROSS JOIN (SELECT DISTINCT query_id FROM qd) q
 {adc_joins}
             WHERE v.vec_id <> q.query_id),
+        cand AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adc ASC, neighbor_id ASC) AS r
+              FROM adc) WHERE r <= {rerank}),
+        rr AS (
+            SELECT cd2.query_id, cd2.neighbor_id,
+                   {_DOT64.format(a='eq.embedding', b='en.embedding')}
+                     / (nq.nm * nn.nm) AS cos
+            FROM cand cd2
+            JOIN e eq ON eq.vec_id = cd2.query_id
+            JOIN e en ON en.vec_id = cd2.neighbor_id
+            JOIN n nq ON nq.vec_id = cd2.query_id
+            JOIN n nn ON nn.vec_id = cd2.neighbor_id)
+        SELECT query_id, neighbor_id, round(cos, 4) AS cos, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM rr)
+        WHERE rank <= {k}
+    """
+
+
+def _ivfpq_oracle(k: int = 10, nlist: int = 16, nprobe: int = 4,
+                  m: int = 8, ksub: int = 16, dsub: int = 8,
+                  rerank: int = 50) -> str:
+    """IVF∘PQ oracle — every stage of the engine replayed step by step in
+    SQL: centroids (lowest nlist ids), cell per vector (min cid at max
+    normalized dot), residual codebook (residuals of the ksub lowest ids
+    OUTSIDE the centroid set), codes (explicit 8-term residual L2² sums,
+    min(j) at min d), probed cells per query (top-nprobe by score), LUT
+    entries from the query's residual in each probed cell, ADC as the
+    explicit subspace sum, (adc, neighbor) top-rerank, exact-cosine
+    top-k. Parenthesization mirrors the engine's fold grouping:
+    ((e−centroid) − (bv−bc)) per dimension, left-to-right sums."""
+    qids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    cent_ids = ", ".join(str(i) for i in range(nlist))
+
+    def res_term(tbl: str, cent: str, s: int, i: int) -> str:
+        idx = s * dsub + i + 1
+        return (f"((CAST({tbl}.embedding[{idx}] AS DOUBLE)"
+                f" - CAST({cent}.cv[{idx}] AS DOUBLE))"
+                f" - (CAST(cbr.bv[{idx}] AS DOUBLE)"
+                f" - CAST(cbr.bc[{idx}] AS DOUBLE)))")
+
+    def res_l2(tbl: str, cent: str, s: int) -> str:
+        return " + ".join(
+            f"{res_term(tbl, cent, s, i)} * {res_term(tbl, cent, s, i)}"
+            for i in range(dsub))
+
+    rsd = "\n            UNION ALL\n".join(
+        f"            SELECT e.vec_id, {s} AS s, cbr.j, {res_l2('e', 'vc', s)} AS d"
+        f" FROM e JOIN cells ON cells.vec_id = e.vec_id"
+        f" JOIN c vc ON vc.cid = cells.cell CROSS JOIN cbr"
+        for s in range(m))
+    qlut = "\n            UNION ALL\n".join(
+        f"            SELECT qe.vec_id AS query_id, qp.cell, {s} AS s,"
+        f" cbr.j, {res_l2('qe', 'qc', s)} AS d"
+        f" FROM e qe JOIN qp ON qp.query_id = qe.vec_id"
+        f" JOIN c qc ON qc.cid = qp.cell CROSS JOIN cbr"
+        for s in range(m))
+    cw_cols = ", ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(m))
+    adc_joins = "\n".join(
+        f"            JOIN qlut q{s} ON q{s}.query_id = qp.query_id"
+        f" AND q{s}.cell = ce.cell AND q{s}.s = {s} AND q{s}.j = v.c{s}"
+        for s in range(m))
+    adc_sum = " + ".join(f"q{s}.d" for s in range(m))
+    return _EMB_NORM_CTE + f"""
+        , c AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+                       embedding AS cv
+                FROM (SELECT vec_id, embedding FROM e
+                      ORDER BY vec_id LIMIT {nlist}) t),
+        cnm AS (SELECT cid, sqrt(list_sum(list_transform(cv,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+                FROM c),
+        sc AS (SELECT e.vec_id, c.cid,
+                      {_DOT64.format(a='e.embedding', b='c.cv')} / cnm.nm
+                        AS s
+               FROM e CROSS JOIN c JOIN cnm ON cnm.cid = c.cid),
+        mx AS (SELECT vec_id, cid, s,
+                      max(s) OVER (PARTITION BY vec_id) AS msc FROM sc),
+        cells AS (SELECT vec_id, min(cid) AS cell
+                  FROM mx WHERE s = msc GROUP BY vec_id),
+        cbsrc AS (SELECT row_number() OVER (ORDER BY vec_id) AS j,
+                         vec_id, embedding AS bv
+                  FROM (SELECT vec_id, embedding FROM e
+                        WHERE vec_id NOT IN ({cent_ids})
+                        ORDER BY vec_id LIMIT {ksub}) t),
+        cbr AS (SELECT cb.j, cb.bv, c.cv AS bc
+                FROM cbsrc cb
+                JOIN cells ON cells.vec_id = cb.vec_id
+                JOIN c ON c.cid = cells.cell),
+        rsd AS (
+{rsd}
+        ),
+        cm AS (SELECT vec_id, s, min(d) AS md FROM rsd GROUP BY 1, 2),
+        cd AS (SELECT rsd.vec_id, rsd.s, min(rsd.j) AS code
+               FROM rsd JOIN cm ON cm.vec_id = rsd.vec_id AND cm.s = rsd.s
+               WHERE rsd.d = cm.md GROUP BY 1, 2),
+        cw AS (SELECT vec_id, {cw_cols} FROM cd GROUP BY vec_id),
+        qp AS (SELECT query_id, cell FROM (
+                 SELECT sc.vec_id AS query_id, sc.cid AS cell,
+                        row_number() OVER (PARTITION BY sc.vec_id
+                            ORDER BY sc.s DESC, sc.cid) AS r
+                 FROM sc WHERE sc.vec_id IN ({qids})) WHERE r <= {nprobe}),
+        qlut AS (
+{qlut}
+        ),
+        adc AS (
+            SELECT qp.query_id, v.vec_id AS neighbor_id,
+                   {adc_sum} AS adc
+            FROM cw v
+            JOIN cells ce ON ce.vec_id = v.vec_id
+            JOIN qp ON qp.cell = ce.cell
+{adc_joins}
+            WHERE v.vec_id <> qp.query_id),
         cand AS (SELECT query_id, neighbor_id FROM (
               SELECT *, row_number() OVER (
                   PARTITION BY query_id
@@ -4503,6 +4629,7 @@ def _baseline_oracle_registry() -> dict[str, str]:
         """,
         "lang_segments": _lang_segments_sql(),
         "ann_pq_topk": _pq_oracle(),
+        "ann_ivfpq_topk": _ivfpq_oracle(),
     }
 
 

@@ -100,6 +100,7 @@ def _headline_queries():
         "weighted_sample",                         # r4 A-ES top-k sampling
         "lang_segments",                           # r4 per-line lang rollup
         "ann_pq_topk",                             # r4 PQ-ADC index compression
+        "ann_ivfpq_topk",                          # r4 IVF + residual PQ
     ):
         if opt in qs:
             names.append(opt)
@@ -387,7 +388,8 @@ def dedup_scale_run() -> dict:
              "bloom_contamination", "epoch_upsample", "inverted_index",
              "gopher_signals",
              # r4 session-9 additions
-             "weighted_sample", "lang_segments", "ann_pq_topk"]
+             "weighted_sample", "lang_segments", "ann_pq_topk",
+             "ann_ivfpq_topk"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -700,3 +700,187 @@ def pq_codebooks_kmeans(emb: DataFrame, m: int = 8, ksub: int = 16,
         model = KMeans(k=ksub, seed=seed, maxIter=max_iter).fit(feats)
         out.append([[float(x) for x in c] for c in model.clusterCenters()])
     return out
+
+
+def _seq_dot(a, b) -> float:
+    """Σ a_i·b_i accumulated sequentially (the _centroid_scores /
+    aggregate(zip_with) fold order)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _py_cell(vec, cents) -> int:
+    """1-based IVF cell with the engine's exact arithmetic: normalized
+    dot against each centroid (sequential folds), FIRST maximal score —
+    array_position(_sc, array_max(_sc)) replayed in Python floats."""
+    scores = []
+    for c in cents:
+        nm = 0.0
+        for x in c:
+            nm += float(x) * float(x)
+        scores.append(_seq_dot(vec, c) / nm ** 0.5)
+    return scores.index(max(scores)) + 1
+
+
+def ivfpq_codebooks(emb: DataFrame, cents: list[list[float]], m: int = 8,
+                    ksub: int = 16, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Residual-PQ codebooks for IVF∘PQ: subvectors of the RESIDUALS
+    (vector − its cell centroid) of the ksub lowest-id vectors NOT in
+    the centroid set (ids ksub..2·ksub−1 under the lowest-id stand-in —
+    the centroid vectors themselves have zero residual, a degenerate
+    codebook). Same literal interface as pq_codebooks; the production
+    swap is per-subspace k-means over sampled residuals. Bounded
+    collect — ksub rows."""
+    nlist = len(cents)
+    rows = (emb.select(id_col, vec_col)
+            .filter(~F.col(id_col).isin(
+                [i for i in range(nlist)]))
+            .orderBy(id_col).limit(ksub).collect())
+    dsub = len(cents[0]) // m
+    out = []
+    for s in range(m):
+        out.append([])
+    for r in sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows):
+        vec = r[1]
+        cell = _py_cell(vec, cents)
+        res = [v - c for v, c in zip(vec, cents[cell - 1])]
+        for s in range(m):
+            out[s].append(res[s * dsub:(s + 1) * dsub])
+    return out
+
+
+def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
+               nlist: int = 16, nprobe: int = 4, m: int = 8,
+               ksub: int = 16, rerank: int = 50,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: list[list[float]] | None = None,
+               codebooks: list[list[list[float]]] | None = None,
+               n_salts: int = 64) -> DataFrame:
+    """IVF∘PQ — the composition FAISS runs at 10^9+ vectors (Jégou et
+    al. 2011 §IV): coarse-quantize into nlist cells, product-quantize
+    each vector's RESIDUAL from its cell centroid (residuals are small
+    and centered, so the same ksub codes quantize them far better than
+    raw vectors), search by probing nprobe cells per query with
+    per-(query, cell) ADC lookup tables, exact-cosine rerank the
+    top-``rerank``. The index the scan carries is cell id + 32-bit code
+    per vector; raw vectors surface only for the final rerank join.
+
+    Scale shape: cell assignment is the ivf_topk narrow map (centroid
+    literals, zero shuffle); encode is ONE Arrow pass (residual
+    subtraction + code assignment in the same kernel, dimension-
+    sequential accumulation for oracle bit-parity); the candidate scan
+    joins the corpus codes against a BROADCAST (query, cell, LUT) table
+    — nq·nprobe rows, each carrying its 128-entry LUT as an array
+    column probed with element_at — so only probed cells are scored,
+    with 8 lookups + adds per (vector, query) pair. Top-``rerank`` is
+    the bm25 salted two-phase shape. Every float on the candidate path
+    (cells, residuals, codes, LUT entries, the Σ over subspaces)
+    follows ONE fold order, so the SQL oracle reproduces the exact
+    candidate set."""
+    from pyspark.sql import Window
+
+    cents = centroids if centroids is not None else \
+        lowest_id_centroids(emb, nlist, id_col, vec_col)
+    cbs = codebooks if codebooks is not None else \
+        ivfpq_codebooks(emb, cents, m, ksub, id_col, vec_col)
+    dsub = len(cents[0]) // m
+    cb = np.asarray(cbs, dtype=np.float64)  # (m, ksub, dsub)
+    cents_np = np.asarray(cents, dtype=np.float64)  # (nlist, dim)
+
+    @F.pandas_udf("struct<cell:int, codes:array<int>>")
+    def enc(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        # cell: normalized dot, sequential-fold parity is moot here —
+        # numpy dot reductions differ from folds, so replicate the fold
+        # explicitly: accumulate dimension-sequentially
+        scores = np.zeros((len(mat), len(cents_np)))
+        for i in range(mat.shape[1]):
+            scores += mat[:, i:i + 1] * cents_np[:, i][None, :]
+        # norms accumulated sequentially too (np.sum is pairwise — a
+        # different rounding than the oracle's left fold)
+        nrm = np.zeros(len(cents_np))
+        for i in range(cents_np.shape[1]):
+            nrm += cents_np[:, i] * cents_np[:, i]
+        scores /= np.sqrt(nrm)[None, :]
+        cells = np.argmax(scores, axis=1)  # first max
+        res = mat - cents_np[cells]
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            sub = res[:, s * dsub:(s + 1) * dsub]
+            dist = np.zeros((len(mat), ksub))
+            for i in range(dsub):
+                diff = sub[:, i:i + 1] - cb[s, :, i][None, :]
+                dist += diff * diff
+            codes[:, s] = np.argmin(dist, axis=1) + 1
+        return pd.DataFrame({"cell": (cells + 1).astype(np.int32),
+                             "codes": list(codes)})
+
+    coded = emb.select(F.col(id_col).alias("_id"),
+                       enc(F.col(vec_col)).alias("_e")) \
+        .select("_id", F.col("_e.cell").alias("cell"),
+                F.col("_e.codes").alias("codes"))
+    # query side: probed cells + per-(query, cell) LUTs, driver-built
+    qvecs = {
+        int(r[0]): [float(x) for x in r[1]]
+        for r in emb.select(id_col, vec_col)
+        .filter(F.col(id_col).isin(query_ids)).collect()
+    }
+    cnorms = []
+    for c in cents:
+        nm = 0.0
+        for x in c:
+            nm += float(x) * float(x)
+        cnorms.append(nm ** 0.5)
+    probe_rows = []
+    for q in query_ids:
+        qv = qvecs[q]
+        scores = [(_seq_dot(qv, c) / nm, i + 1)
+                  for i, (c, nm) in enumerate(zip(cents, cnorms))]
+        # nprobe best cells: score DESC, cell ASC (the ivf_topk order)
+        best = sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]
+        for _, cell in best:
+            resq = [v - c for v, c in zip(qv, cents[cell - 1])]
+            lut = [
+                _seq_l2sq(resq[s * dsub:(s + 1) * dsub], cbs[s][j])
+                for s in range(m) for j in range(ksub)
+            ]
+            probe_rows.append((int(q), int(cell), lut))
+    probed = emb.sparkSession.createDataFrame(
+        probe_rows, "query_id long, cell int, lut array<double>")
+    adc = " + ".join(
+        f"element_at(lut, {s * ksub} + element_at(codes, {s + 1}))"
+        for s in range(m))
+    stacked = (coded.join(F.broadcast(probed), "cell")
+               .where(F.col("_id") != F.col("query_id"))
+               .select("query_id", F.col("_id").alias("neighbor_id"),
+                       F.expr(adc).alias("adc")))
+    order = [F.asc("adc"), F.asc("neighbor_id")]
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    cands = (stacked
+             .withColumn("_salt", F.pmod(F.xxhash64("neighbor_id"),
+                                         F.lit(n_salts)))
+             .withColumn("_r1", F.row_number().over(w1))
+             .where(F.col("_r1") <= rerank)
+             .withColumn("_r2", F.row_number().over(w2))
+             .where(F.col("_r2") <= rerank)
+             .select("query_id", "neighbor_id"))
+    vecs = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_vid"), F.col("_vecd").alias("_v"),
+        F.col("norm").alias("_nm"))
+    qv = vecs.filter(F.col("_vid").isin(query_ids)).select(
+        F.col("_vid").alias("query_id"), F.col("_v").alias("v1"),
+        F.col("_nm").alias("n1"))
+    nv = vecs.select(F.col("_vid").alias("neighbor_id"),
+                     F.col("_v").alias("v2"), F.col("_nm").alias("n2"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (cands.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+            .withColumn("cos", _dot("v1", "v2") / (F.col("n1") * F.col("n2")))
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 4).alias("cos"), "rank"))

@@ -94,8 +94,9 @@ def test_baselines_match_oracles(spark, duck):
         # A-ES weighted sampling, CCNet per-line language segmentation
         "redirect_resolve", "robots_filter",
         "weighted_sample", "lang_segments",
-        # r4 session-9: PQ-ADC — the index-compression leg of the ANN family
-        "ann_pq_topk",
+        # r4 session-9: PQ-ADC — the index-compression leg of the ANN
+        # family — and its IVF∘PQ composition (the FAISS shape)
+        "ann_pq_topk", "ann_ivfpq_topk",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

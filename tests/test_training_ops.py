@@ -1924,3 +1924,30 @@ def test_pq_kmeans_codebooks_beat_standin(spark, emb):
                for r in pq_topk(emb, qids, k=10, rerank=50,
                                 codebooks=trained_cbs).collect()}
     assert len(bf_set & trained) / len(bf_set) >= 0.5
+
+
+def test_ivfpq_beats_raw_pq_recall(spark, emb):
+    """The IVF∘PQ composition: residuals are small and centered, so the
+    same 32-bit budget quantizes them better than raw vectors — recall
+    must beat raw PQ at identical (m, ksub, rerank); candidates are
+    layout-independent."""
+    from logport_spark.operators.similarity import (
+        cosine_topk, ivfpq_topk, pq_topk,
+    )
+
+    qids = [0, 1, 2, 3, 4]
+    bf = {(r.query_id, r.neighbor_id)
+          for r in cosine_topk(emb, qids, k=10).collect()}
+    raw = {(r.query_id, r.neighbor_id)
+           for r in pq_topk(emb, qids, k=10, rerank=50).collect()}
+    ivf = ivfpq_topk(emb, qids, k=10, rerank=50).collect()
+    ivf_set = {(r.query_id, r.neighbor_id) for r in ivf}
+    r_raw = len(bf & raw) / len(bf)
+    r_ivf = len(bf & ivf_set) / len(bf)
+    assert r_ivf > r_raw, (r_ivf, r_raw)
+    assert r_ivf >= 0.7
+    again = {(r.query_id, r.neighbor_id, r.cos, r.rank)
+             for r in ivfpq_topk(emb.repartition(19), qids,
+                                 k=10, rerank=50).collect()}
+    assert again == {(r.query_id, r.neighbor_id, r.cos, r.rank)
+                     for r in ivf}

@@ -435,6 +435,16 @@ ANNOTATED = {
         "never ride the candidate path — at 10^9 vectors the scan "
         "carries 32-bit codes, a 64x smaller stream."
     ),
+    "ann_ivfpq_topk": (
+        "The FAISS composition: one ArrowEvalPython emits (cell, codes) "
+        "per vector — centroid literals, residual encode, all in a "
+        "single Arrow pass — then the candidate scan is a BROADCAST "
+        "join of corpus codes against the nq*nprobe (query, cell, LUT) "
+        "rows, so only probed cells are scored and the LUT rides the "
+        "broadcast as an array column probed with element_at. Salted "
+        "two-phase top-rerank, exact-cosine rerank on candidate ids "
+        "only. The corpus-side stream is cell+32-bit code per vector."
+    ),
 }
 
 

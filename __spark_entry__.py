@@ -1417,6 +1417,36 @@ def _trust_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trustrank(host_graph(extract_links(pages)), seeds, iters=3)
 
 
+def _cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-domain discovery by co-citation over the host graph
+    (common in-linkers + Jaccard), with the fan-out guardrail that keeps
+    directory hubs from minting O(out_degree²) pairs."""
+    from logport_spark.operators.linkgraph import (
+        cocitation_pairs, extract_links, host_graph,
+    )
+
+    return cocitation_pairs(host_graph(extract_links(_pages(spark, sf_dir))),
+                            min_common=2)
+
+
+def _recrawl_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina change-rate recrawl scheduling over the same
+    two deterministic snapshot carvings as snapshot_delta (old = buckets
+    <9000, new = buckets >=2000 with 2000-3999 perturbed)."""
+    from logport_spark.operators.linkgraph import recrawl_policy
+    from logport_spark.operators.sampling import sample_bucket
+
+    pages = _pages(spark, sf_dir).select("url", "text")
+    b = sample_bucket("url", salt="snap")
+    old = pages.filter(b < 9000)
+    new = (pages.filter(b >= 2000)
+           .withColumn("text",
+                       F.when(b < 4000,
+                              F.concat(F.col("text"), F.lit(" updated")))
+                       .otherwise(F.col("text"))))
+    return recrawl_policy(old, new, html_col="text", binary=False)
+
+
 def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC search (Jégou et al. 2011): 32-bit codes
     (64× smaller than the raw vectors), asymmetric-distance candidate
@@ -1698,6 +1728,8 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_segments": _lang_segments,  # CCNet per-line language rollup
         "ann_pq_topk": _ann_pq_topk,  # PQ-ADC codes + rerank (64x index shrink)
         "ann_ivfpq_topk": _ann_ivfpq_topk,  # IVF cells + residual PQ (FAISS shape)
+        "cocitation_pairs": _cocitation_pairs,  # related domains by co-citation
+        "recrawl_policy": _recrawl_policy,  # change-rate recrawl intervals
     }
 
 
@@ -4630,6 +4662,61 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "lang_segments": _lang_segments_sql(),
         "ann_pq_topk": _pq_oracle(),
         "ann_ivfpq_topk": _ivfpq_oracle(),
+        # cocitation: same distinct-edge base, fan-out cap, pair agg, and
+        # Jaccard denominator as the engine
+        "cocitation_pairs": _LINKS_CTE.format(pages=_PAGES) + """,
+            ed AS (SELECT DISTINCT src_domain, dst_domain FROM g),
+            hot AS (SELECT src_domain FROM ed
+                    GROUP BY 1 HAVING count(*) > 1000),
+            e2 AS (SELECT * FROM ed WHERE src_domain NOT IN
+                     (SELECT src_domain FROM hot)),
+            ind AS (SELECT dst_domain AS d, count(*) AS deg
+                    FROM e2 GROUP BY 1),
+            cm AS (SELECT a.dst_domain AS d1, b.dst_domain AS d2,
+                          count(*) AS n_common
+                   FROM e2 a JOIN e2 b
+                     ON a.src_domain = b.src_domain
+                    AND a.dst_domain < b.dst_domain
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT d1, d2, CAST(n_common AS BIGINT) AS n_common,
+                   round(n_common * 1.0
+                         / (g1.deg + g2.deg - n_common), 6) AS jaccard
+            FROM cm JOIN ind g1 ON g1.d = cm.d1
+                    JOIN ind g2 ON g2.d = cm.d2
+        """,
+        # recrawl_policy: the snapshot_delta bucket carving, per-host
+        # change fraction, quadratic interval with the same clamps
+        "recrawl_policy": f"""
+            WITH p0 AS (
+              SELECT url, text,
+                     CAST(({_HEX8.format(h="md5('snap' || url)")}) % 10000
+                          AS BIGINT) AS b
+              FROM {_PAGES}),
+            od AS (SELECT url, md5(text) AS old_d FROM p0 WHERE b < 9000),
+            nd AS (SELECT url,
+                          regexp_extract(url, '{_URLDOM_RE_SQL}', 1)
+                            AS domain,
+                          md5(CASE WHEN b < 4000 THEN text || ' updated'
+                                   ELSE text END) AS new_d
+                   FROM p0 WHERE b >= 2000),
+            j AS (SELECT nd.domain, nd.new_d, od.old_d
+                  FROM nd LEFT JOIN od ON od.url = nd.url),
+            a AS (SELECT domain,
+                         count(*) AS n_urls,
+                         sum(CASE WHEN old_d IS NOT NULL
+                                  AND old_d <> new_d THEN 1 ELSE 0 END)
+                           AS n_changed,
+                         greatest(sum(CASE WHEN old_d IS NOT NULL
+                                           THEN 1 ELSE 0 END), 1) AS n_old
+                  FROM j GROUP BY domain)
+            SELECT domain, CAST(n_urls AS BIGINT) AS n_urls,
+                   CAST(n_changed AS BIGINT) AS n_changed,
+                   round(n_changed * 1.0 / n_old, 6) AS change_frac,
+                   CAST(greatest(floor(16 * (1.0 - n_changed * 1.0 / n_old)
+                                          * (1.0 - n_changed * 1.0 / n_old)),
+                                 1) AS BIGINT) AS interval
+            FROM a
+        """,
     }
 
 

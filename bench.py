@@ -101,6 +101,8 @@ def _headline_queries():
         "lang_segments",                           # r4 per-line lang rollup
         "ann_pq_topk",                             # r4 PQ-ADC index compression
         "ann_ivfpq_topk",                          # r4 IVF + residual PQ
+        "cocitation_pairs",                        # r4 related-domain mining
+        "recrawl_policy",                          # r4 change-rate scheduling
     ):
         if opt in qs:
             names.append(opt)
@@ -450,8 +452,10 @@ def pages_scale_run() -> dict:
              "html_extract", "html_policy", "web_curation",
              # r4 session-8: crawl hygiene + politeness + archive formats
              "url_traps", "crawl_schedule", "cdx_index", "warc_export",
-             # r4 session-9: canonicalization + robots compliance
-             "redirect_resolve", "robots_filter"]
+             # r4 session-9: canonicalization + robots compliance +
+             # co-citation + recrawl scheduling
+             "redirect_resolve", "robots_filter",
+             "cocitation_pairs", "recrawl_policy"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

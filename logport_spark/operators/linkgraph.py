@@ -815,3 +815,100 @@ def robots_filter(urls: DataFrame, rules: DataFrame, url_col: str = "url",
                     F.coalesce(F.pmod(F.col("_pri"), F.lit(2)) == 1,
                                F.lit(True)).alias("allowed"),
                     "crawl_delay"))
+
+
+def cocitation_pairs(graph: DataFrame, min_common: int = 2,
+                     max_fanout: int | None = 1000) -> DataFrame:
+    """Related-domain discovery by co-citation (Small 1973, applied to
+    the web by Dean & Henzinger 1999's "related pages" algorithm): two
+    domains are related when the same sources link to BOTH. Input is the
+    host graph (src_domain, dst_domain, n_links, n_src_pages); output
+    one row per unordered pair with co-citation strength:
+    (d1, d2, n_common, jaccard) where n_common = |common in-linkers| and
+    jaccard = n_common / |union of in-linkers| — the corpus-curation use
+    is mirror/family detection beyond exact link reciprocity and
+    "expand this seed domain list" for targeted crawls.
+
+    Spark-first shape — the classic co-occurrence self-join with the
+    classic guardrail: joining on src_domain mints C(out_degree, 2)
+    pairs per source, so a directory-style page linking 10^5 domains
+    mints 5·10^9 pairs alone. ``max_fanout`` drops sources with
+    out-degree above the cap via one tiny broadcast anti-join BEFORE the
+    self-join (the cap_buckets argument: such hubs assert taxonomy
+    membership, not topical kinship — standard practice in co-citation
+    mining). After the cap the pair agg is one shuffle on (d1, d2) with
+    map-side combine; per-domain in-degrees broadcast back for the
+    Jaccard denominator (|domains|-bounded)."""
+    edges = graph.select("src_domain", "dst_domain").distinct()
+    if max_fanout is not None:
+        hot = (edges.groupBy("src_domain")
+               .agg(F.count("*").alias("_fan"))
+               .where(F.col("_fan") > max_fanout)
+               .select("src_domain"))
+        edges = edges.join(F.broadcast(hot), "src_domain", "left_anti")
+    indeg = (edges.groupBy(F.col("dst_domain").alias("d"))
+             .agg(F.count("*").alias("deg")))
+    a, b = edges.alias("a"), edges.alias("b")
+    common = (a.join(b, (F.col("a.src_domain") == F.col("b.src_domain"))
+                     & (F.col("a.dst_domain") < F.col("b.dst_domain")))
+              .groupBy(F.col("a.dst_domain").alias("d1"),
+                       F.col("b.dst_domain").alias("d2"))
+              .agg(F.count("*").alias("n_common"))
+              .where(F.col("n_common") >= min_common))
+    return (common
+            .join(F.broadcast(indeg.selectExpr("d AS d1", "deg AS _g1")), "d1")
+            .join(F.broadcast(indeg.selectExpr("d AS d2", "deg AS _g2")), "d2")
+            .select("d1", "d2", "n_common",
+                    F.round(F.col("n_common") / (F.col("_g1") + F.col("_g2")
+                                                 - F.col("n_common")), 6)
+                    .alias("jaccard")))
+
+
+def recrawl_policy(old: DataFrame, new: DataFrame,
+                   base_interval: int = 16, min_interval: int = 1,
+                   url_col: str = "url", html_col: str = "html",
+                   binary: bool = True) -> DataFrame:
+    """Change-rate-driven recrawl scheduling (Cho & Garcia-Molina 2003,
+    "Effective page refresh policies for web crawlers"): estimate each
+    HOST's change fraction from two snapshots and assign a per-host
+    recrawl interval — hosts whose pages churn get short intervals,
+    static archives get long ones. The crawl-ops stage after
+    snapshot_delta: delta says WHAT changed, this decides WHEN to come
+    back.
+
+    Output: (domain, n_urls, n_changed, change_frac, interval) with
+    interval = clamp(base_interval · (1 − change_frac)², min_interval,
+    base_interval) rounded down — the quadratic is the standard convex
+    penalty (a 50%-churn host recrawls 4× more often than a static one,
+    not 2×). Deterministic integer arithmetic; NEW urls (no old
+    snapshot) don't count toward change_frac — their first revisit is
+    what establishes a rate.
+
+    Scale shape: both snapshots collapse to (url, digest) in the scan's
+    codegen span (md5 over the hex expansion — html never shuffles),
+    ONE join on url, one agg on domain. At 10^12 pages this is two
+    scans + two exchanges, both on small derived rows."""
+    def dig(c):
+        return F.md5(F.hex(F.col(c))) if binary else F.md5(F.col(c))
+
+    od = old.select(F.col(url_col).alias("url"), dig(html_col).alias("_old"))
+    nd = new.select(F.col(url_col).alias("url"),
+                    F.regexp_extract(F.col(url_col), URL_DOMAIN_RE, 1)
+                    .alias("domain"),
+                    dig(html_col).alias("_new"))
+    j = nd.join(od, "url", "left")
+    frac = (F.sum(F.when(F.col("_old").isNotNull()
+                         & (F.col("_old") != F.col("_new")), 1)
+                  .otherwise(0))
+            / F.greatest(F.sum(F.when(F.col("_old").isNotNull(), 1)
+                               .otherwise(0)), F.lit(1)))
+    return (j.groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.sum(F.when(F.col("_old").isNotNull()
+                              & (F.col("_old") != F.col("_new")), 1)
+                       .otherwise(0)).cast("long").alias("n_changed"),
+                 F.round(frac, 6).alias("change_frac"),
+                 F.greatest(
+                     F.floor(F.lit(base_interval)
+                             * (F.lit(1.0) - frac) * (F.lit(1.0) - frac)),
+                     F.lit(min_interval)).cast("long").alias("interval")))

@@ -97,6 +97,8 @@ def test_baselines_match_oracles(spark, duck):
         # r4 session-9: PQ-ADC — the index-compression leg of the ANN
         # family — and its IVF∘PQ composition (the FAISS shape)
         "ann_pq_topk", "ann_ivfpq_topk",
+        # r4 session-9: co-citation related domains + change-rate recrawl
+        "cocitation_pairs", "recrawl_policy",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -476,3 +476,61 @@ def test_robots_filter_longest_match_precedence(spark):
     assert got["https://open.example/q"]["allowed"] is True
     assert got["https://h/p/234"]["crawl_delay"] == 3.0
     assert got["https://open.example/q"]["crawl_delay"] is None
+
+
+def test_cocitation_pairs_counts_and_fanout_cap(spark):
+    """Co-citation: n_common counts distinct shared in-linkers, Jaccard
+    uses the in-linker union, min_common filters, and the fan-out cap
+    drops directory-hub sources BEFORE they mint O(deg²) pairs."""
+    from logport_spark.operators.linkgraph import cocitation_pairs
+
+    g = spark.createDataFrame(
+        [("s1", "a"), ("s1", "b"),
+         ("s2", "a"), ("s2", "b"),
+         ("s3", "a"), ("s3", "c"),
+         # hub links 5 domains — capped out at max_fanout=4
+         ("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"), ("hub", "e")],
+        "src_domain string, dst_domain string") \
+        .withColumn("n_links", F.lit(1)).withColumn("n_src_pages", F.lit(1))
+    out = {(r["d1"], r["d2"]): r
+           for r in cocitation_pairs(g, min_common=2, max_fanout=4).collect()}
+    assert set(out) == {("a", "b")}
+    assert out[("a", "b")]["n_common"] == 2
+    # in-linkers (post-cap): a={s1,s2,s3}, b={s1,s2} -> 2/(3+2-2)
+    assert out[("a", "b")]["jaccard"] == round(2 / 3, 6)
+    # without the cap the hub co-cites everything: (a,b) gains a common
+    # in-linker and (d,e) appears
+    un = {(r["d1"], r["d2"]): r["n_common"]
+          for r in cocitation_pairs(g, min_common=2, max_fanout=None).collect()}
+    assert un[("a", "b")] == 3 and ("c", "d") not in un
+
+
+def test_recrawl_policy_intervals(spark):
+    """Change fraction per host from two snapshots; quadratic interval
+    with clamps; new urls count toward n_urls but not change_frac."""
+    from logport_spark.operators.linkgraph import recrawl_policy
+
+    old = spark.createDataFrame(
+        [("https://h1/a", "x"), ("https://h1/b", "y"),
+         ("https://h2/a", "z"),
+         ("https://h3/a", "w")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("https://h1/a", "x"),          # unchanged
+         ("https://h1/b", "y2"),         # changed
+         ("https://h2/a", "z"),          # unchanged
+         ("https://h2/b", "fresh"),      # new url
+         ("https://h4/a", "allnew")],    # whole host new
+        "url string, text string")
+    got = {r["domain"]: r for r in recrawl_policy(
+        old, new, html_col="text", binary=False).collect()}
+    h1 = got["h1"]
+    assert (h1["n_urls"], h1["n_changed"], h1["change_frac"],
+            h1["interval"]) == (2, 1, 0.5, 4)  # floor(16 * 0.25)
+    h2 = got["h2"]
+    assert (h2["n_urls"], h2["n_changed"], h2["change_frac"],
+            h2["interval"]) == (2, 0, 0.0, 16)
+    h4 = got["h4"]
+    assert (h4["n_urls"], h4["n_changed"], h4["change_frac"],
+            h4["interval"]) == (1, 0, 0.0, 16)
+    assert "h3" not in got  # dropped from the new crawl -> no schedule row

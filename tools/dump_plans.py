@@ -445,6 +445,22 @@ ANNOTATED = {
         "two-phase top-rerank, exact-cosine rerank on candidate ids "
         "only. The corpus-side stream is cell+32-bit code per vector."
     ),
+    "cocitation_pairs": (
+        "Co-citation self-join with the fan-out guardrail: hot sources "
+        "drop via a broadcast anti-join BEFORE the self-join (a "
+        "directory hub would mint C(out_degree, 2) pairs), the pair "
+        "aggregate is one map-side-combined exchange on (d1, d2), and "
+        "in-degrees come back as broadcasts for the Jaccard "
+        "denominator. Everything downstream of link extraction is "
+        "|host-graph|-sized."
+    ),
+    "recrawl_policy": (
+        "Two snapshot scans collapse to (url, digest) inside their scan "
+        "spans — page text never shuffles; ONE join on url and ONE "
+        "domain aggregate (partial+final) produce the per-host "
+        "schedule. The interval arithmetic is a codegen projection on "
+        "the aggregate output."
+    ),
 }
 
 

@@ -1761,6 +1761,11 @@ _ROTATE_IN = [
     "crawl_frontier",       # anti-join frontier + multi-distinct top-k (s7)
     "host_quality",         # per-host ban induction from page policy (s7)
     "bloom_contamination",  # zero-shuffle decontamination prefilter (s8)
+    "ann_ivfpq_topk",       # IVF∘PQ residual quantization — the ANN family's
+                            # 10^9-vector scale path (supersedes ann_ivf_topk
+                            # as the graded representative, s9)
+    "robots_filter",        # RFC 9309 host-level crawl compliance — no
+                            # family twin (html_policy is page-level) (s9)
 ]
 _ROTATE_OUT = [
     "dedup_exact",          # family graded via dedup_clusters (same DAG+)
@@ -1795,6 +1800,10 @@ _ROTATE_OUT = [
                                # trained-centroid scale path); the
                                # hyperplane-LSH variant stays value-checked
                                # in baselines (s8, for bloom_contamination)
+    "ann_ivf_topk",            # superseded as the graded ANN representative
+                               # by ann_ivfpq_topk (IVF∘PQ composes it) (s9)
+    "error_click_pairs",       # interval-join family keeps
+                               # asof_purchase_click graded (s9)
 ]
 
 

@@ -90,13 +90,16 @@ def test_baselines_match_oracles(spark, duck):
         "epoch_upsample", "filter_funnel", "inverted_index",
         "cdx_index", "warc_export", "gopher_signals",
         # r4 session-9: canonical-chain resolution (pointer doubling),
-        # RFC 9309 robots parse + longest-match frontier verdicts,
         # A-ES weighted sampling, CCNet per-line language segmentation
-        "redirect_resolve", "robots_filter",
+        # (robots_filter claimed a contract slot)
+        "redirect_resolve",
         "weighted_sample", "lang_segments",
         # r4 session-9: PQ-ADC — the index-compression leg of the ANN
-        # family — and its IVF∘PQ composition (the FAISS shape)
-        "ann_pq_topk", "ann_ivfpq_topk",
+        # family (its IVF∘PQ composition claimed a contract slot;
+        # ann_ivf_topk and error_click_pairs displaced here — the ANN
+        # family keeps ann_ivfpq_topk graded, interval joins keep
+        # asof_purchase_click)
+        "ann_pq_topk", "ann_ivf_topk", "error_click_pairs",
         # r4 session-9: co-citation related domains + change-rate recrawl
         "cocitation_pairs", "recrawl_policy",
     }

@@ -1447,6 +1447,43 @@ def _recrawl_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recrawl_policy(old, new, html_col="text", binary=False)
 
 
+def _crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-stack composite (the web_curation/training_export
+    pattern applied to fetching): synthesize per-host robots (the
+    robots_filter fixture), verdict every url, PASS ONLY ALLOWED urls
+    into politeness scheduling, and stamp each fetch with its earliest
+    start time eta = wave · crawl_delay (default 1s when the host sets
+    none) — what a fetcher fleet actually consumes: (url, domain,
+    fetch_seq, wave, eta_sec)."""
+    from logport_spark.operators.linkgraph import (
+        URL_DOMAIN_RE, crawl_schedule, parse_robots, robots_filter,
+    )
+
+    pages = _pages(spark, sf_dir).select("url")
+    host = F.regexp_extract("url", URL_DOMAIN_RE, 1)
+    d = F.pmod(F.conv(F.substring(F.md5(F.col("host")), 1, 2), 16, 10)
+               .cast("long"), F.lit(12))
+    body = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        F.when(d % 3 == 0, F.lit("Disallow: /p/")),
+        F.when(d % 3 == 0, F.lit("Allow: /p/1")),
+        F.lit("Disallow: /private/"),
+        F.when(d % 2 == 0, F.concat(F.lit("Crawl-delay: "),
+                                    (d % 5 + 1).cast("string"))),
+    )
+    robots = (pages.select(host.alias("host")).distinct()
+              .select("host", body.alias("body")))
+    verdicts = robots_filter(pages, parse_robots(robots))
+    allowed = verdicts.where(F.col("allowed")) \
+        .select("url", F.coalesce("crawl_delay", F.lit(1.0)).alias("_delay"))
+    sched = crawl_schedule(allowed.select("url"))
+    return (sched.join(allowed, "url")
+            .select("url", "domain", "fetch_seq", "wave",
+                    F.round(F.col("wave") * F.col("_delay"), 6)
+                    .alias("eta_sec")))
+
+
 def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC search (Jégou et al. 2011): 32-bit codes
     (64× smaller than the raw vectors), asymmetric-distance candidate
@@ -1730,6 +1767,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": _ann_ivfpq_topk,  # IVF cells + residual PQ (FAISS shape)
         "cocitation_pairs": _cocitation_pairs,  # related domains by co-citation
         "recrawl_policy": _recrawl_policy,  # change-rate recrawl intervals
+        "crawl_plan": _crawl_plan,  # robots -> politeness -> eta composite
     }
 
 
@@ -4692,6 +4730,52 @@ def _baseline_oracle_registry() -> dict[str, str]:
                          / (g1.deg + g2.deg - n_common), 6) AS jaccard
             FROM cm JOIN ind g1 ON g1.d = cm.d1
                     JOIN ind g2 ON g2.d = cm.d2
+        """,
+        # crawl_plan: robots ground truth (md5 arithmetic) -> allowed urls
+        # -> the crawl_schedule window shape -> eta = wave * delay
+        "crawl_plan": f"""
+            WITH u AS (
+              SELECT url,
+                     regexp_extract(url, '{_URLDOM_RE_SQL}', 1) AS host,
+                     CASE WHEN regexp_replace(url,
+                              '^[a-z][a-z0-9+.-]*://[^/?#]*', '') = ''
+                          THEN '/'
+                          ELSE regexp_replace(url,
+                              '^[a-z][a-z0-9+.-]*://[^/?#]*', '') END
+                       AS path
+              FROM {_PAGES}),
+            h AS (
+              SELECT *, CAST((
+                  (strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1)
+                    * 16
+                + (strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1)
+                ) % 12 AS BIGINT) AS dv
+              FROM u),
+            al AS (
+              SELECT url, host AS domain,
+                     CASE WHEN dv % 2 = 0
+                          THEN CAST(dv % 5 + 1 AS DOUBLE)
+                          ELSE 1.0 END AS delay
+              FROM h
+              WHERE CASE WHEN starts_with(path, '/private/') THEN FALSE
+                         WHEN dv % 3 = 0 AND starts_with(path, '/p/1')
+                              THEN TRUE
+                         WHEN dv % 3 = 0 AND starts_with(path, '/p/')
+                              THEN FALSE
+                         ELSE TRUE END),
+            t AS (SELECT url, domain, delay,
+                         CAST(({_HEX8.format(h="md5(url)")}) % 16 AS INT)
+                           AS bucket
+                  FROM al),
+            s AS (SELECT url, domain, delay, bucket,
+                         CAST((row_number() OVER (
+                                 PARTITION BY domain, bucket
+                                 ORDER BY url) - 1) * 16 + bucket
+                              AS BIGINT) AS fetch_seq
+                  FROM t)
+            SELECT url, domain, fetch_seq, fetch_seq AS wave,
+                   round(fetch_seq * delay, 6) AS eta_sec
+            FROM s
         """,
         # recrawl_policy: the snapshot_delta bucket carving, per-host
         # change fraction, quadratic interval with the same clamps

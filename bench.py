@@ -103,6 +103,7 @@ def _headline_queries():
         "ann_ivfpq_topk",                          # r4 IVF + residual PQ
         "cocitation_pairs",                        # r4 related-domain mining
         "recrawl_policy",                          # r4 change-rate scheduling
+        "crawl_plan",                              # r4 robots->schedule composite
     ):
         if opt in qs:
             names.append(opt)

@@ -101,7 +101,8 @@ def test_baselines_match_oracles(spark, duck):
         # asof_purchase_click)
         "ann_pq_topk", "ann_ivf_topk", "error_click_pairs",
         # r4 session-9: co-citation related domains + change-rate recrawl
-        "cocitation_pairs", "recrawl_policy",
+        # + the robots -> politeness -> eta fetch-plan composite
+        "cocitation_pairs", "recrawl_policy", "crawl_plan",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -454,6 +454,13 @@ ANNOTATED = {
         "denominator. Everything downstream of link extraction is "
         "|host-graph|-sized."
     ),
+    "crawl_plan": (
+        "The fetch-plan composite: the robots verdict join (host-keyed, "
+        "rule side tiny) feeds the politeness window — the schedule's "
+        "(domain, bucket) exchange is the only wide step over the "
+        "allowed-url stream, and the crawl-delay column rides the "
+        "verdict join instead of a second rules pass."
+    ),
     "recrawl_policy": (
         "Two snapshot scans collapse to (url, digest) inside their scan "
         "spans — page text never shuffles; ONE join on url and ONE "

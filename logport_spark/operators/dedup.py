@@ -708,13 +708,21 @@ def bloom_m_words(n_items: int, fp_rate: float = 0.01,
     1% fp ≈ 19 bits/item, 2% ≈ 13 bits/item."""
     import math
 
+    if not 1 <= k <= 4:
+        raise ValueError("k must be in 1..4 (the bloom_build contract)")
     if n_items <= 0:
         return 512
     if not (0.0 < fp_rate < 1.0):
         raise ValueError("fp_rate must be in (0, 1)")
     fill = 1.0 - fp_rate ** (1.0 / k)  # required per-bit CLEAR probability
+    if fill >= 1.0:
+        raise ValueError("fp_rate too small to represent at this k")
     m_bits = k * n_items / -math.log(fill)
-    return max(512, 1 << (int(m_bits / 32 - 1)).bit_length())
+    # ceil to whole words BEFORE the power-of-two step: int() truncation
+    # here rounded DOWN whenever the requirement sat fractionally above a
+    # power of two, under-sizing the bitmap past the fp target
+    need = -(-int(math.ceil(m_bits)) // 32)
+    return max(512, 1 << (need - 1).bit_length())
 
 
 def bloom_build(docs: DataFrame, n: int = 3, m_words: int = 4096,

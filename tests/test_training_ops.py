@@ -1766,16 +1766,29 @@ def test_bloom_m_words_sizing():
 
     from logport_spark.operators.dedup import bloom_m_words
 
-    for n, p in ((10_000, 0.01), (1_000_000, 0.02), (123, 0.1)):
+    for n, p in ((10_000, 0.01), (1_000_000, 0.02), (123, 0.1),
+                 (864, 0.01)):  # 864: needs 512.53 words — must round UP
         m_words = bloom_m_words(n, p, k=2)
         assert m_words & (m_words - 1) == 0  # power of two
         m_bits = m_words * 32
         achieved = (1 - math.exp(-2 * n / m_bits)) ** 2
-        assert achieved <= p * 1.05, (n, p, achieved)
+        # rounding is UP, so the target is met exactly, never exceeded
+        assert achieved <= p, (n, p, achieved)
     assert bloom_m_words(0) == 512
+    # linear in n (the docstring claim): pow2 rounding keeps the ratio
+    # within [64, 256] around the ideal 100x
+    assert 64 <= bloom_m_words(1_000_000, 0.01) / bloom_m_words(10_000, 0.01) <= 256
     # ~19 bits/item at 1% / k=2 (docstring claim)
     m = bloom_m_words(100_000, 0.01)
     assert 16 <= m * 32 / 100_000 <= 40  # pow2 rounding can double it
+    # guard rails: k outside the bloom_build contract, unrepresentable fp
+    import pytest
+    with pytest.raises(ValueError):
+        bloom_m_words(100, 0.01, k=0)
+    with pytest.raises(ValueError):
+        bloom_m_words(100, 0.01, k=5)
+    with pytest.raises(ValueError):
+        bloom_m_words(100, 1e-300, k=2)
 
 
 def test_weighted_sample_deterministic_and_biased(spark):

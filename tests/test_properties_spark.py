@@ -1,0 +1,150 @@
+"""Hypothesis property tests that drive the SPARK operators against
+pure-Python reference implementations on randomized whole tables — the
+complement to test_properties_hypothesis.py (pure kernels) and the fixed
+DuckDB oracles (one dataset): each example is a small random table, so
+the properties sweep input shapes the fixtures never contain (deep
+chains, rule shadowing, tie pile-ups). Few examples, whole-table
+compares — Spark jobs are per-example, so max_examples stays small."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SPARK_SETTINGS = dict(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+
+NODES = [f"n{i}" for i in range(12)]
+
+
+@given(edges=st.lists(
+    st.tuples(st.sampled_from(NODES), st.sampled_from(NODES)),
+    min_size=1, max_size=30))
+@settings(**SPARK_SETTINGS)
+def test_resolve_redirects_matches_python_walk(spark, edges):
+    """On ANY random functional-ized graph (dup srcs collapse to
+    min(dst)), the engine equals a step-at-a-time Python walk capped at
+    16 hops — chains, rho tails, self-loops, and cycles included."""
+    from logport_spark.operators.linkgraph import resolve_redirects
+
+    fn = {}
+    for s, d in edges:
+        fn[s] = min(fn[s], d) if s in fn else d
+    expect = {}
+    for s in fn:
+        ptr, hops = fn[s], 1
+        while hops < 16 and ptr in fn:
+            ptr, hops = fn[ptr], hops + 1
+        expect[s] = (ptr, hops, ptr in fn)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["src"]: (r["final_url"], r["hops"], r["cyclic"])
+           for r in resolve_redirects(df, max_hops=16).collect()}
+    assert got == expect
+
+
+_RULE_LINES = st.sampled_from([
+    "User-agent: *",
+    "User-agent: evilbot",
+    "Allow: /a",
+    "Allow: /a/b",
+    "Disallow: /a",
+    "Disallow: /a/b/c",
+    "Disallow: /b",
+    "Allow:",            # empty value — never matches
+    "Crawl-delay: 2",
+    "# comment",
+    "",
+    "garbage line without a field",
+])
+_PATHS = st.sampled_from(["/a", "/a/b", "/a/b/c", "/a/bx", "/b", "/c", "/"])
+
+
+def _py_robots_verdict(lines: list[str], path: str):
+    """Reference RFC 9309 subset: record grouping, '*'-agent rules,
+    longest prefix wins, allow beats disallow on ties, default allow."""
+    recs, cur_agents, cur_rules, in_ua = [], [], [], False
+    for raw in lines:
+        line = raw.split("#")[0]
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field, value = field.strip().lower(), value.strip().split()[0] if value.strip() else ""
+        if not field or not field.replace("-", "").isalpha():
+            continue
+        if field == "user-agent":
+            if not in_ua:
+                if cur_agents:
+                    recs.append((cur_agents, cur_rules))
+                cur_agents, cur_rules, in_ua = [], [], True
+            cur_agents.append(value.lower())
+        else:
+            in_ua = False
+            if cur_agents:
+                cur_rules.append((field, value))
+    if cur_agents:
+        recs.append((cur_agents, cur_rules))
+    rules = [r for agents, rs in recs if "*" in agents for r in rs]
+    best, delay = None, None
+    for field, value in rules:
+        if field == "crawl-delay" and value:
+            try:
+                d = float(value)
+                delay = d if delay is None else max(delay, d)
+            except ValueError:
+                pass
+        if field in ("allow", "disallow") and value and path.startswith(value):
+            pri = len(value) * 2 + (1 if field == "allow" else 0)
+            if best is None or pri > best[0]:
+                best = (pri, field == "allow")
+    return (best[1] if best else True), delay
+
+
+@given(lines=st.lists(_RULE_LINES, min_size=1, max_size=14),
+       paths=st.lists(_PATHS, min_size=1, max_size=6, unique=True))
+@settings(**SPARK_SETTINGS)
+def test_robots_pipeline_matches_python_reference(spark, lines, paths):
+    """parse_robots + robots_filter on ANY random rule file equals the
+    reference implementation of the documented grammar + precedence."""
+    from logport_spark.operators.linkgraph import parse_robots, robots_filter
+
+    body = "\n".join(lines)
+    robots = spark.createDataFrame([("h", body)], "host string, body string")
+    urls = spark.createDataFrame([(f"https://h{p}",) for p in paths],
+                                 "url string")
+    got = {r["url"]: (r["allowed"], r["crawl_delay"])
+           for r in robots_filter(urls, parse_robots(robots)).collect()}
+    for p in paths:
+        assert got[f"https://h{p}"] == _py_robots_verdict(lines, p), (
+            body, p)
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 10_000),
+              st.floats(min_value=0.1, max_value=50.0,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=40, unique_by=lambda t: t[0]),
+    k=st.integers(1, 10))
+@settings(**SPARK_SETTINGS)
+def test_weighted_sample_matches_python_reference(spark, rows, k):
+    """A-ES on ANY random (id, weight) table equals the Python
+    re-derivation: same keys, same top-k, same order under the
+    (es_key DESC, id) tiebreak."""
+    from logport_spark.operators.sampling import weighted_sample
+
+    def es_key(i, w):
+        v = int(hashlib.md5(f"ws42{i}".encode()).hexdigest()[:8], 16)
+        return round(math.log((v + 0.5) / 4294967296.0) / w, 8)
+
+    expect = sorted(rows, key=lambda r: (-es_key(r[0], r[1]), r[0]))[:k]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [(r["doc_id"], r["w"]) for r in
+           weighted_sample(df, k=k, weight_col="w")
+           .orderBy("es_key", ascending=False).collect()]
+    got.sort(key=lambda r: (-es_key(r[0], r[1]), r[0]))
+    assert got == expect

@@ -1449,32 +1449,18 @@ def _recrawl_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl-stack composite (the web_curation/training_export
-    pattern applied to fetching): synthesize per-host robots (the
-    robots_filter fixture), verdict every url, PASS ONLY ALLOWED urls
-    into politeness scheduling, and stamp each fetch with its earliest
-    start time eta = wave · crawl_delay (default 1s when the host sets
-    none) — what a fetcher fleet actually consumes: (url, domain,
-    fetch_seq, wave, eta_sec)."""
+    pattern applied to fetching): the SHARED robots fixture
+    (_robots_fixture — same bodies as the robots_filter query), verdict
+    every url, PASS ONLY ALLOWED urls into politeness scheduling, and
+    stamp each fetch with its earliest start time eta = wave ·
+    crawl_delay (default 1s when the host sets none) — what a fetcher
+    fleet actually consumes: (url, domain, fetch_seq, wave, eta_sec)."""
     from logport_spark.operators.linkgraph import (
-        URL_DOMAIN_RE, crawl_schedule, parse_robots, robots_filter,
+        crawl_schedule, parse_robots, robots_filter,
     )
 
     pages = _pages(spark, sf_dir).select("url")
-    host = F.regexp_extract("url", URL_DOMAIN_RE, 1)
-    d = F.pmod(F.conv(F.substring(F.md5(F.col("host")), 1, 2), 16, 10)
-               .cast("long"), F.lit(12))
-    body = F.concat_ws(
-        "\n",
-        F.lit("User-agent: *"),
-        F.when(d % 3 == 0, F.lit("Disallow: /p/")),
-        F.when(d % 3 == 0, F.lit("Allow: /p/1")),
-        F.lit("Disallow: /private/"),
-        F.when(d % 2 == 0, F.concat(F.lit("Crawl-delay: "),
-                                    (d % 5 + 1).cast("string"))),
-    )
-    robots = (pages.select(host.alias("host")).distinct()
-              .select("host", body.alias("body")))
-    verdicts = robots_filter(pages, parse_robots(robots))
+    verdicts = robots_filter(pages, parse_robots(_robots_fixture(pages)))
     allowed = verdicts.where(F.col("allowed")) \
         .select("url", F.coalesce("crawl_delay", F.lit(1.0)).alias("_delay"))
     sched = crawl_schedule(allowed.select("url"))
@@ -1546,20 +1532,20 @@ def _redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(edges, max_hops=16)
 
 
-def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFC 9309 compliance end-to-end: synthesize a deterministic
-    robots.txt per host (rules are md5(host)-digit arithmetic, so the
-    oracle re-derives the GROUND-TRUTH verdicts without parsing — a
-    parse or precedence bug in the engine shows up as a value
-    mismatch), parse it (parse_robots), and verdict every page url with
-    longest-match/allow-wins precedence (robots_filter). Bodies include
-    a comment, a blank line, an always-present rule that matches no
-    page, and a two-agent second record the '*' filter must ignore."""
-    from logport_spark.operators.linkgraph import (
-        URL_DOMAIN_RE, parse_robots, robots_filter,
-    )
+def _robots_fixture(pages: DataFrame) -> DataFrame:
+    """Shared synthetic robots.txt fixture: one body per distinct host,
+    every rule a pure function of two md5(host) hex digits (d in 0..11)
+    — d%3==0 gates the /p/ disallow + /p/1 allow pair, d%2==0 the
+    crawl-delay — so SQL oracles re-derive GROUND-TRUTH verdicts from
+    the same arithmetic without parsing (see _ROBOTS_UH_SQL, the SQL
+    half of this contract). Bodies include a comment, a blank line, an
+    always-present rule that matches no page url, and a two-agent
+    second record the '*' filter must ignore. ONE definition feeds both
+    the robots_filter and crawl_plan queries AND (via the arithmetic)
+    both their oracles — editing a rule in one place and not the other
+    is a hash mismatch, not a silent drift."""
+    from logport_spark.operators.linkgraph import URL_DOMAIN_RE
 
-    pages = _pages(spark, sf_dir).select("url")
     host = F.regexp_extract("url", URL_DOMAIN_RE, 1)
     d = F.pmod(F.conv(F.substring(F.md5(F.col("host")), 1, 2), 16, 10)
                .cast("long"), F.lit(12))
@@ -1577,9 +1563,19 @@ def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("User-agent: badbot"),
         F.lit("Disallow: /"),
     )
-    robots = (pages.select(host.alias("host")).distinct()
-              .select("host", body.alias("body")))
-    return robots_filter(pages, parse_robots(robots))
+    return (pages.select(host.alias("host")).distinct()
+            .select("host", body.alias("body")))
+
+
+def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 compliance end-to-end: synthesize the deterministic
+    robots fixture (_robots_fixture), parse it (parse_robots), and
+    verdict every page url with longest-match/allow-wins precedence
+    (robots_filter)."""
+    from logport_spark.operators.linkgraph import parse_robots, robots_filter
+
+    pages = _pages(spark, sf_dir).select("url")
+    return robots_filter(pages, parse_robots(_robots_fixture(pages)))
 
 
 def _training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3296,6 +3292,37 @@ def _host_quality_sql(pfx: str = "") -> str:
     return _HOST_QUALITY_BODY.replace("{pfx}", pfx)
 
 
+
+# (url, host, path, dv) base for the robots-fixture oracles: the SQL half
+# of _robots_fixture's contract — dv re-derives the same two md5(host) hex
+# digits the Spark fixture builds its rules from, and ALLOWED/DELAY are
+# shared so robots_filter and crawl_plan grade one policy, not two copies
+_ROBOTS_UH_SQL = f"""
+            WITH u AS (
+              SELECT url,
+                     regexp_extract(url, '{_URLDOM_RE_SQL}', 1) AS host,
+                     CASE WHEN regexp_replace(url,
+                              '^[a-z][a-z0-9+.-]*://[^/?#]*', '') = ''
+                          THEN '/'
+                          ELSE regexp_replace(url,
+                              '^[a-z][a-z0-9+.-]*://[^/?#]*', '') END
+                       AS path
+              FROM {_PAGES}),
+            h AS (
+              SELECT *, CAST((
+                  (strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1)
+                    * 16
+                + (strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1)
+                ) % 12 AS BIGINT) AS dv
+              FROM u)"""
+_ROBOTS_ALLOWED_SQL = """CASE WHEN starts_with(path, '/private/') THEN FALSE
+                        WHEN dv % 3 = 0 AND starts_with(path, '/p/1')
+                             THEN TRUE
+                        WHEN dv % 3 = 0 AND starts_with(path, '/p/')
+                             THEN FALSE
+                        ELSE TRUE END"""
+_ROBOTS_DELAY_SQL = "CASE WHEN dv % 2 = 0 THEN CAST(dv % 5 + 1 AS DOUBLE) END"
+
 _HOST_QUALITY_SQL = _host_quality_sql()
 
 
@@ -4661,33 +4688,10 @@ def _baseline_oracle_registry() -> dict[str, str]:
         # /p/* denied); /private/ always denied (matches no page url);
         # d%2==0 -> Crawl-delay d%5+1; the evilbot/badbot record is
         # invisible to agent '*'
-        "robots_filter": f"""
-            WITH u AS (
-              SELECT url,
-                     regexp_extract(url, '{_URLDOM_RE_SQL}', 1) AS host,
-                     CASE WHEN regexp_replace(url,
-                              '^[a-z][a-z0-9+.-]*://[^/?#]*', '') = ''
-                          THEN '/'
-                          ELSE regexp_replace(url,
-                              '^[a-z][a-z0-9+.-]*://[^/?#]*', '') END
-                       AS path
-              FROM {_PAGES}),
-            h AS (
-              SELECT *, CAST((
-                  (strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1)
-                    * 16
-                + (strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1)
-                ) % 12 AS BIGINT) AS dv
-              FROM u)
+        "robots_filter": _ROBOTS_UH_SQL + f"""
             SELECT url, host,
-                   CASE WHEN starts_with(path, '/private/') THEN FALSE
-                        WHEN dv % 3 = 0 AND starts_with(path, '/p/1')
-                             THEN TRUE
-                        WHEN dv % 3 = 0 AND starts_with(path, '/p/')
-                             THEN FALSE
-                        ELSE TRUE END AS allowed,
-                   CASE WHEN dv % 2 = 0
-                        THEN CAST(dv % 5 + 1 AS DOUBLE) END AS crawl_delay
+                   {_ROBOTS_ALLOWED_SQL} AS allowed,
+                   {_ROBOTS_DELAY_SQL} AS crawl_delay
             FROM h
         """,
         # weighted_sample: identical A-ES arithmetic — u from the same
@@ -4733,36 +4737,12 @@ def _baseline_oracle_registry() -> dict[str, str]:
         """,
         # crawl_plan: robots ground truth (md5 arithmetic) -> allowed urls
         # -> the crawl_schedule window shape -> eta = wave * delay
-        "crawl_plan": f"""
-            WITH u AS (
-              SELECT url,
-                     regexp_extract(url, '{_URLDOM_RE_SQL}', 1) AS host,
-                     CASE WHEN regexp_replace(url,
-                              '^[a-z][a-z0-9+.-]*://[^/?#]*', '') = ''
-                          THEN '/'
-                          ELSE regexp_replace(url,
-                              '^[a-z][a-z0-9+.-]*://[^/?#]*', '') END
-                       AS path
-              FROM {_PAGES}),
-            h AS (
-              SELECT *, CAST((
-                  (strpos('0123456789abcdef', substr(md5(host), 1, 1)) - 1)
-                    * 16
-                + (strpos('0123456789abcdef', substr(md5(host), 2, 1)) - 1)
-                ) % 12 AS BIGINT) AS dv
-              FROM u),
-            al AS (
+        "crawl_plan": _ROBOTS_UH_SQL + f"""
+            , al AS (
               SELECT url, host AS domain,
-                     CASE WHEN dv % 2 = 0
-                          THEN CAST(dv % 5 + 1 AS DOUBLE)
-                          ELSE 1.0 END AS delay
+                     coalesce({_ROBOTS_DELAY_SQL}, 1.0) AS delay
               FROM h
-              WHERE CASE WHEN starts_with(path, '/private/') THEN FALSE
-                         WHEN dv % 3 = 0 AND starts_with(path, '/p/1')
-                              THEN TRUE
-                         WHEN dv % 3 = 0 AND starts_with(path, '/p/')
-                              THEN FALSE
-                         ELSE TRUE END),
+              WHERE {_ROBOTS_ALLOWED_SQL}),
             t AS (SELECT url, domain, delay,
                          CAST(({_HEX8.format(h="md5(url)")}) % 16 AS INT)
                            AS bucket

@@ -586,6 +586,45 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
                       enc(F.col(vec_col)).alias("codes"))
 
 
+def _adc_topk_rerank(stacked: DataFrame, emb: DataFrame,
+                     query_ids: list[int], k: int, rerank: int,
+                     n_salts: int, id_col: str, vec_col: str) -> DataFrame:
+    """Shared PQ/IVF∘PQ tail: salted two-phase top-``rerank`` on
+    (adc ASC, neighbor_id ASC) over the (query_id, neighbor_id, adc)
+    stream, then the exact-cosine rerank join — ONE copy of the
+    determinism-critical path (salting, tiebreaks, rounding) for both
+    ANN legs."""
+    from pyspark.sql import Window
+
+    order = [F.asc("adc"), F.asc("neighbor_id")]
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    cands = (stacked
+             .withColumn("_salt", F.pmod(F.xxhash64("neighbor_id"),
+                                         F.lit(n_salts)))
+             .withColumn("_r1", F.row_number().over(w1))
+             .where(F.col("_r1") <= rerank)
+             .withColumn("_r2", F.row_number().over(w2))
+             .where(F.col("_r2") <= rerank)
+             .select("query_id", "neighbor_id"))
+    vecs = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("_vid"), F.col("_vecd").alias("_v"),
+        F.col("norm").alias("_nm"))
+    qv = vecs.filter(F.col("_vid").isin(query_ids)).select(
+        F.col("_vid").alias("query_id"), F.col("_v").alias("v1"),
+        F.col("_nm").alias("n1"))
+    nv = vecs.select(F.col("_vid").alias("neighbor_id"),
+                     F.col("_v").alias("v2"), F.col("_nm").alias("n2"))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id"))
+    return (cands.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+            .withColumn("cos", _dot("v1", "v2") / (F.col("n1") * F.col("n2")))
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos", 4).alias("cos"), "rank"))
+
+
 def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
             m: int = 8, ksub: int = 16, rerank: int = 50,
             id_col: str = "vec_id", vec_col: str = "embedding",
@@ -629,19 +668,26 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     }
     codes = pq_encode(emb, cbs, id_col, vec_col)
     # per-query flat LUT literal: entry 16*s + (code-1) + 1 (1-based)
-    adc_cols = []
+    with_luts = codes
     for q in query_ids:
         qv = qvecs[q]
         flat = [
             _seq_l2sq(qv[s * dsub:(s + 1) * dsub], cbs[s][j])
             for s in range(m) for j in range(ksub)
         ]
-        lut = "array(" + ", ".join(repr(x) for x in flat) + ")"
-        terms = " + ".join(
-            f"element_at({lut}, {s * ksub} + element_at(codes, {s + 1}))"
-            for s in range(m))
-        adc_cols.append(F.expr(terms).alias(f"_adc_{q}"))
-    scored = codes.select("_id", *adc_cols)
+        # bind the 128-entry LUT literal ONCE per query; the 8 probe
+        # terms reference the column (constant-folds identically, 1/8
+        # the expression-text payload through parse/analyze)
+        with_luts = with_luts.withColumn(
+            f"_lut_{q}",
+            F.expr("array(" + ", ".join(repr(x) for x in flat) + ")"))
+    adc_cols = [
+        F.expr(" + ".join(
+            f"element_at(_lut_{q}, {s * ksub} + element_at(codes, {s + 1}))"
+            for s in range(m))).alias(f"_adc_{q}")
+        for q in query_ids
+    ]
+    scored = with_luts.select("_id", *adc_cols)
     qarr = F.array(*[F.lit(int(q)) for q in query_ids])
     stacked = (scored.select(
         "_id", F.posexplode(F.array(
@@ -649,33 +695,8 @@ def pq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         .select(F.element_at(qarr, F.col("qi") + 1).alias("query_id"),
                 F.col("_id").alias("neighbor_id"), "adc")
         .where(F.col("neighbor_id") != F.col("query_id")))
-    order = [F.asc("adc"), F.asc("neighbor_id")]
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    cands = (stacked
-             .withColumn("_salt", F.pmod(F.xxhash64("neighbor_id"),
-                                         F.lit(n_salts)))
-             .withColumn("_r1", F.row_number().over(w1))
-             .where(F.col("_r1") <= rerank)
-             .withColumn("_r2", F.row_number().over(w2))
-             .where(F.col("_r2") <= rerank)
-             .select("query_id", "neighbor_id"))
-    vecs = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("_vid"), F.col("_vecd").alias("_v"),
-        F.col("norm").alias("_nm"))
-    qv = vecs.filter(F.col("_vid").isin(query_ids)).select(
-        F.col("_vid").alias("query_id"), F.col("_v").alias("v1"),
-        F.col("_nm").alias("n1"))
-    nv = vecs.select(F.col("_vid").alias("neighbor_id"),
-                     F.col("_v").alias("v2"), F.col("_nm").alias("n2"))
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id"))
-    return (cands.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
-            .withColumn("cos", _dot("v1", "v2") / (F.col("n1") * F.col("n2")))
-            .withColumn("rank", F.row_number().over(wr))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id",
-                    F.round("cos", 4).alias("cos"), "rank"))
+    return _adc_topk_rerank(stacked, emb, query_ids, k, rerank,
+                            n_salts, id_col, vec_col)
 
 
 def pq_codebooks_kmeans(emb: DataFrame, m: int = 8, ksub: int = 16,
@@ -780,8 +801,6 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     (cells, residuals, codes, LUT entries, the Σ over subspaces)
     follows ONE fold order, so the SQL oracle reproduces the exact
     candidate set."""
-    from pyspark.sql import Window
-
     cents = centroids if centroids is not None else \
         lowest_id_centroids(emb, nlist, id_col, vec_col)
     cbs = codebooks if codebooks is not None else \
@@ -857,30 +876,5 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                .where(F.col("_id") != F.col("query_id"))
                .select("query_id", F.col("_id").alias("neighbor_id"),
                        F.expr(adc).alias("adc")))
-    order = [F.asc("adc"), F.asc("neighbor_id")]
-    w1 = Window.partitionBy("query_id", "_salt").orderBy(*order)
-    w2 = Window.partitionBy("query_id").orderBy(*order)
-    cands = (stacked
-             .withColumn("_salt", F.pmod(F.xxhash64("neighbor_id"),
-                                         F.lit(n_salts)))
-             .withColumn("_r1", F.row_number().over(w1))
-             .where(F.col("_r1") <= rerank)
-             .withColumn("_r2", F.row_number().over(w2))
-             .where(F.col("_r2") <= rerank)
-             .select("query_id", "neighbor_id"))
-    vecs = with_norm(emb, vec_col).select(
-        F.col(id_col).alias("_vid"), F.col("_vecd").alias("_v"),
-        F.col("norm").alias("_nm"))
-    qv = vecs.filter(F.col("_vid").isin(query_ids)).select(
-        F.col("_vid").alias("query_id"), F.col("_v").alias("v1"),
-        F.col("_nm").alias("n1"))
-    nv = vecs.select(F.col("_vid").alias("neighbor_id"),
-                     F.col("_v").alias("v2"), F.col("_nm").alias("n2"))
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id"))
-    return (cands.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
-            .withColumn("cos", _dot("v1", "v2") / (F.col("n1") * F.col("n2")))
-            .withColumn("rank", F.row_number().over(wr))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id",
-                    F.round("cos", 4).alias("cos"), "rank"))
+    return _adc_topk_rerank(stacked, emb, query_ids, k, rerank,
+                            n_salts, id_col, vec_col)

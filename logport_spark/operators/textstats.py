@@ -1070,7 +1070,11 @@ def lang_segments(docs: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import functions as F
 
-    langs = sorted(LANG_MARKERS) + ["und"]
+    # lexicographic over the FULL label set including 'und' — the
+    # documented (count DESC, lang ASC) tiebreak the oracle runs; 'und'
+    # appended un-sorted would break ties by list position instead the
+    # day a language sorting after 'und' (vi, zh) joins the marker set
+    langs = sorted(list(LANG_MARKERS) + ["und"])
     tok2lang = F.lit(None).cast("string")
     for lang in sorted(LANG_MARKERS, reverse=True):
         tok2lang = F.when(F.col("tok").isin(*LANG_MARKERS[lang]),

@@ -148,3 +148,88 @@ def test_weighted_sample_matches_python_reference(spark, rows, k):
            .orderBy("es_key", ascending=False).collect()]
     got.sort(key=lambda r: (-es_key(r[0], r[1]), r[0]))
     assert got == expect
+
+
+_MARKER_TOKENS = ["the", "and", "der", "und", "los", "que",
+                  "les", "une", "nao", "com", "xyz", "qqq"]
+
+
+@given(docs=st.lists(
+    st.lists(st.lists(st.sampled_from(_MARKER_TOKENS), min_size=0,
+                      max_size=6),
+             min_size=1, max_size=6),
+    min_size=1, max_size=6))
+@settings(**SPARK_SETTINGS)
+def test_lang_segments_matches_python_reference(spark, docs):
+    """On ANY random doc set (lines of random marker/non-marker tokens),
+    the rollup equals a reference: per-line marker argmax (tie -> lang
+    ASC, none -> und), dominant by (count DESC, lang ASC)."""
+    from logport_spark.operators.textstats import LANG_MARKERS, lang_segments
+
+    def line_lang(toks):
+        hits = {lang: sum(t in LANG_MARKERS[lang] for t in toks)
+                for lang in LANG_MARKERS}
+        best = max(hits.values())
+        if best == 0:
+            return "und"
+        return min(l for l, h in hits.items() if h == best)
+
+    rows, expect = [], {}
+    for i, lines in enumerate(docs):
+        text = "\n".join(" ".join(toks) if toks else "" for toks in lines)
+        rows.append((i, text))
+        langs = [line_lang(toks) for toks in lines if toks]
+        if not langs:
+            continue  # all-empty lines: no row, like the engine
+        counts = {}
+        for lg in langs:
+            counts[lg] = counts.get(lg, 0) + 1
+        dom = min(counts, key=lambda lg: (-counts[lg], lg))
+        frac = round(counts[dom] / len(langs), 6)
+        expect[i] = (len(langs), len(counts), dom, frac,
+                     counts[dom] / len(langs) < 0.8)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_langs"], r["dominant_lang"],
+                         r["dominant_frac"], r["mixed"])
+           for r in lang_segments(df).collect()}
+    assert got == expect
+
+
+@given(edges=st.lists(
+    st.tuples(st.sampled_from([f"s{i}" for i in range(6)]),
+              st.sampled_from([f"d{i}" for i in range(6)])),
+    min_size=1, max_size=25),
+    cap=st.sampled_from([2, 4, None]))
+@settings(**SPARK_SETTINGS)
+def test_cocitation_matches_python_reference(spark, edges, cap):
+    """On ANY random bipartite-ish edge list, co-citation pairs equal
+    the reference: distinct edges, fan-out cap, common in-linker counts,
+    Jaccard over post-cap in-degrees, min_common=2."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.linkgraph import cocitation_pairs
+
+    ed = set(edges)
+    if cap is not None:
+        fan = {}
+        for s, d in ed:
+            fan[s] = fan.get(s, 0) + 1
+        ed = {(s, d) for s, d in ed if fan[s] <= cap}
+    inl = {}
+    for s, d in ed:
+        inl.setdefault(d, set()).add(s)
+    expect = {}
+    ds = sorted(inl)
+    for i, d1 in enumerate(ds):
+        for d2 in ds[i + 1:]:
+            common = len(inl[d1] & inl[d2])
+            if common >= 2:
+                j = round(common / (len(inl[d1]) + len(inl[d2]) - common), 6)
+                expect[(d1, d2)] = (common, j)
+    g = spark.createDataFrame(list(edges),
+                              "src_domain string, dst_domain string") \
+        .withColumn("n_links", F.lit(1)).withColumn("n_src_pages", F.lit(1))
+    got = {(r["d1"], r["d2"]): (r["n_common"], r["jaccard"])
+           for r in cocitation_pairs(g, min_common=2, max_fanout=cap)
+           .collect()}
+    assert got == expect

@@ -233,3 +233,48 @@ def test_cocitation_matches_python_reference(spark, edges, cap):
            for r in cocitation_pairs(g, min_common=2, max_fanout=cap)
            .collect()}
     assert got == expect
+
+
+@given(snap=st.lists(
+    st.tuples(st.sampled_from([f"https://h{i}/p/{j}"
+                               for i in range(3) for j in range(4)]),
+              st.sampled_from(["x", "y", "z"]),       # old content
+              st.sampled_from(["x", "y", "z", None])  # new content (None=dropped)
+              ),
+    min_size=1, max_size=12, unique_by=lambda t: t[0]),
+    fresh=st.lists(
+        st.sampled_from([f"https://h{i}/q/{j}"
+                         for i in range(3) for j in range(2)]),
+        max_size=4, unique=True))
+@settings(**SPARK_SETTINGS)
+def test_recrawl_policy_matches_python_reference(spark, snap, fresh):
+    """On ANY random pair of snapshots (changed / unchanged / dropped /
+    brand-new urls), per-host change fractions and clamped quadratic
+    intervals equal the reference."""
+    from logport_spark.operators.linkgraph import recrawl_policy
+
+    old_rows = [(u, o) for u, o, _ in snap]
+    new_rows = [(u, n) for u, _, n in snap if n is not None] + \
+        [(u, "fresh") for u in fresh]
+    host = lambda u: u.split("/")[2]
+    agg = {}
+    olds = dict(old_rows)
+    for u, n in new_rows:
+        h = agg.setdefault(host(u), [0, 0, 0])  # n_urls, n_changed, n_old
+        h[0] += 1
+        if u in olds:
+            h[2] += 1
+            if olds[u] != n:
+                h[1] += 1
+    expect = {}
+    for h, (nu, nc, no) in agg.items():
+        frac = nc / max(no, 1)
+        expect[h] = (nu, nc, round(frac, 6),
+                     max(math.floor(16 * (1.0 - frac) * (1.0 - frac)), 1))
+    old = spark.createDataFrame(old_rows, "url string, text string")
+    new = spark.createDataFrame(new_rows, "url string, text string")
+    got = {r["domain"]: (r["n_urls"], r["n_changed"], r["change_frac"],
+                         r["interval"])
+           for r in recrawl_policy(old, new, html_col="text",
+                                   binary=False).collect()}
+    assert got == expect

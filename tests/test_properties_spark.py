@@ -278,3 +278,173 @@ def test_recrawl_policy_matches_python_reference(spark, snap, fresh):
            for r in recrawl_policy(old, new, html_col="text",
                                    binary=False).collect()}
     assert got == expect
+
+
+# ------------------------------------------------------------------ PQ --
+
+_COMP = st.sampled_from([-2.0, -1.0, -0.5, 0.5, 1.0, 2.0])
+_VEC4 = st.lists(_COMP, min_size=4, max_size=4)
+
+
+def _seq_l2(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc += d * d
+    return acc
+
+
+def _seq_dot_py(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _norm_py(v):
+    acc = 0.0
+    for x in v:
+        acc += float(x) * float(x)
+    return acc ** 0.5
+
+
+def _ref_encode(vecs, cbs, m, ksub, dsub):
+    codes = []
+    for v in vecs:
+        cs = []
+        for s in range(m):
+            d = [_seq_l2(v[s * dsub:(s + 1) * dsub], cbs[s][j])
+                 for j in range(ksub)]
+            cs.append(d.index(min(d)) + 1)  # first min, 1-based
+        codes.append(cs)
+    return codes
+
+
+def _ref_rerank(vecs, q, cand_ids, k):
+    qn = _norm_py(vecs[q])
+    scored = sorted(
+        (-(_seq_dot_py(vecs[q], vecs[i]) / (qn * _norm_py(vecs[i]))), i)
+        for i in cand_ids)
+    return [(q, i, -negcos, r + 1)
+            for r, (negcos, i) in enumerate(scored[:k])]
+
+
+@given(vals=st.lists(_VEC4, min_size=10, max_size=18),
+       qa=st.integers(0, 997), qb=st.integers(0, 997))
+@settings(**SPARK_SETTINGS)
+def test_pq_topk_matches_python_reference(spark, vals, qa, qb):
+    """On ANY random small corpus (tie-heavy component pool), PQ codes
+    AND the final reranked top-k equal a pure-Python replay of the whole
+    pipeline: stand-in codebooks -> first-min encode -> per-query LUT ->
+    (adc ASC, id ASC) top-rerank -> sequential-fold cosine rerank. The
+    engine side crosses numpy Arrow batches, constant-folded LUT
+    literals, and the salted two-phase window; the reference is plain
+    Python floats — bit-parity of every fold is the property."""
+    from logport_spark.operators.similarity import pq_encode, pq_topk
+
+    m, ksub, k, rerank = 2, 4, 3, 5
+    n, dsub = len(vals), 2
+    qids = sorted({qa % n, qb % n})
+    cbs = [[vals[i][s * dsub:(s + 1) * dsub] for i in range(ksub)]
+           for s in range(m)]
+    ref_codes = _ref_encode(vals, cbs, m, ksub, dsub)
+    expect = []
+    for q in qids:
+        lut = [_seq_l2(vals[q][s * dsub:(s + 1) * dsub], cbs[s][j])
+               for s in range(m) for j in range(ksub)]
+        adc = []
+        for i in range(n):
+            if i == q:
+                continue
+            a = 0.0
+            for s in range(m):
+                a += lut[s * ksub + ref_codes[i][s] - 1]
+            adc.append((a, i))
+        cands = [i for _, i in sorted(adc)[:rerank]]
+        expect.extend(_ref_rerank(vals, q, cands, k))
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<double>")
+    got_codes = {int(r["_id"]): list(r["codes"])
+                 for r in pq_encode(emb, cbs).collect()}
+    assert got_codes == {i: c for i, c in enumerate(ref_codes)}
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in pq_topk(emb, qids, k=k, m=m, ksub=ksub,
+                         rerank=rerank, n_salts=3).collect())
+    expect = sorted(expect)
+    assert [(g[0], g[1], g[3]) for g in got] == \
+        [(e[0], e[1], e[3]) for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[2] - e[2]) <= 1e-4  # engine rounds cos to 4 places
+
+
+def _ref_cell(v, cents):
+    scores = []
+    for c in cents:
+        scores.append(_seq_dot_py(v, c) / _norm_py(c))
+    return scores.index(max(scores)) + 1  # first max, 1-based
+
+
+@given(vals=st.lists(_VEC4, min_size=12, max_size=18),
+       qa=st.integers(0, 997), qb=st.integers(0, 997))
+@settings(**SPARK_SETTINGS)
+def test_ivfpq_topk_matches_python_reference(spark, vals, qa, qb):
+    """IVF∘PQ end-to-end vs a pure-Python replay: coarse cells (first-max
+    normalized dot), residual codebooks from the ksub lowest non-centroid
+    ids, residual encode, nprobe cell probing with per-(query,cell) LUTs,
+    (adc ASC, id ASC) top-rerank, cosine rerank — candidates only from
+    probed cells, exactly as the broadcast join prunes them."""
+    from logport_spark.operators.similarity import ivfpq_topk
+
+    m, ksub, nlist, nprobe, k, rerank = 2, 4, 4, 2, 3, 5
+    n, dsub = len(vals), 2
+    qids = sorted({qa % n, qb % n})
+    cents = [vals[i] for i in range(nlist)]
+    cbs = [[] for _ in range(m)]
+    for i in range(nlist, nlist + ksub):
+        cell = _ref_cell(vals[i], cents)
+        res = [x - c for x, c in zip(vals[i], cents[cell - 1])]
+        for s in range(m):
+            cbs[s].append(res[s * dsub:(s + 1) * dsub])
+    cells, codes = [], []
+    for v in vals:
+        cell = _ref_cell(v, cents)
+        res = [x - c for x, c in zip(v, cents[cell - 1])]
+        cells.append(cell)
+        codes.append(_ref_encode([res], cbs, m, ksub, dsub)[0])
+    expect = []
+    for q in qids:
+        scores = [(_seq_dot_py(vals[q], c) / _norm_py(c), i + 1)
+                  for i, c in enumerate(cents)]
+        probed = [cell for _, cell in
+                  sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]]
+        adc = []
+        for cell in probed:
+            resq = [x - c for x, c in zip(vals[q], cents[cell - 1])]
+            lut = [_seq_l2(resq[s * dsub:(s + 1) * dsub], cbs[s][j])
+                   for s in range(m) for j in range(ksub)]
+            for i in range(n):
+                if i == q or cells[i] != cell:
+                    continue
+                a = 0.0
+                for s in range(m):
+                    a += lut[s * ksub + codes[i][s] - 1]
+                adc.append((a, i))
+        cands = [i for _, i in sorted(adc)[:rerank]]
+        expect.extend(_ref_rerank(vals, q, cands, k))
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        for r in ivfpq_topk(emb, qids, k=k, nlist=nlist, nprobe=nprobe,
+                            m=m, ksub=ksub, rerank=rerank,
+                            n_salts=3).collect())
+    expect = sorted(expect)
+    assert [(g[0], g[1], g[3]) for g in got] == \
+        [(e[0], e[1], e[3]) for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[2] - e[2]) <= 1e-4

@@ -837,8 +837,17 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
         return pd.DataFrame({"cell": (cells + 1).astype(np.int32),
                              "codes": list(codes)})
 
+    # asNondeterministic is a plan barrier, not a semantics claim: the
+    # kernel is pure, but extracting two fields from a struct-returning
+    # UDF lets CollapseProject inline enc() into BOTH getFields and
+    # ExtractPythonUDFs then stacks TWO ArrowEvalPython nodes — the
+    # encode (the dominant per-row cost at 10^9 vectors) ran twice per
+    # row. Nondeterministic expressions are never duplicated, so the
+    # corpus is encoded exactly once (plan-asserted in
+    # test_scale_properties).
     coded = emb.select(F.col(id_col).alias("_id"),
-                       enc(F.col(vec_col)).alias("_e")) \
+                       enc.asNondeterministic()(F.col(vec_col))
+                       .alias("_e")) \
         .select("_id", F.col("_e.cell").alias("cell"),
                 F.col("_e.codes").alias("codes"))
     # query side: probed cells + per-(query, cell) LUTs, driver-built

@@ -536,3 +536,36 @@ def test_winnow_fingerprints_no_inferred_generate_filter(spark):
     plan = winnow_fingerprints(df)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert "Filter" not in plan, plan
+
+
+def test_session9_plan_shapes(spark):
+    """Session-9 operator plan pins. (1) lang_segments carries NO
+    interpreted higher-order functions — the 5×size(filter()) form was
+    variance-UNSTABLE (bimodal 2-32s at 500k on identical plans,
+    BENCH/BASELINE.md); the shipped shape is explode + codegen CASE.
+    (2) pq_topk and ivfpq_topk encode the corpus in exactly ONE
+    ArrowEvalPython pass: extracting two fields from ivfpq's
+    struct-returning UDF let CollapseProject duplicate enc() into TWO
+    stacked ArrowEvalPython nodes (encode ran twice per row — 2× the
+    dominant per-row cost at 10^9 vectors) until the asNondeterministic
+    plan barrier pinned it. (3) ivfpq's probe join stays a broadcast
+    hash join on cell — the coded corpus never shuffles."""
+    from logport_spark.operators.similarity import ivfpq_topk, pq_topk
+    from logport_spark.operators.textstats import lang_segments
+
+    docs = spark.createDataFrame(
+        [(1, "the and is\nle la et")], "doc_id long, text string")
+    lp = lang_segments(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "lambdafunction" not in lp, lp
+
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in (1, 2, 1, 2)]) for i in range(12)],
+        "vec_id long, embedding array<double>")
+    pq = pq_topk(emb, [0, 5], k=3, m=2, ksub=4, rerank=5, n_salts=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert pq.count("ArrowEvalPython") == 1, pq
+    ivf = ivfpq_topk(emb, [0, 5], k=3, nlist=4, nprobe=2, m=2, ksub=4,
+                     rerank=5, n_salts=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert ivf.count("ArrowEvalPython") == 1, ivf
+    assert "BroadcastHashJoin [cell" in ivf, ivf

@@ -613,6 +613,18 @@ def _bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(_docs(spark, sf_dir), k=200)
 
 
+def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge-table training (textstats.py:bpe_train): 4 learned
+    merges over the distinct-word table — one corpus-linear word count,
+    then |V|-bounded argmax + greedy-fold rounds with localCheckpoint
+    lineage cuts. The oracle replays every round in DuckDB: the greedy
+    within-word merge is a recursive-CTE fold, so the learned table is
+    hash-exact, not approximately similar."""
+    from logport_spark.operators.textstats import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=4)
+
+
 def _lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter stand-in (textstats.py:unigram_logprob): mean
     -log2 p(token) under the corpus's own unigram distribution."""
@@ -1764,6 +1776,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_pairs": _cocitation_pairs,  # related domains by co-citation
         "recrawl_policy": _recrawl_policy,  # change-rate recrawl intervals
         "crawl_plan": _crawl_plan,  # robots -> politeness -> eta composite
+        "bpe_train": _bpe_train,  # full BPE merge-table training loop
     }
 
 
@@ -3139,6 +3152,49 @@ g AS (SELECT src_domain, dst_domain,
              count(DISTINCT src_url) AS n_src_pages
       FROM ext GROUP BY 1, 2)
 """
+
+
+def _bpe_train_oracle(docs: str = "documents", merges: int = 4) -> str:
+    """Unroll bpe_train's merge loop into chained CTEs: per round, a pair
+    count + (cnt desc, pair asc) argmax, then a recursive-CTE fold that
+    replays textstats._merge_pair's greedy left-to-right within-word scan
+    symbol by symbol — so all `merges` learned rows (pair, cnt, token)
+    are hash-exact against the distributed loop, not approximately
+    similar. Identical word/char splitting as the Spark side (space
+    tokens, character symbols)."""
+    blocks, prev = [], "s0"
+    for i in range(1, merges + 1):
+        blocks.append(f"""
+p{i} AS (SELECT syms[j] || ' ' || syms[j + 1] AS pair, sum(c) AS cnt
+         FROM {prev}, UNNEST(range(1, len(syms))) t(j) GROUP BY 1),
+b{i} AS (SELECT pair, cnt FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
+f{i} AS (
+  SELECT syms, c, 1 AS idx, []::VARCHAR[] AS acc FROM {prev}
+  UNION ALL
+  SELECT syms, c, idx + 1,
+    CASE WHEN len(acc) > 0
+              AND acc[len(acc)] = (SELECT split_part(pair, ' ', 1)
+                                   FROM b{i})
+              AND syms[idx] = (SELECT split_part(pair, ' ', 2) FROM b{i})
+         THEN acc[1:len(acc) - 1] || [(SELECT replace(pair, ' ', '')
+                                       FROM b{i})]
+         ELSE acc || [syms[idx]] END
+  FROM f{i} WHERE idx <= len(syms)),
+s{i} AS (SELECT acc AS syms, c FROM f{i} WHERE idx = len(syms) + 1)""")
+        prev = f"s{i}"
+    steps = "\n            UNION ALL ".join(
+        f"SELECT {i} AS step, pair, CAST(cnt AS BIGINT) AS cnt, "
+        f"replace(pair, ' ', '') AS token FROM b{i}"
+        for i in range(1, merges + 1))
+    return f"""
+            WITH RECURSIVE
+            tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM {docs}),
+            wc AS (SELECT w, count(*) AS c FROM tok
+                   WHERE length(w) > 0 GROUP BY 1),
+            s0 AS (SELECT string_split(w, '') AS syms, c FROM wc),{','.join(blocks)}
+            SELECT * FROM ({steps}) ORDER BY step
+        """
 
 
 def _pagerank_oracle(pages: str, iters: int = 3) -> str:
@@ -4790,6 +4846,7 @@ def _baseline_oracle_registry() -> dict[str, str]:
                                  1) AS BIGINT) AS interval
             FROM a
         """,
+        "bpe_train": _bpe_train_oracle("documents", merges=4),
     }
 
 

@@ -104,6 +104,7 @@ def _headline_queries():
         "cocitation_pairs",                        # r4 related-domain mining
         "recrawl_policy",                          # r4 change-rate scheduling
         "crawl_plan",                              # r4 robots->schedule composite
+        "bpe_train",                               # r4 full BPE merge training
     ):
         if opt in qs:
             names.append(opt)
@@ -392,7 +393,9 @@ def dedup_scale_run() -> dict:
              "gopher_signals",
              # r4 session-9 additions
              "weighted_sample", "lang_segments", "ann_pq_topk",
-             "ann_ivfpq_topk"]
+             "ann_ivfpq_topk",
+             # r4 session-10 additions
+             "bpe_train"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -403,6 +403,109 @@ def bpe_pair_counts(docs: DataFrame, k: int = 200,
     )
 
 
+def bpe_word_syms(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The trainer's state table: (syms: array<string>, c: long) — one
+    row per DISTINCT word with its corpus frequency, symbols initialized
+    to characters. The word count is the only corpus-linear pass in BPE
+    training (partial+final agg, vocab_topk's shape)."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .select(F.split("w", "").alias("syms"), "c")
+    )
+
+
+def bpe_best_pair(syms: DataFrame) -> DataFrame:
+    """One merge round's statistic: the (cnt desc, pair asc) argmax over
+    adjacent symbol pairs, frequency-weighted. Pairs come from a JVM
+    slice-zip (no posexplode/sequence), the count partial-aggregates on
+    the pair key, and the argmax plans as TakeOrderedAndProject — 1 row
+    to the driver, never a global sort."""
+    zip_pairs = F.expr(
+        "transform(arrays_zip(slice(syms, 1, size(syms) - 1), "
+        "slice(syms, 2, size(syms) - 1)), p -> concat(p['0'], ' ', p['1']))"
+    )
+    return (
+        syms.filter(F.size("syms") >= 2)
+        .select(F.explode(zip_pairs).alias("pair"), "c")
+        .groupBy("pair").agg(F.sum("c").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+    )
+
+
+def _merge_pair(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent pair (a, b) in a symbol
+    array — one JVM `aggregate` fold, exactly re.sub's non-overlapping
+    scan semantics ([a,a,a] with (a,a) -> [aa,a], never [a,aa]). The fold
+    never re-merges its own output: the merged token is strictly longer
+    than `a`, so `element_at(acc, -1) = a` cannot match it. Catalyst's
+    `And` short-circuits left-to-right, so the `size > 0` guard makes the
+    `element_at(acc, -1)` probe safe on the empty accumulator under ANSI."""
+    merged = a + b
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 4,
+              text_col: str = "text") -> DataFrame:
+    """Full BPE merge-table training (Sennrich et al. 2016) — the loop
+    `bpe_pair_counts` is one statistic of: at each step pick the most
+    frequent adjacent symbol pair over the word-frequency table
+    (tie-break: cnt desc, pair asc — deterministic across engines), merge
+    it greedily in every word, repeat. Output is the tokenizer's
+    merges.txt: (step, pair, cnt, token), one row per learned merge.
+
+    Plan shape — the 100 TB story is that only step 0 touches the corpus:
+    (1) ONE partial+final count collapses the token stream to its
+    Zipf-bounded distinct-word table (identical shape to vocab_topk —
+    combiner-friendly, the only corpus-linear pass); (2) each merge round
+    runs entirely on that |V|-bounded table: a slice-zip pair explode +
+    one (pair)-keyed partial agg + a TakeOrderedAndProject argmax (1 row
+    to the driver — bounded, the centroid-literal pattern), then a narrow
+    `aggregate`-fold rewrite with the chosen pair as plan literals (no
+    shuffle, no Python); (3) `localCheckpoint` per round cuts the growing
+    fold lineage — the connected_components lesson. The interpreted-HOF
+    variance pathology (BENCH session-9, lang_segments) does not apply:
+    the fold runs over |V| short words, never the corpus token stream.
+
+    At production merge counts (~30k) the same first pass is where the
+    scale lives — real trainers (SentencePiece, HF tokenizers) also train
+    on the collapsed word-count table, which after pass (1) fits one node
+    (Zipf: ~10-100M rows at 100 TB), so deployment swaps rounds 2..30k for
+    a driver/single-node heap trainer fed by the SAME word-count job; the
+    distributed rounds here keep every step oracle-able in SQL.
+
+    Extends the reference's scope (SURVEY §2.6 gap analysis): logport
+    ships text but never tokenizes it; a Common-Crawl LLM pipeline trains
+    its tokenizer from exactly this table."""
+    spark = docs.sparkSession
+    syms = bpe_word_syms(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, int, str]] = []
+    for step in range(1, n_merges + 1):
+        best = bpe_best_pair(syms).collect()
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        a, b = pair.split(" ")
+        merges.append((step, pair, cnt, a + b))
+        syms = (
+            syms.select(_merge_pair(F.col("syms"), a, b).alias("syms"), "c")
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        merges, "step int, pair string, cnt long, token string"
+    ).orderBy("step")
+
+
 def bigram_logprob(docs: DataFrame, ref: DataFrame | None = None,
                    alpha: float = 0.4, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

@@ -103,6 +103,9 @@ def test_baselines_match_oracles(spark, duck):
         # r4 session-9: co-citation related domains + change-rate recrawl
         # + the robots -> politeness -> eta fetch-plan composite
         "cocitation_pairs", "recrawl_policy", "crawl_plan",
+        # r4 session-10: full BPE merge-table training (the loop
+        # bpe_pairs is one statistic of; recursive-CTE greedy-fold oracle)
+        "bpe_train",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

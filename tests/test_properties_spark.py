@@ -448,3 +448,51 @@ def test_ivfpq_topk_matches_python_reference(spark, vals, qa, qb):
         [(e[0], e[1], e[3]) for e in expect]
     for g, e in zip(got, expect):
         assert abs(g[2] - e[2]) <= 1e-4
+
+
+@given(words=st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=6),
+    min_size=1, max_size=20),
+    k=st.sampled_from([1, 3]))
+@settings(**SPARK_SETTINGS)
+def test_bpe_train_matches_python_reference(spark, words, k):
+    """On ANY random word bag over a 2-char alphabet (run pile-ups like
+    'aaaa' stress the greedy non-overlapping scan; tiny alphabet forces
+    count ties at the argmax), the distributed merge loop equals a pure
+    Sennrich-style reference trainer: same (cnt desc, pair asc) argmax,
+    same greedy left-to-right within-word merges, same early stop when no
+    adjacent pair remains."""
+    from collections import Counter
+
+    from logport_spark.operators.textstats import bpe_train
+
+    wc = Counter(words)
+    vocab = [([ch for ch in w], c) for w, c in wc.items()]
+    expect = []
+    for step in range(1, k + 1):
+        pc = Counter()
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(),
+                          key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        expect.append((step, f"{a} {b}", cnt, a + b))
+        nxt = []
+        for syms, c in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt.append((out, c))
+        vocab = nxt
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [(r["step"], r["pair"], r["cnt"], r["token"])
+           for r in bpe_train(df, n_merges=k).collect()]
+    assert got == expect

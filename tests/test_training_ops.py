@@ -1181,6 +1181,33 @@ def test_bpe_pair_counts_semantics_and_plan(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_bpe_train_semantics(spark):
+    """Hand-computed merge table over the Sennrich-style toy corpus
+    (merges cascade: 'l o' then 'lo w' reuses step 1's token), greedy
+    non-overlapping runs ('aaaa' yields [aa, aa], never [a, aa, a] —
+    so step 2 merges 'aa aa', not 'a aa'), and early stop once every
+    word is a single symbol."""
+    from logport_spark.operators.textstats import bpe_train
+
+    toy = spark.createDataFrame(
+        [("low low low lower lowest",), ("newer newer wider",)],
+        "text string")
+    got = [(r.step, r.pair, r.cnt, r.token)
+           for r in bpe_train(toy, n_merges=4).collect()]
+    # l-o in low x3 + lower + lowest = 5; then lo-w everywhere lo is = 5;
+    # e-r in lower + newer x2 + wider = 4; then e-w in newer x2 = 2
+    assert got == [(1, "l o", 5, "lo"), (2, "lo w", 5, "low"),
+                   (3, "e r", 4, "er"), (4, "e w", 2, "ew")]
+
+    runs = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    got = [(r.step, r.pair, r.cnt, r.token)
+           for r in bpe_train(runs, n_merges=3).collect()]
+    # greedy scan: aaaa -> [aa, aa] (4 pairs weighted x2 = ... cnt 6:
+    # 3 adjacent pairs per word x 2 words); then aa-aa -> [aaaa] cnt 2;
+    # single symbol left -> early stop at step 3
+    assert got == [(1, "a a", 6, "aa"), (2, "aa aa", 2, "aaaa")]
+
+
 def test_url_blocklist_suffix_semantics_and_plan(spark):
     """Subdomains inherit the ban (registered-domain entry blocks every
     host under it); a host never matches a NON-dot-boundary suffix

@@ -468,6 +468,15 @@ ANNOTATED = {
         "schedule. The interval arithmetic is a codegen projection on "
         "the aggregate output."
     ),
+    "bpe_train_round": (
+        "One BPE merge round (the returned merges table is a "
+        "LocalTableScan of K driver-collected argmax rows — THIS is the "
+        "repeated plan): the word count is the only corpus-linear pass "
+        "(partial+final agg on `w`), the slice-zip pair explode runs on "
+        "the |V|-bounded word table, the pair count partial-aggregates, "
+        "and the argmax is TakeOrderedAndProject — 1 row crosses to the "
+        "driver per round, never a global sort."
+    ),
 }
 
 
@@ -478,6 +487,13 @@ def main() -> None:
 
     spark = get_spark("dump_plans", cpus=8)
     qs = {**em.queries(), **getattr(em, "baseline_queries", dict)()}
+
+    def _bpe_round(spark_, sf):
+        from logport_spark.operators.textstats import (bpe_best_pair,
+                                                       bpe_word_syms)
+        return bpe_best_pair(bpe_word_syms(em._docs(spark_, sf)))
+
+    qs["bpe_train_round"] = _bpe_round
     out = [
         "# PLANS — physical-plan evidence (sf0.01, regenerate via tools/dump_plans.py)",
         "",

@@ -105,6 +105,7 @@ def _headline_queries():
         "recrawl_policy",                          # r4 change-rate scheduling
         "crawl_plan",                              # r4 robots->schedule composite
         "bpe_train",                               # r4 full BPE merge training
+        "quality_lr",                              # r4 trained LR quality filter
     ):
         if opt in qs:
             names.append(opt)
@@ -395,7 +396,7 @@ def dedup_scale_run() -> dict:
              "weighted_sample", "lang_segments", "ann_pq_topk",
              "ann_ivfpq_topk",
              # r4 session-10 additions
-             "bpe_train"]
+             "bpe_train", "quality_lr"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

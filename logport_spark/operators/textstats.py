@@ -99,6 +99,98 @@ def quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_lr_train(docs: DataFrame, steps: int = 3, lr: float = 1.0,
+                     text_col: str = "text",
+                     label: Column | None = None) -> DataFrame:
+    """Model-based quality filtering, trained IN the engine: full-batch
+    logistic regression over `quality()`'s three signals (capped stopword
+    ratio, alpha ratio, length signal) against a language label (default
+    lang='en' — the CCNet/fastText-classifier filter shape). Where
+    `quality()` HARDCODES weights 0.4/0.3/0.3, this learns them. Output
+    is the training trace: (step, w_bias, w_stop, w_alpha, w_len,
+    loss_pre) per gradient step, loss_pre being the mean log-loss at the
+    PRE-update weights (so step 1 shows the w=0 baseline, ln 2).
+
+    Plan shape — distributed GD as map-side-combined aggregates, the
+    treeAggregate pattern MLlib itself uses, with zero MLlib dependency:
+    (1) ONE corpus-linear pass builds the feature table (pure codegen
+    signals, rounded to 4dp so both engines train on identical rationals)
+    and `localCheckpoint` materializes it — the corpus is never rescanned;
+    (2) each step is ONE partial+final aggregate producing the 4 gradient
+    sums + loss (one row to the driver), with the current weights riding
+    as plan literals — no shuffle wider than the 1-row agg, no Python in
+    the pass. At 100 TB the feature pass dominates and is scan-bound; a
+    step costs one combiner-friendly aggregate regardless of model size
+    here (4 weights).
+
+    Cross-engine float parity: the weight state is quantized to 8
+    decimals after every update. Per-step engine divergence (exp/ln ULP
+    differences, summation order) is ~1e-13, far below the 0.5e-8
+    quantum, so Spark and the SQL oracle carry BIT-IDENTICAL state into
+    every step instead of compounding drift — the reason the training
+    trace is hash-exact rather than approximately equal.
+
+    Extends the reference's scope (SURVEY §2.6 gap analysis): the quality
+    gates upstream of routing become a trained model without leaving the
+    engine or adding a training system."""
+    feats = quality_lr_features(docs, text_col, label) \
+        .localCheckpoint(eager=True)
+    w = [0.0, 0.0, 0.0, 0.0]  # bias, stop, alpha, len
+    rows: list[tuple] = []
+    for step in range(1, steps + 1):
+        r = quality_lr_grad(feats, w).collect()[0]
+        n = r["n"]
+        loss_pre = round(r["l"] / n, 4)
+        w = [round(w[j] - lr * r[f"g{j}"] / n, 8) for j in range(4)]
+        rows.append((step, w[0], w[1], w[2], w[3], loss_pre))
+    return docs.sparkSession.createDataFrame(
+        rows, "step int, w_bias double, w_stop double, w_alpha double, "
+              "w_len double, loss_pre double").orderBy("step")
+
+
+def quality_lr_features(docs: DataFrame, text_col: str = "text",
+                        label: Column | None = None) -> DataFrame:
+    """The trainer's feature pass — quality()'s three signals as pure
+    codegen, rounded to 4dp so every engine trains on identical
+    rationals, plus the label. The ONLY corpus-linear work in training."""
+    toks = _tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split({text_col}, ' '), t -> t IN ({sw})))")
+    n_alpha = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[a-zA-Z]", ""))
+    y = label if label is not None else (
+        (F.col("lang") == "en").cast("double"))
+    return docs.select(
+        F.round(F.least(n_stop / F.greatest(n_tokens, F.lit(1)) * 5,
+                        F.lit(1.0)), 4).alias("x1"),
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4).alias("x2"),
+        F.round(F.least(n_tokens / F.lit(100.0), F.lit(1.0)), 4).alias("x3"),
+        y.alias("y"),
+    )
+
+
+def quality_lr_grad(feats: DataFrame, w: list[float]) -> DataFrame:
+    """One GD step's statistic: gradient sums + log-loss at weights `w`
+    (plan literals) — ONE partial+final aggregate, one row out. The
+    treeAggregate shape without MLlib."""
+    z = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+         + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    err = p - F.col("y")
+    return feats.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(err).alias("g0"),
+        F.sum(err * F.col("x1")).alias("g1"),
+        F.sum(err * F.col("x2")).alias("g2"),
+        F.sum(err * F.col("x3")).alias("g3"),
+        F.sum(-(F.col("y") * F.log(p)
+                + (F.lit(1.0) - F.col("y"))
+                * F.log(F.lit(1.0) - p))).alias("l"),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count (JVM regexp_count)."""
     return df.select(

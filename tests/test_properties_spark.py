@@ -496,3 +496,61 @@ def test_bpe_train_matches_python_reference(spark, words, k):
     got = [(r["step"], r["pair"], r["cnt"], r["token"])
            for r in bpe_train(df, n_merges=k).collect()]
     assert got == expect
+
+
+@given(rows=st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(["the", "and", "xyz", "Qq9", "of", "zzz"]),
+                 min_size=1, max_size=8),
+        st.sampled_from(["en", "de", "fr"])),
+    min_size=1, max_size=16),
+    steps=st.sampled_from([1, 3]))
+@settings(**SPARK_SETTINGS)
+def test_quality_lr_train_matches_python_reference(spark, rows, steps):
+    """On ANY random doc table, the distributed GD trace equals a pure
+    Python trainer replicating the exact pipeline: 4dp-rounded features,
+    sigmoid/log-loss gradients, 8dp state quantization per step.
+    Comparison tolerances sit at the quantization quantum — engine
+    summation-order ULPs are the only allowed divergence; any semantic
+    bug lands orders of magnitude outside them."""
+    import math
+    import re
+
+    from logport_spark.operators.textstats import STOPWORDS, quality_lr_train
+
+    feats = []
+    for toks, lang in rows:
+        text = " ".join(toks)
+        n_tok = len(text.split(" "))
+        n_chars = len(text)
+        n_stop = sum(t in STOPWORDS for t in text.split(" "))
+        n_alpha = len(re.findall(r"[a-zA-Z]", text))
+        feats.append((
+            round(min(n_stop / max(n_tok, 1) * 5, 1.0), 4),
+            round(n_alpha / max(n_chars, 1), 4),
+            round(min(n_tok / 100.0, 1.0), 4),
+            1.0 if lang == "en" else 0.0))
+    w, expect = [0.0] * 4, []
+    for step in range(1, steps + 1):
+        g, loss = [0.0] * 4, 0.0
+        for x1, x2, x3, y in feats:
+            p = 1.0 / (1.0 + math.exp(-(w[0] + w[1] * x1 + w[2] * x2
+                                        + w[3] * x3)))
+            for j, xj in enumerate((1.0, x1, x2, x3)):
+                g[j] += (p - y) * xj
+            loss += -(y * math.log(p) + (1.0 - y) * math.log(1.0 - p))
+        n = len(feats)
+        w = [round(w[j] - 1.0 * g[j] / n, 8) for j in range(4)]
+        expect.append((step, *w, round(loss / n, 4)))
+
+    df = spark.createDataFrame(
+        [(" ".join(toks), lang) for toks, lang in rows],
+        "text string, lang string")
+    got = [(r.step, r.w_bias, r.w_stop, r.w_alpha, r.w_len, r.loss_pre)
+           for r in quality_lr_train(df, steps=steps).collect()]
+    assert len(got) == len(expect)
+    for g_row, e_row in zip(got, expect):
+        assert g_row[0] == e_row[0]
+        for gv, ev in zip(g_row[1:5], e_row[1:5]):
+            assert abs(gv - ev) <= 2e-8, (g_row, e_row)
+        assert abs(g_row[5] - e_row[5]) <= 1.1e-4, (g_row, e_row)

@@ -1208,6 +1208,24 @@ def test_bpe_train_semantics(spark):
     assert got == [(1, "a a", 6, "aa"), (2, "aa aa", 2, "aaaa")]
 
 
+def test_quality_lr_train_learns_and_pins_baseline(spark):
+    """On a separable toy corpus (label-1 docs are all stopwords, label-0
+    docs none), the trainer moves w_stop positive within 3 steps and the
+    step-1 loss_pre pins the w=0 baseline at ln 2 = 0.6931 exactly; loss
+    is non-increasing along the trace."""
+    from logport_spark.operators.textstats import quality_lr_train
+
+    docs = spark.createDataFrame(
+        [("the and of to in is", "en")] * 4
+        + [("xyz qqq zzz kkk www vvv", "de")] * 4,
+        "text string, lang string")
+    got = quality_lr_train(docs, steps=3).collect()
+    assert [r.step for r in got] == [1, 2, 3]
+    assert got[0].loss_pre == 0.6931
+    assert got[0].loss_pre >= got[1].loss_pre >= got[2].loss_pre
+    assert got[-1].w_stop > 0
+
+
 def test_url_blocklist_suffix_semantics_and_plan(spark):
     """Subdomains inherit the ban (registered-domain entry blocks every
     host under it); a host never matches a NON-dot-boundary suffix

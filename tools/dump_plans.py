@@ -468,6 +468,16 @@ ANNOTATED = {
         "schedule. The interval arithmetic is a codegen projection on "
         "the aggregate output."
     ),
+    "quality_lr_step": (
+        "One logistic-regression GD step (the returned training trace is "
+        "a LocalTableScan of K driver-collected rows — THIS is the "
+        "repeated plan): the feature pass is pure codegen inside the scan "
+        "span (ReadSchema: text, lang only), and the gradient+loss is ONE "
+        "partial+final aggregate with the current weights as literals — "
+        "one row crosses to the driver per step, nothing else shuffles. "
+        "In deployment the feature table is localCheckpoint'ed once, so "
+        "steps 2..K never rescan the corpus."
+    ),
     "bpe_train_round": (
         "One BPE merge round (the returned merges table is a "
         "LocalTableScan of K driver-collected argmax rows — THIS is the "
@@ -494,6 +504,14 @@ def main() -> None:
         return bpe_best_pair(bpe_word_syms(em._docs(spark_, sf)))
 
     qs["bpe_train_round"] = _bpe_round
+
+    def _qlr_step(spark_, sf):
+        from logport_spark.operators.textstats import (quality_lr_features,
+                                                       quality_lr_grad)
+        return quality_lr_grad(
+            quality_lr_features(em._docs(spark_, sf)), [0.0, 0.0, 0.0, 0.0])
+
+    qs["quality_lr_step"] = _qlr_step
     out = [
         "# PLANS — physical-plan evidence (sf0.01, regenerate via tools/dump_plans.py)",
         "",

@@ -624,6 +624,17 @@ def _quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_lr_train(_docs(spark, sf_dir), steps=3)
 
 
+def _quality_lr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained classifier back to the corpus
+    (textstats.py:quality_lr_eval): confusion matrix +
+    accuracy/precision/recall at the z>=0 cut — integer counts scored
+    from identically-quantized weights/features, so the verdicts (not
+    just the aggregates) match the oracle exactly."""
+    from logport_spark.operators.textstats import quality_lr_eval
+
+    return quality_lr_eval(_docs(spark, sf_dir), steps=3)
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE merge-table training (textstats.py:bpe_train): 4 learned
     merges over the distinct-word table — one corpus-linear word count,
@@ -1789,6 +1800,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_plan": _crawl_plan,  # robots -> politeness -> eta composite
         "bpe_train": _bpe_train,  # full BPE merge-table training loop
         "quality_lr": _quality_lr,  # trained LR quality classifier (GD trace)
+        "quality_lr_eval": _quality_lr_eval,  # apply: confusion + P/R
     }
 
 
@@ -3225,7 +3237,7 @@ s{i} AS (SELECT acc AS syms, c FROM f{i} WHERE idx = len(syms) + 1
 
 
 def _quality_lr_oracle(docs: str = "documents", steps: int = 3,
-                       lr: float = 1.0) -> str:
+                       lr: float = 1.0, final: str = "trace") -> str:
     """Unroll quality_lr_train's gradient-descent loop into chained CTEs
     with the IDENTICAL per-step arithmetic: features rounded to 4dp (both
     engines train on the same rationals), sigmoid/log-loss gradient sums,
@@ -3253,11 +3265,35 @@ st{i} AS (SELECT round(s.wb - {lr}::DOUBLE * g.g0 / g.n, 8) AS wb,
                round(s.wa - {lr}::DOUBLE * g.g2 / g.n, 8) AS wa,
                round(s.wl - {lr}::DOUBLE * g.g3 / g.n, 8) AS wl
         FROM {s} s, gr{i} g)""")
-    trace = "\n            UNION ALL ".join(
-        f"SELECT {i} AS step, s.wb AS w_bias, s.ws AS w_stop, "
-        f"s.wa AS w_alpha, s.wl AS w_len, round(g.l / g.n, 4) AS loss_pre "
-        f"FROM st{i} s, gr{i} g"
-        for i in range(1, steps + 1))
+    if final == "trace":
+        tail = "SELECT * FROM (" + "\n            UNION ALL ".join(
+            f"SELECT {i} AS step, s.wb AS w_bias, s.ws AS w_stop, "
+            f"s.wa AS w_alpha, s.wl AS w_len, round(g.l / g.n, 4) AS loss_pre "
+            f"FROM st{i} s, gr{i} g"
+            for i in range(1, steps + 1)) + ") ORDER BY step"
+    else:
+        # eval: score f with the FINAL weights — z is the identical
+        # left-associated multiply-add chain over identically-quantized
+        # inputs, so the >= 0 cut matches Spark's bit-for-bit
+        tail = f"""
+            , sc AS (SELECT CASE WHEN s.wb + s.ws * f.x1 + s.wa * f.x2
+                                      + s.wl * f.x3 >= 0.0::DOUBLE
+                                 THEN 1 ELSE 0 END AS pred,
+                            CASE WHEN f.y = 1.0 THEN 1 ELSE 0 END AS y1
+                     FROM f, st{steps} s),
+            cm AS (SELECT count(*) AS n,
+                          CAST(sum(pred * y1) AS BIGINT) AS tp,
+                          CAST(sum(pred * (1 - y1)) AS BIGINT) AS fp,
+                          CAST(sum((1 - pred) * y1) AS BIGINT) AS fn,
+                          CAST(sum((1 - pred) * (1 - y1)) AS BIGINT) AS tn
+                   FROM sc)
+            SELECT n, tp, fp, fn, tn,
+                   round((tp + tn) / n, 4) AS accuracy,
+                   CASE WHEN tp + fp > 0
+                        THEN round(tp / (tp + fp), 4) END AS "precision",
+                   CASE WHEN tp + fn > 0
+                        THEN round(tp / (tp + fn), 4) END AS recall
+            FROM cm"""
     return f"""
             WITH base AS (
               SELECT len(string_split(text, ' ')) AS q_tokens,
@@ -3278,7 +3314,7 @@ st{i} AS (SELECT round(s.wb - {lr}::DOUBLE * g.g0 / g.n, 8) AS wb,
               FROM base),
             st0 AS (SELECT 0.0::DOUBLE AS wb, 0.0::DOUBLE AS ws,
                            0.0::DOUBLE AS wa, 0.0::DOUBLE AS wl),{','.join(blocks)}
-            SELECT * FROM ({trace}) ORDER BY step
+            {tail}
         """
 
 
@@ -4933,6 +4969,8 @@ def _baseline_oracle_registry() -> dict[str, str]:
         """,
         "bpe_train": _bpe_train_oracle("documents", merges=4),
         "quality_lr": _quality_lr_oracle("documents", steps=3),
+        "quality_lr_eval": _quality_lr_oracle("documents", steps=3,
+                                              final="eval"),
     }
 
 

@@ -106,6 +106,7 @@ def _headline_queries():
         "crawl_plan",                              # r4 robots->schedule composite
         "bpe_train",                               # r4 full BPE merge training
         "quality_lr",                              # r4 trained LR quality filter
+        "quality_lr_eval",                         # r4 apply-back confusion/PR
     ):
         if opt in qs:
             names.append(opt)

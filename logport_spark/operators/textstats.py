@@ -148,6 +148,50 @@ def quality_lr_train(docs: DataFrame, steps: int = 3, lr: float = 1.0,
               "w_len double, loss_pre double").orderBy("step")
 
 
+def quality_lr_eval(docs: DataFrame, steps: int = 3, lr: float = 1.0,
+                    text_col: str = "text",
+                    label: Column | None = None) -> DataFrame:
+    """Close the train→apply loop: score the corpus with the weights
+    quality_lr_train learned and report the confusion matrix +
+    accuracy/precision/recall at the 0.5 threshold (decision boundary
+    z >= 0). The verdict comparison is EXACT across engines, not just
+    quantized-close: both score 4dp-rounded features with 8dp-quantized
+    weights through the identical left-associated multiply-add chain, so
+    z is IEEE-bit-identical and the >= 0 cut never straddles — integer
+    counts, hash-exact.
+
+    Plan shape: training's K aggregates plus ONE more scoring aggregate
+    over the same checkpointed feature table; still nothing wider than a
+    1-row agg after the corpus-linear feature pass."""
+    feats = quality_lr_features(docs, text_col, label) \
+        .localCheckpoint(eager=True)
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(steps):
+        r = quality_lr_grad(feats, w).collect()[0]
+        w = [round(w[j] - lr * r[f"g{j}"] / r["n"], 8) for j in range(4)]
+    z = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+         + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"))
+    pred = (z >= F.lit(0.0)).cast("int")
+    y1 = (F.col("y") == 1.0).cast("int")
+    agg = feats.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pred * y1).alias("tp"),
+        F.sum(pred * (1 - y1)).alias("fp"),
+        F.sum((1 - pred) * y1).alias("fn"),
+        F.sum((1 - pred) * (1 - y1)).alias("tn"),
+    )
+    return agg.select(
+        "n", "tp", "fp", "fn", "tn",
+        F.round((F.col("tp") + F.col("tn")) / F.col("n"), 4).alias("accuracy"),
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 4))
+         .alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 4))
+         .alias("recall"),
+    )
+
+
 def quality_lr_features(docs: DataFrame, text_col: str = "text",
                         label: Column | None = None) -> DataFrame:
     """The trainer's feature pass — quality()'s three signals as pure

@@ -105,8 +105,9 @@ def test_baselines_match_oracles(spark, duck):
         "cocitation_pairs", "recrawl_policy", "crawl_plan",
         # r4 session-10: full BPE merge-table training (the loop
         # bpe_pairs is one statistic of; recursive-CTE greedy-fold oracle)
-        # + trained LR quality classifier (unrolled-GD oracle)
-        "bpe_train", "quality_lr",
+        # + trained LR quality classifier (unrolled-GD oracle) and its
+        # apply-back eval (exact integer confusion counts)
+        "bpe_train", "quality_lr", "quality_lr_eval",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

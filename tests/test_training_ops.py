@@ -1226,6 +1226,21 @@ def test_quality_lr_train_learns_and_pins_baseline(spark):
     assert got[-1].w_stop > 0
 
 
+def test_quality_lr_eval_separates_toy_corpus(spark):
+    """Applying the 3-step weights back to the separable toy corpus
+    classifies it perfectly at the z>=0 cut — confusion counts are
+    integers, derived metrics exact."""
+    from logport_spark.operators.textstats import quality_lr_eval
+
+    docs = spark.createDataFrame(
+        [("the and of to in is", "en")] * 4
+        + [("xyz qqq zzz kkk www vvv", "de")] * 4,
+        "text string, lang string")
+    r = quality_lr_eval(docs, steps=3).collect()[0]
+    assert (r.n, r.tp, r.fp, r.fn, r.tn) == (8, 4, 0, 0, 4)
+    assert (r.accuracy, r.precision, r.recall) == (1.0, 1.0, 1.0)
+
+
 def test_url_blocklist_suffix_semantics_and_plan(spark):
     """Subdomains inherit the ban (registered-domain entry blocks every
     host under it); a host never matches a NON-dot-boundary suffix

@@ -1837,6 +1837,12 @@ _ROTATE_IN = [
                             # as the graded representative, s9)
     "robots_filter",        # RFC 9309 host-level crawl compliance — no
                             # family twin (html_policy is page-level) (s9)
+    "bpe_train",            # tokenizer-training loop — new capability
+                            # class (iterative argmax+rewrite rounds,
+                            # recursive-CTE oracle) (s10)
+    "quality_lr",           # trained quality classifier — new capability
+                            # class (iterative float training graded
+                            # hash-exact via state quantization) (s10)
 ]
 _ROTATE_OUT = [
     "dedup_exact",          # family graded via dedup_clusters (same DAG+)
@@ -1875,6 +1881,12 @@ _ROTATE_OUT = [
                                # by ann_ivfpq_topk (IVF∘PQ composes it) (s9)
     "error_click_pairs",       # interval-join family keeps
                                # asof_purchase_click graded (s9)
+    "corpus_clean",            # superseded by corpus_clean_v2 (strict
+                               # superset of gates, same text_quality
+                               # precedent) (s10)
+    "top3_orders_per_cust",    # ranking-window family keeps
+                               # sessionize_events graded (lag + running
+                               # sum windows) (s10)
 ]
 
 

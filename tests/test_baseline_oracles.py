@@ -103,18 +103,18 @@ def test_baselines_match_oracles(spark, duck):
         # r4 session-9: co-citation related domains + change-rate recrawl
         # + the robots -> politeness -> eta fetch-plan composite
         "cocitation_pairs", "recrawl_policy", "crawl_plan",
-        # r4 session-10: full BPE merge-table training (the loop
-        # bpe_pairs is one statistic of; recursive-CTE greedy-fold oracle)
-        # + trained LR quality classifier (unrolled-GD oracle) and its
-        # apply-back eval (exact integer confusion counts)
-        "bpe_train", "quality_lr", "quality_lr_eval",
+        # r4 session-10: bpe_train and quality_lr claimed contract slots
+        # (corpus_clean superseded by corpus_clean_v2; ranking windows
+        # keep sessionize_events graded); the apply-back eval stays here
+        "quality_lr_eval",
+        "corpus_clean", "top3_orders_per_cust",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",
                  "vocab_topk", "text_repetition", "pii_scrub",
                  "stratified_sample", "line_dedup_corpus", "web_curation",
                  "semantic_dedup_pairs", "html_policy", "training_export",
-                 "bloom_contamination"):
+                 "bloom_contamination", "bpe_train", "quality_lr"):
         assert name in entrymod.queries() and name in entrymod.oracle_sql()
     for name, fn in qs.items():
         scols, srows, slists = canon_pandas(fn(spark, SF_DIR).toPandas())

@@ -647,6 +647,21 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_docs(spark, sf_dir), n_merges=4)
 
 
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the merge table bpe_train just learned
+    (textstats.py:bpe_encode): train 4 merges (bounded collect — the
+    merges.txt IS driver-sized), then one zero-shuffle codegen scan
+    applies them as literal padded-string replaces. Per doc: word count,
+    piece count, and the first 12 pieces of the actual token stream —
+    the encode step between tokenizer training and sequence packing."""
+    from logport_spark.operators.textstats import bpe_encode, bpe_train
+
+    table = bpe_train(_docs(spark, sf_dir), n_merges=4).collect()
+    pairs = [tuple(r["pair"].split(" "))
+             for r in sorted(table, key=lambda r: r["step"])]
+    return bpe_encode(_docs(spark, sf_dir), pairs)
+
+
 def _lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM filter stand-in (textstats.py:unigram_logprob): mean
     -log2 p(token) under the corpus's own unigram distribution."""
@@ -1801,6 +1816,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _bpe_train,  # full BPE merge-table training loop
         "quality_lr": _quality_lr,  # trained LR quality classifier (GD trace)
         "quality_lr_eval": _quality_lr_eval,  # apply: confusion + P/R
+        "bpe_encode": _bpe_encode,  # apply learned merges: corpus tokenize
     }
 
 
@@ -3190,14 +3206,11 @@ g AS (SELECT src_domain, dst_domain,
 """
 
 
-def _bpe_train_oracle(docs: str = "documents", merges: int = 4) -> str:
-    """Unroll bpe_train's merge loop into chained CTEs: per round, a pair
-    count + (cnt desc, pair asc) argmax, then a recursive-CTE fold that
-    replays textstats._merge_pair's greedy left-to-right within-word scan
-    symbol by symbol — so all `merges` learned rows (pair, cnt, token)
-    are hash-exact against the distributed loop, not approximately
-    similar. Identical word/char splitting as the Spark side (space
-    tokens, character symbols)."""
+def _bpe_training_blocks(merges: int) -> str:
+    """The shared CTE chain that replays bpe_train's merge loop (used by
+    both the train and encode oracles): per round i, pair count p{i},
+    argmax b{i}, needle columns bb{i}, and the recursive greedy fold
+    producing the next symbol table s{i}."""
     blocks, prev = [], "s0"
     for i in range(1, merges + 1):
         # bb{i} rides the chosen pair as COLUMNS into the recursion (a
@@ -3233,6 +3246,17 @@ s{i} AS (SELECT acc AS syms, c FROM f{i} WHERE idx = len(syms) + 1
          WHERE NOT contains(' ' || array_to_string(s.syms, '  ') || ' ',
                             b.needle))""")
         prev = f"s{i}"
+    return ",".join(blocks)
+
+
+def _bpe_train_oracle(docs: str = "documents", merges: int = 4) -> str:
+    """Unroll bpe_train's merge loop into chained CTEs: per round, a pair
+    count + (cnt desc, pair asc) argmax, then a recursive-CTE fold that
+    replays textstats._merge_pair's greedy left-to-right within-word scan
+    symbol by symbol — so all `merges` learned rows (pair, cnt, token)
+    are hash-exact against the distributed loop, not approximately
+    similar. Identical word/char splitting as the Spark side (space
+    tokens, character symbols)."""
     steps = "\n            UNION ALL ".join(
         f"SELECT {i} AS step, pair, CAST(cnt AS BIGINT) AS cnt, "
         f"replace(pair, ' ', '') AS token FROM b{i}"
@@ -3243,8 +3267,43 @@ s{i} AS (SELECT acc AS syms, c FROM f{i} WHERE idx = len(syms) + 1
                     FROM {docs}),
             wc AS (SELECT w, count(*) AS c FROM tok
                    WHERE length(w) > 0 GROUP BY 1),
-            s0 AS (SELECT string_split(w, '') AS syms, c FROM wc),{','.join(blocks)}
+            s0 AS (SELECT string_split(w, '') AS syms, c FROM wc),{_bpe_training_blocks(merges)}
             SELECT * FROM ({steps}) ORDER BY step
+        """
+
+
+def _bpe_encode_oracle(docs: str = "documents", merges: int = 4,
+                       head: int = 12) -> str:
+    """Replay bpe_train's rounds (the shared block chain, yielding the
+    needle/replacement columns bb1..bb{n}), then apply them to every doc
+    with the IDENTICAL padded-string replace chain the engine uses
+    (textstats.bpe_apply): both engines run literal left-to-right
+    non-overlapping replace over the same padded text, so the encoded
+    piece stream is hash-exact by construction."""
+    pad = f"' ' || array_to_string(string_split(text, ''), '  ') || ' '"
+    for i in range(1, merges + 1):
+        pad = f"replace({pad}, b{i}.needle, ' ' || b{i}.pt || ' ')"
+    joins = ", ".join(f"bb{i} b{i}" for i in range(1, merges + 1))
+    return f"""
+            WITH RECURSIVE
+            tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM {docs}),
+            wc AS (SELECT w, count(*) AS c FROM tok
+                   WHERE length(w) > 0 GROUP BY 1),
+            s0 AS (SELECT string_split(w, '') AS syms, c FROM wc),{_bpe_training_blocks(merges)},
+            enc AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> length(w) > 0)) AS n_words,
+                     {pad} AS padded
+              FROM {docs}, {joins}),
+            ep AS (SELECT doc_id, n_words,
+                          string_split_regex(trim(padded), ' {{2,}}') AS pieces
+                   FROM enc WHERE n_words >= 1)
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(len(pieces) AS BIGINT) AS n_pieces,
+                   array_to_string(pieces[1:{head}], ' ') AS head_pieces
+            FROM ep
         """
 
 
@@ -4983,6 +5042,7 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "quality_lr": _quality_lr_oracle("documents", steps=3),
         "quality_lr_eval": _quality_lr_oracle("documents", steps=3,
                                               final="eval"),
+        "bpe_encode": _bpe_encode_oracle("documents", merges=4, head=12),
     }
 
 

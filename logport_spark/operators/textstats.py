@@ -642,6 +642,72 @@ def bpe_train(docs: DataFrame, n_merges: int = 4,
     ).orderBy("step")
 
 
+def bpe_apply(text_col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a learned BPE merge table to a document in ONE zero-shuffle
+    codegen pass: pad the text so every character is a symbol bounded by
+    spaces — two spaces between symbols inside a word, and the original
+    space character becomes a symbol of its own (so a word boundary is a
+    run of >= 5 spaces no two-symbol needle can cross) — then each merge
+    (a, b) is one literal string `replace` of ``' a  b '`` with
+    ``' ab '``.
+
+    Literal left-to-right non-overlapping replacement is exactly the
+    greedy BPE merge scan (`_merge_pair`'s fold semantics: [a,a,a] with
+    (a,a) -> [aa, a], and the merged token never re-merges in its own
+    round because matching resumes after the replacement) — pinned
+    against the fold by test. The replacement keeps the invariant (every
+    symbol still bounded by single spaces, >= 2 between symbols), so the
+    next round's needle stays exact. No vocab join (and so no hot-token
+    shuffle skew), no interpreted HOF over the token stream (the
+    session-9 variance rule): the whole chain is StringReplace inside
+    one WholeStageCodegen span.
+
+    Returns the flat piece array: split the result on runs of >= 2
+    spaces (word-boundary runs just disappear — the space symbol is
+    never a token). At production merge counts (~30k) a chained-replace
+    plan is no longer viable; the swap-point is a pandas-UDF word-trie
+    encoder over the DISTINCT-WORD table joined back by word (AQE
+    skew-join splits the hot-token partitions) — same output contract,
+    this form keeps every step SQL-oracle-able."""
+    padded = F.concat(F.lit(" "),
+                      F.array_join(F.split(text_col, ""), "  "),
+                      F.lit(" "))
+    for a, b in merges:
+        padded = F.replace(padded, F.lit(f" {a}  {b} "),
+                           F.lit(f" {a}{b} "))
+    return F.split(F.trim(padded), " {2,}")
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text", id_col: str = "doc_id",
+               head: int = 12) -> DataFrame:
+    """Tokenize the corpus with a trained BPE merge table — the encode
+    step between `bpe_train` (learn merges) and `pack_sequences` (pack
+    token counts into training windows). Per doc: word count, encoded
+    piece count, and the first `head` pieces (space-joined) as the
+    value-checkable sample of the actual token stream.
+
+    Plan shape: one corpus-linear scan, zero shuffles before the final
+    per-doc projection (`bpe_apply` is a pure codegen replace chain over
+    a padded copy of the text; the ~3x transient inflation never
+    materializes). Docs with zero space-split tokens are absent (the
+    lm_bits convention). Extends the reference's scope: logport ships
+    text; an LLM pipeline must tokenize it with the tokenizer it just
+    trained."""
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda w: F.length(w) > 0)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.size(toks).cast("long").alias("n_words"),
+                    bpe_apply(F.col(text_col), merges).alias("pieces"))
+        .filter(F.col("n_words") >= 1)
+        .select("doc_id", "n_words",
+                F.size("pieces").cast("long").alias("n_pieces"),
+                F.array_join(F.slice("pieces", 1, head), " ")
+                .alias("head_pieces"))
+    )
+
+
 def bigram_logprob(docs: DataFrame, ref: DataFrame | None = None,
                    alpha: float = 0.4, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:

@@ -1208,6 +1208,55 @@ def test_bpe_train_semantics(spark):
     assert got == [(1, "a a", 6, "aa"), (2, "aa aa", 2, "aaaa")]
 
 
+def test_bpe_apply_matches_merge_fold(spark):
+    """The padded-string replace chain (bpe_apply) is pinned against the
+    greedy `_merge_pair` aggregate fold word by word — including the
+    overlap adversary ('aaaa' with (a,a) -> [aa, aa], never [a, aa, a]),
+    cascaded merges whose later needles contain earlier merged tokens,
+    and words the merge table never touches."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.textstats import _merge_pair, bpe_apply
+
+    merges = [("a", "a"), ("aa", "aa"), ("l", "o"), ("lo", "w")]
+    words = ["aaaa", "aaa", "aaaaa", "low", "lower", "lowest",
+             "wallow", "oolong", "xyz", "a", "w"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    fold = F.split(F.col("w"), "")
+    for a, b in merges:
+        fold = _merge_pair(fold, a, b)
+    got = {r.w: (r.via_replace, r.via_fold)
+           for r in df.select(
+               "w", bpe_apply(F.col("w"), merges).alias("via_replace"),
+               fold.alias("via_fold")).collect()}
+    for w, (via_replace, via_fold) in got.items():
+        assert via_replace == via_fold, w
+    assert got["aaaa"][0] == ["aaaa"]          # aa+aa cascades
+    assert got["aaaaa"][0] == ["aaaa", "a"]    # greedy non-overlap
+    assert got["lowest"][0] == ["low", "e", "s", "t"]
+
+
+def test_bpe_encode_word_boundaries_and_contract(spark):
+    """Whole-document encode never merges across word boundaries (the
+    >=5-space separator argument), space runs collapse silently, and the
+    (doc_id, n_words, n_pieces, head_pieces) contract drops zero-token
+    docs while head_pieces truncates at `head`."""
+    from logport_spark.operators.textstats import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab  ba"),   # (b,a): 'ab ab' crosses b|a at the boundary — must NOT merge
+         (2, "   "),         # zero tokens -> absent
+         (3, "ba ba ba ba")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           bpe_encode(docs, [("b", "a")], head=3).collect()}
+    assert set(out) == {1, 3}
+    assert (out[1].n_words, out[1].n_pieces) == (3, 5)  # a,b | a,b | ba
+    assert out[1].head_pieces == "a b a"
+    assert (out[3].n_words, out[3].n_pieces) == (4, 4)
+    assert out[3].head_pieces == "ba ba ba"  # truncated at head=3
+
+
 def test_quality_lr_train_learns_and_pins_baseline(spark):
     """On a separable toy corpus (label-1 docs are all stopwords, label-0
     docs none), the trainer moves w_stop positive within 3 steps and the

@@ -1119,6 +1119,19 @@ def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.select("url", "frames", "frame_idx", F.hex("frame").alias("frame_hex"))
 
 
+def _mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit perceptual-hash signatures over the binary media column
+    (multimodal.py:phash60) — the signature table that makes image dedup a
+    simhash-band problem (multimodal.phash_pairs reuses the Manku C(6,3)
+    core; pytest pins the banded pair set on a planted near-dup fixture).
+    The container's byte-probe fake is re-derived by the oracle from raw
+    blob bytes via hex arithmetic — hash-exact, not approximately
+    similar."""
+    from logport_spark.operators.multimodal import phash60
+
+    return phash60(_pages(spark, sf_dir), fake_decode=True)
+
+
 def _events_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-distinct aggregation (§2.6): two DISTINCT aggregates with
     different keys in one groupBy — Catalyst plans this with an Expand
@@ -1817,6 +1830,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr": _quality_lr,  # trained LR quality classifier (GD trace)
         "quality_lr_eval": _quality_lr_eval,  # apply: confusion + P/R
         "bpe_encode": _bpe_encode,  # apply learned merges: corpus tokenize
+        "mm_phash": _mm_phash,  # perceptual-hash signatures (image dedup)
     }
 
 
@@ -2667,6 +2681,29 @@ def _mm_features_sql() -> str:
                CAST(1 + n % 4 AS INT) AS frames,
                f0, f1, f2, f3, f4, f5, f6, f7
         FROM b
+    """
+
+
+def _mm_phash_sql() -> str:
+    """Independent re-derivation of phash60's byte-probe fake
+    (multimodal.py:phash60): bit i is (byte at floor(i*n/60)) >= 128,
+    bytes parsed out of hex(html) with the strpos hex-digit idiom; the
+    60 disjoint powers sum into a positive BIGINT."""
+    hexd = "'0123456789ABCDEF'"
+    byte = ("((strpos({hd}, substr(hx, 2*((i*n)//60)+1, 1)) - 1) * 16"
+            " + (strpos({hd}, substr(hx, 2*((i*n)//60)+2, 1)) - 1))").format(
+        hd=hexd)
+    return f"""
+        WITH p AS (
+          SELECT url, hex(html) AS hx, coalesce(octet_length(html), 0) AS n
+          FROM {_PAGES}
+        )
+        SELECT url,
+               CAST(coalesce(list_sum([
+                 CASE WHEN n > 0 AND {byte} >= 128
+                      THEN 1::BIGINT << i ELSE 0::BIGINT END
+                 FOR i IN range(0, 60)]), 0) AS BIGINT) AS phash
+        FROM p
     """
 
 
@@ -5043,6 +5080,7 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "quality_lr_eval": _quality_lr_oracle("documents", steps=3,
                                               final="eval"),
         "bpe_encode": _bpe_encode_oracle("documents", merges=4, head=12),
+        "mm_phash": _mm_phash_sql(),
     }
 
 

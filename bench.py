@@ -107,6 +107,8 @@ def _headline_queries():
         "bpe_train",                               # r4 full BPE merge training
         "quality_lr",                              # r4 trained LR quality filter
         "quality_lr_eval",                         # r4 apply-back confusion/PR
+        "bpe_encode",                              # r4 corpus tokenize w/ learned merges
+        "mm_phash",                                # r4 perceptual-hash signatures
     ):
         if opt in qs:
             names.append(opt)
@@ -396,8 +398,8 @@ def dedup_scale_run() -> dict:
              # r4 session-9 additions
              "weighted_sample", "lang_segments", "ann_pq_topk",
              "ann_ivfpq_topk",
-             # r4 session-10 additions
-             "bpe_train", "quality_lr"]
+             # r4 session-10/11 additions
+             "bpe_train", "quality_lr", "bpe_encode"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -163,3 +163,85 @@ def sample_frames(pages: DataFrame, bin_col: str = "html", every: int = 2,
             yield pd.DataFrame(rows, columns=["url", "frames", "frame_idx", "frame"])
 
     return pages.select("url", bin_col).mapInPandas(run, FRAMES_DDL)
+
+
+def phash60(pages: DataFrame, bin_col: str = "html",
+            fake_decode: bool = True) -> DataFrame:
+    """60-bit perceptual hash per media payload — the signature that makes
+    image dedup (the LAION-style near-dup sweep) a `simhash_pairs` problem.
+
+    Real path (Pillow present, a real cluster): mapInPandas decode ->
+    32x32 grayscale -> 2-D DCT (numpy) -> top-left 8x8 low-frequency
+    block minus DC -> sign-vs-median bits. Fake path (this container): a
+    'byte-block luminance' hash, pure JVM codegen — bit i is (payload
+    byte at floor(i*len/60)) >= 128 over 60 evenly-spaced probes. The
+    fake is genuinely locality-sensitive to byte edits (a small payload
+    change flips few probes), so the downstream banding semantics are
+    exercised for real, and it is SQL-oracle-able byte-for-byte via hex
+    arithmetic (the mm_features oracle idiom).
+
+    60 bits, not 64, so the hash stays positive in a signed long in BOTH
+    engines (DuckDB BIGINT has no unsigned view) and so the signature
+    drops straight into the simhash band machinery (4x15 narrow bands /
+    C(6,3) 10-bit Manku blocks). Plan: 60 one-byte substring probes
+    inside one codegen span — no Python, no shuffle."""
+    if not fake_decode:
+        if _pil_available():  # pragma: no cover - decode libs absent here
+            import io
+
+            import numpy as np
+            from PIL import Image
+
+            def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    rows = []
+                    for url, payload in zip(pdf["url"], pdf[bin_col]):
+                        im = Image.open(io.BytesIO(bytes(payload)))
+                        g = np.asarray(
+                            im.convert("L").resize((32, 32)), dtype=np.float64)
+                        # 2-D DCT-II via the separable matrix form
+                        k = np.arange(32)
+                        c = np.cos(np.pi * (2 * k[None, :] + 1)
+                                   * k[:, None] / 64.0)
+                        d = c @ g @ c.T
+                        low = d[:8, :8].flatten()[1:61]  # skip DC, keep 60
+                        med = float(np.median(low))
+                        h = 0
+                        for i, v in enumerate(low):
+                            h |= int(v > med) << i
+                        rows.append({"url": url, "phash": h})
+                    yield pd.DataFrame(rows, columns=["url", "phash"])
+
+            return pages.select("url", bin_col).mapInPandas(
+                run, "url string, phash long")
+        raise NotImplementedError(
+            "real perceptual hashing needs Pillow — pass fake_decode=True "
+            "for the deterministic byte-probe fake")
+    n = F.octet_length(F.col(bin_col))
+    h = F.lit(0).cast("long")
+    for i in range(60):
+        probe = F.expr(
+            f"conv(hex(substring({bin_col}, "
+            f"1 + CAST(floor({i} * octet_length({bin_col}) / 60) AS INT), "
+            f"1)), 16, 10)").cast("long")
+        bit = F.when((n > 0) & (probe >= 128), F.lit(1)).otherwise(
+            F.lit(0)).cast("long")
+        h = h.bitwiseOR(F.shiftleft(bit, i))
+    return pages.select("url", h.alias("phash"))
+
+
+def phash_pairs(sig: DataFrame, max_hamming: int = 3,
+                max_bucket: int | None = None) -> DataFrame:
+    """Near-duplicate media pairs from phash60 signatures: the EXACT
+    hamming<=3 pair set via Manku C(6,3) 10-bit block banding — literally
+    the simhash core (dedup._simhash_banded) keyed on the perceptual hash,
+    so the scale contract (candidates ~20*n^2/2^31, cap_buckets guardrail)
+    is inherited rather than re-derived. Output (u1, u2, hamming)."""
+    from logport_spark.operators.dedup import simhash_pairs_blocked
+
+    pairs = simhash_pairs_blocked(
+        sig.select(F.col("url").alias("doc_id"),
+                   F.col("phash").alias("simhash")),
+        max_hamming=max_hamming, max_bucket=max_bucket)
+    return pairs.select(F.col("d1").alias("u1"), F.col("d2").alias("u2"),
+                        "hamming")

@@ -109,8 +109,9 @@ def test_baselines_match_oracles(spark, duck):
         "quality_lr_eval",
         "corpus_clean", "top3_orders_per_cust",
         # r4 session-11: apply the learned merge table back to the corpus
-        # (the encode step between bpe_train and pack_sequences)
-        "bpe_encode",
+        # (the encode step between bpe_train and pack_sequences), and
+        # perceptual-hash signatures making image dedup a simhash problem
+        "bpe_encode", "mm_phash",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -254,6 +254,51 @@ def test_multimodal_resize_and_frames(spark):
     assert per_url.between(1, 2).all()
 
 
+def test_phash_pairs_planted_neardups(spark):
+    """phash60 + phash_pairs on a planted fixture: payload pairs that
+    differ at <=3 of the 60 probe positions land in the hamming<=3 pair
+    set; payloads with many flipped probe bytes do not. The banded join
+    must equal the brute-force hamming<=3 set exactly (the Manku C(6,3)
+    pigeonhole guarantee), and the real-decode path stays gated."""
+    import itertools
+
+    import pytest as _pytest
+
+    from logport_spark.operators.multimodal import phash60, phash_pairs
+
+    base = bytes((7 * i) % 256 for i in range(600))  # 10 bytes per probe
+
+    def flip(payload: bytes, probes: list[int]) -> bytes:
+        b = bytearray(payload)
+        for p in probes:
+            pos = (p * len(b)) // 60
+            b[pos] ^= 0x80  # flips exactly that probe's >=128 bit
+        return bytes(b)
+
+    rows = [("u_base", base),
+            ("u_near2", flip(base, [5, 17])),       # hamming 2 -> pair
+            ("u_near3", flip(base, [5, 17, 40])),   # hamming 3 from base
+            ("u_far", flip(base, list(range(0, 60, 4))))]  # hamming 15
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    sig = phash60(pages, fake_decode=True)
+    hashes = {r.url: r.phash for r in sig.collect()}
+    assert all(0 <= h < (1 << 60) for h in hashes.values())
+
+    got = {(r.u1, r.u2, r.hamming) for r in phash_pairs(sig, 3).collect()}
+    brute = set()
+    for (ua, ha), (ub, hb) in itertools.combinations(sorted(hashes.items()), 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 3:
+            brute.add((ua, ub, d))
+    assert got == brute
+    assert ("u_base", "u_near2", 2) in got
+    assert ("u_base", "u_near3", 3) in got
+    assert not any("u_far" in (a, b) for a, b, _ in got)
+
+    with _pytest.raises(NotImplementedError):
+        phash60(pages, fake_decode=False).collect()
+
+
 def test_lang_id_model_gate_and_plumbing(spark):
     """Capability-gated fastText swap point: the probe gates the real model
     (absent here), and the fake-model pandas UDF must agree with the JVM

@@ -478,6 +478,27 @@ ANNOTATED = {
         "In deployment the feature table is localCheckpoint'ed once, so "
         "steps 2..K never rescan the corpus."
     ),
+    "mm_phash": (
+        "Perceptual-hash signatures over the binary media column: 60 "
+        "one-byte substring probes OR-folded into one long, all inside "
+        "the scan's codegen span (ReadSchema: url, html only) — no "
+        "Python, no shuffle; the signature table drops straight into the "
+        "Manku C(6,3) band join (phash_pairs reuses dedup's simhash "
+        "core), so image dedup at 10^9 media objects inherits the "
+        "simhash scale contract instead of inventing a new one."
+    ),
+    "bpe_encode": (
+        "Corpus tokenization with the learned merge table: the whole "
+        "chain of literal merge replaces is nested StringReplace inside "
+        "ONE WholeStageCodegen span over the scan (ReadSchema: doc_id, "
+        "text only) — no keyed shuffle anywhere (the round-robin exchange "
+        "is _docs' single-file ingest fan-out, absent on a real "
+        "multi-file table), no vocab join (so no hot-token shuffle skew) "
+        "and no interpreted HOF over the token stream; the "
+        "~3x padded copy of the text exists only inside the span. The "
+        "merge table itself is the driver-sized bpe_train collect (its "
+        "rounds are the bpe_train_round plan below)."
+    ),
     "bpe_train_round": (
         "One BPE merge round (the returned merges table is a "
         "LocalTableScan of K driver-collected argmax rows — THIS is the "

@@ -1132,6 +1132,18 @@ def _mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash60(_pages(spark, sf_dir), fake_decode=True)
 
 
+def _caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text alignment gate (multimodal.py:caption_alignment) — the
+    CLIP-score filter of image-text corpus curation (LAION's cosine
+    cut), over deterministic stand-in towers: mapInPandas image features
+    (the CLIP-image swap point) x md5 hashing-trick caption vectors.
+    Exact-integer dot/norms make the rounded cosine hash-exact against
+    the hex-arithmetic oracle."""
+    from logport_spark.operators.multimodal import caption_alignment
+
+    return caption_alignment(_pages(spark, sf_dir), tau=0.35)
+
+
 def _events_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-distinct aggregation (§2.6): two DISTINCT aggregates with
     different keys in one groupBy — Catalyst plans this with an Expand
@@ -1831,6 +1843,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_eval": _quality_lr_eval,  # apply: confusion + P/R
         "bpe_encode": _bpe_encode,  # apply learned merges: corpus tokenize
         "mm_phash": _mm_phash,  # perceptual-hash signatures (image dedup)
+        "caption_filter": _caption_filter,  # CLIP-style image-text alignment gate
     }
 
 
@@ -2704,6 +2717,57 @@ def _mm_phash_sql() -> str:
                       THEN 1::BIGINT << i ELSE 0::BIGINT END
                  FOR i IN range(0, 60)]), 0) AS BIGINT) AS phash
         FROM p
+    """
+
+
+def _caption_filter_sql(tau: float = 0.35, n_feat: int = 8) -> str:
+    """Re-derive caption_alignment in SQL: image ints k0..k7 via the
+    mm_features hex idiom, caption counts via md5-digit bucket sums, then
+    the identical pure-double cosine (exact-integer dot/norms, one sqrt,
+    one divide, round 4dp) and the kept cut on the ROUNDED score."""
+    hexd = "'0123456789ABCDEF'"
+    byte = ("((strpos({hd}, substr(hx, 2*{j}+1, 1)) - 1) * 16"
+            " + (strpos({hd}, substr(hx, 2*{j}+2, 1)) - 1))")
+    ks = ",\n                 ".join(
+        "CAST(coalesce(list_sum(["
+        + byte.format(hd=hexd, j="j")
+        + f" FOR j IN range({i}, n, {n_feat})]), 0) % 997 AS BIGINT) AS k{i}"
+        for i in range(n_feat))
+    md5v = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1)"
+        f" * {16 ** (3 - j)}" for j in range(4))
+    cs = ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN b = {i} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS c{i}" for i in range(n_feat))
+    dot = " + ".join(
+        f"CAST(k{i} * coalesce(c{i}, 0) AS DOUBLE)" for i in range(n_feat))
+    na2 = " + ".join(f"CAST(k{i} * k{i} AS DOUBLE)" for i in range(n_feat))
+    nb2 = " + ".join(
+        f"CAST(coalesce(c{i}, 0) * coalesce(c{i}, 0) AS DOUBLE)"
+        for i in range(n_feat))
+    return f"""
+        WITH p AS (
+          SELECT url, hex(html) AS hx, coalesce(octet_length(html), 0) AS n
+          FROM {_PAGES}
+        ), img AS (
+          SELECT url, {ks}
+          FROM p
+        ), tk AS (
+          SELECT url, unnest(list_filter(string_split(text, ' '),
+                                         t -> length(t) > 0)) AS tok
+          FROM {_PAGES}
+        ), tb AS (
+          SELECT url, ({md5v}) % {n_feat} AS b FROM tk
+        ), cap AS (
+          SELECT url, {cs} FROM tb GROUP BY url
+        ), sc AS (
+          SELECT i.url,
+                 CASE WHEN sqrt({na2}) > 0 AND sqrt({nb2}) > 0
+                      THEN round(({dot}) / (sqrt({na2}) * sqrt({nb2})), 4)
+                      ELSE 0.0::DOUBLE END AS align_score
+          FROM img i LEFT JOIN cap c USING (url)
+        )
+        SELECT url, align_score, align_score >= {tau} AS kept FROM sc
     """
 
 
@@ -5081,6 +5145,7 @@ def _baseline_oracle_registry() -> dict[str, str]:
                                               final="eval"),
         "bpe_encode": _bpe_encode_oracle("documents", merges=4, head=12),
         "mm_phash": _mm_phash_sql(),
+        "caption_filter": _caption_filter_sql(tau=0.35),
     }
 
 

@@ -109,6 +109,7 @@ def _headline_queries():
         "quality_lr_eval",                         # r4 apply-back confusion/PR
         "bpe_encode",                              # r4 corpus tokenize w/ learned merges
         "mm_phash",                                # r4 perceptual-hash signatures
+        "caption_filter",                          # r4 image-text alignment gate
     ):
         if opt in qs:
             names.append(opt)

@@ -245,3 +245,52 @@ def phash_pairs(sig: DataFrame, max_hamming: int = 3,
         max_hamming=max_hamming, max_bucket=max_bucket)
     return pairs.select(F.col("d1").alias("u1"), F.col("d2").alias("u2"),
                         "hamming")
+
+
+def caption_alignment(pages: DataFrame, tau: float = 0.35,
+                      bin_col: str = "html", text_col: str = "text",
+                      n_feat: int = 8) -> DataFrame:
+    """Image-text alignment filtering — the CLIP-score gate every
+    image-text training corpus runs (LAION keeps pairs with CLIP cosine
+    >= 0.28 between the image tower and the caption tower). Both towers
+    here are the deterministic oracle-able stand-ins; the swap points
+    are explicit: the image vector is `extract_features`' mapInPandas
+    embedding (drop CLIP's image encoder into that UDF), the caption
+    vector is an md5 hashing-trick bag-of-tokens (drop the text encoder
+    into the same Arrow shape).
+
+    Plan: one mapInPandas pass for image vectors (Arrow-batched), one
+    explode + partial-aggregated conditional-sum pass for caption
+    vectors (the lang_segments shape — never k interpreted-HOF filter
+    counts per row), ONE url-keyed join, then pure-double cosine with a
+    pinned evaluation order: dot and norms are exact-integer sums, so
+    sqrt/divide are single correctly-rounded IEEE ops and round(.,4) is
+    engine-identical — the score is hash-exact, not approximately equal.
+    Output: (url, align_score, kept)."""
+    feats = extract_features(pages, bin_col=bin_col, fake_decode=True,
+                             n_feat=n_feat)
+    # exact integer components: feat[i] = k/997 with k < 997, float32
+    # error << 0.5, so round(feat*997) recovers k exactly
+    img = feats.select(
+        "url", *[F.round(F.element_at("feat", i + 1) * 997)
+                 .cast("long").alias(f"k{i}") for i in range(n_feat)])
+    toks = (pages.select("url", F.explode(
+        F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .select("url", (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10)
+                        .cast("long") % n_feat).alias("b")))
+    cap = toks.groupBy("url").agg(
+        *[F.sum(F.when(F.col("b") == i, 1).otherwise(0)).alias(f"c{i}")
+          for i in range(n_feat)])
+    j = img.join(cap, "url", "left")
+    dot = sum((F.col(f"k{i}") * F.coalesce(F.col(f"c{i}"), F.lit(0))
+               ).cast("double") for i in range(n_feat))
+    na = F.sqrt(sum((F.col(f"k{i}") * F.col(f"k{i}")).cast("double")
+                    for i in range(n_feat)))
+    nb = F.sqrt(sum((F.coalesce(F.col(f"c{i}"), F.lit(0))
+                     * F.coalesce(F.col(f"c{i}"), F.lit(0))).cast("double")
+                    for i in range(n_feat)))
+    score = F.when((na > 0) & (nb > 0),
+                   F.round(dot / (na * nb), 4)).otherwise(F.lit(0.0))
+    return j.select("url", score.alias("align_score"),
+                    (score >= F.lit(tau)).alias("kept"))

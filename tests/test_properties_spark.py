@@ -450,6 +450,74 @@ def test_ivfpq_topk_matches_python_reference(spark, vals, qa, qb):
         assert abs(g[2] - e[2]) <= 1e-4
 
 
+@given(docs=st.lists(
+    st.lists(st.text(alphabet="ab", min_size=1, max_size=6),
+             min_size=0, max_size=8),
+    min_size=1, max_size=6),
+    k=st.sampled_from([1, 4]))
+@settings(**SPARK_SETTINGS)
+def test_bpe_encode_matches_python_reference(spark, docs, k):
+    """bpe_encode (train k merges, then the padded-replace encode) equals
+    a pure-Python reference on ANY random 2-char corpus: the reference
+    trains Sennrich-style, then re-tokenizes every doc word with the
+    greedy non-overlapping merge scan in learned order. Also pins the
+    round-trip invariant: concatenating a doc's pieces restores its text
+    with spaces removed (no byte is ever lost or invented)."""
+    from collections import Counter
+
+    from logport_spark.operators.textstats import bpe_encode, bpe_train
+
+    texts = [" ".join(ws) for ws in docs]
+    words = [w for ws in docs for w in ws if w]
+
+    def fold(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    wc = Counter(words)
+    vocab = {w: [ch for ch in w] for w in wc}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), _cnt = min(pc.items(),
+                           key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        merges.append((a, b))
+        vocab = {w: fold(syms, a, b) for w, syms in vocab.items()}
+
+    expect = {}
+    for i, ws in enumerate(docs):
+        toks = [w for w in ws if w]
+        if not toks:
+            continue
+        pieces = [p for w in toks for p in vocab[w]]
+        expect[i] = (len(toks), len(pieces), " ".join(pieces[:12]))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    table = bpe_train(df, n_merges=k).collect()
+    learned = [tuple(r["pair"].split(" "))
+               for r in sorted(table, key=lambda r: r["step"])]
+    assert learned == merges
+    got = {r.doc_id: (r.n_words, r.n_pieces, r.head_pieces)
+           for r in bpe_encode(df, learned).collect()}
+    assert got == expect
+    for i, (_nw, _np, _hd) in got.items():
+        full = [p for w in texts[i].split(" ") if w for p in vocab[w]]
+        assert "".join(full) == texts[i].replace(" ", "")
+
+
 @given(words=st.lists(
     st.text(alphabet="ab", min_size=1, max_size=6),
     min_size=1, max_size=20),

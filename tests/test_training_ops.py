@@ -299,6 +299,47 @@ def test_phash_pairs_planted_neardups(spark):
         phash60(pages, fake_decode=False).collect()
 
 
+def test_caption_alignment_matches_python_reference(spark):
+    """caption_alignment vs an independent pure-Python recomputation over
+    40 datagen pages: same image ints (stride sums mod 997), same md5
+    hashing-trick caption buckets, same rounded cosine and kept cut —
+    exact equality, plus the zero-token and bounds contracts."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from logport_spark import datagen
+    from logport_spark.operators.multimodal import caption_alignment
+
+    rows = datagen.gen_docs(range(40))
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=datagen.PAGES_DDL)
+    got = {r.url: (r.align_score, r.kept)
+           for r in caption_alignment(pages, tau=0.35).collect()}
+    assert len(got) == 40
+    for rec in rows:
+        payload = bytes(rec["html"]) if rec["html"] is not None else b""
+        k = [sum(payload[i::8]) % 997 if payload else 0 for i in range(8)]
+        c = [0] * 8
+        for tok in rec["text"].split(" "):
+            if tok:
+                c[int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % 8] += 1
+        dot = float(sum(a * b for a, b in zip(k, c)))
+        na = math.sqrt(float(sum(a * a for a in k)))
+        nb = math.sqrt(float(sum(b * b for b in c)))
+        if na > 0 and nb > 0:
+            want = float(f"{dot / (na * nb):.4f}")  # HALF_EVEN vs HALF_UP
+            # differs only at exact .00005 boundaries — assert to 1e-9 of
+            # the unrounded value instead of string-formatting roulette
+            score, kept = got[rec["url"]]
+            assert abs(score - dot / (na * nb)) < 5.5e-5, rec["url"]
+            assert abs(score - want) < 1.1e-4
+            assert kept == (score >= 0.35)
+            assert 0.0 <= score <= 1.0
+        else:
+            assert got[rec["url"]] == (0.0, False)
+
+
 def test_lang_id_model_gate_and_plumbing(spark):
     """Capability-gated fastText swap point: the probe gates the real model
     (absent here), and the fake-model pandas UDF must agree with the JVM

@@ -478,6 +478,16 @@ ANNOTATED = {
         "In deployment the feature table is localCheckpoint'ed once, so "
         "steps 2..K never rescan the corpus."
     ),
+    "caption_filter": (
+        "The CLIP-score alignment gate: image vectors ride ONE "
+        "ArrowEvalPython/mapInPandas pass (the CLIP-image swap point), "
+        "caption vectors are an explode + partial-aggregated "
+        "conditional-sum (the lang_segments shape — never k interpreted "
+        "HOF filter-counts per row), and the two meet in ONE url-keyed "
+        "join; the cosine is a codegen projection of exact-integer "
+        "dot/norms, so the only network cost at 10^9 pairs is the "
+        "caption aggregate + the join."
+    ),
     "mm_phash": (
         "Perceptual-hash signatures over the binary media column: 60 "
         "one-byte substring probes OR-folded into one long, all inside "

@@ -464,7 +464,10 @@ def pages_scale_run() -> dict:
              # r4 session-9: canonicalization + robots compliance +
              # co-citation + recrawl scheduling
              "redirect_resolve", "robots_filter",
-             "cocitation_pairs", "recrawl_policy"]
+             "cocitation_pairs", "recrawl_policy",
+             # r4 session-11: perceptual-hash signatures + CLIP-style
+             # image-text alignment gate (binary-column scan profiles)
+             "mm_phash", "caption_filter"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

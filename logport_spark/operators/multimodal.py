@@ -95,16 +95,27 @@ def extract_features(pages: DataFrame, bin_col: str = "html",
     pipeline (Arrow batches of binary → struct metadata + feature vector).
     The decode inside is the deterministic fake unless real libs exist."""
 
+    import numpy as np
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, payload in zip(pdf["url"], pdf[bin_col]):
                 payload = bytes(payload) if payload is not None else b""
                 meta = decode_media(payload, "image", fake=fake_decode)
-                feat = [
-                    float((sum(payload[i::n_feat]) % 997) / 997.0) if payload else 0.0
-                    for i in range(n_feat)
-                ]
+                # stride sums vectorized (the pq_encode lesson: the tower
+                # inside an Arrow batch is a numpy kernel, never a Python
+                # byte loop — exact ints, so output is bit-identical to
+                # the original per-byte form)
+                if payload:
+                    arr = np.frombuffer(payload, dtype=np.uint8)
+                    feat = [
+                        float((int(arr[i::n_feat].sum(dtype=np.int64))
+                               % 997) / 997.0)
+                        for i in range(n_feat)
+                    ]
+                else:
+                    feat = [0.0] * n_feat
                 rows.append({"url": url, **meta, "feat": feat})
             yield pd.DataFrame(rows, columns=["url", "width", "height", "frames", "feat"])
 

@@ -1132,6 +1132,18 @@ def _mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash60(_pages(spark, sf_dir), fake_decode=True)
 
 
+def _hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid more-like-this retrieval (retrieval.py:hybrid_rrf_topk):
+    reciprocal-rank fusion of the BM25 lexical leg (probe doc's own text
+    as the query, self dropped) and the dense cosine leg (probe's
+    embedding) over the same 5 probes — 1/(60+r_lex) + 1/(60+r_dense),
+    leg ranks carried with 0 as the absent-leg sentinel."""
+    from logport_spark.operators.retrieval import hybrid_rrf_topk
+
+    return hybrid_rrf_topk(_docs(spark, sf_dir), _emb(spark, sf_dir),
+                           ANN_QUERY_IDS, k=10, k_leg=20)
+
+
 def _caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-text alignment gate (multimodal.py:caption_alignment) — the
     CLIP-score filter of image-text corpus curation (LAION's cosine
@@ -1844,6 +1856,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,  # apply learned merges: corpus tokenize
         "mm_phash": _mm_phash,  # perceptual-hash signatures (image dedup)
         "caption_filter": _caption_filter,  # CLIP-style image-text alignment gate
+        "hybrid_rrf_topk": _hybrid_rrf_topk,  # BM25 + dense RRF fusion
     }
 
 
@@ -2718,6 +2731,96 @@ def _mm_phash_sql() -> str:
                  FOR i IN range(0, 60)]), 0) AS BIGINT) AS phash
         FROM p
     """
+
+
+def _hybrid_rrf_sql(k: int = 10, k_leg: int = 20, kc: int = 60) -> str:
+    """Replay both legs: the bm25 oracle's CTE chain with query terms
+    derived from the probe docs' own texts (rnk <= k_leg+1 with self,
+    then self-drop + re-rank, exactly the operator's order of
+    operations), the ann_topk oracle's cosine ranking at k_leg, then the
+    identical two-term RRF (exact-int reciprocals, fixed add order,
+    round 6dp) and the fused total order."""
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            n AS (SELECT vec_id,
+                    sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+                  FROM e),
+            qd AS (SELECT doc_id AS query_id, text FROM documents
+                   WHERE doc_id IN ({ids})),
+            qt AS (SELECT DISTINCT query_id,
+                          unnest(list_filter(string_split(text, ' '),
+                                             x -> length(x) > 0)) AS tok
+                   FROM qd),
+            t AS (SELECT doc_id, list_filter(string_split(text, ' '),
+                                             x -> length(x) > 0) AS toks
+                  FROM documents),
+            l AS (SELECT doc_id, len(toks) AS dl FROM t),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM l),
+            tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            post AS (SELECT p.doc_id, p.tok, count(*) AS tf
+                     FROM tok p
+                     JOIN (SELECT DISTINCT tok FROM qt) v USING (tok)
+                     GROUP BY 1, 2),
+            dfreq AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+            idf AS (SELECT tok,
+                           ln((st.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                               AS idf
+                    FROM dfreq, st),
+            contrib AS (
+              SELECT qt.query_id, post.doc_id,
+                     idf.idf * post.tf * (1.2 + 1.0)
+                     / (post.tf
+                        + 1.2 * (1 - 0.75 + 0.75 * l.dl / st.avgdl)) AS w
+              FROM post JOIN qt USING (tok) JOIN idf USING (tok)
+              JOIN l ON l.doc_id = post.doc_id, st),
+            sc AS (SELECT query_id, doc_id, round(sum(w), 4) AS score
+                   FROM contrib GROUP BY 1, 2),
+            r0 AS (SELECT query_id, doc_id, score,
+                          row_number() OVER (
+                              PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+                   FROM sc),
+            lex AS (SELECT query_id, doc_id, r_lex FROM (
+                      SELECT query_id, doc_id,
+                             row_number() OVER (
+                                 PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) AS r_lex
+                      FROM r0 WHERE rnk <= {k_leg + 1}
+                        AND doc_id != query_id)
+                    WHERE r_lex <= {k_leg}),
+            dsc AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+                     {_DOT64.format(a='q.embedding', b='e.embedding')}
+                       / (nq.nm * ne.nm) AS cos
+              FROM (SELECT * FROM e WHERE vec_id IN ({ids})) q
+              JOIN e ON e.vec_id != q.vec_id
+              JOIN n nq ON nq.vec_id = q.vec_id
+              JOIN n ne ON ne.vec_id = e.vec_id),
+            dn AS (SELECT query_id, doc_id, r_dense FROM (
+                     SELECT query_id, doc_id,
+                            row_number() OVER (
+                                PARTITION BY query_id
+                                ORDER BY cos DESC, doc_id ASC) AS r_dense
+                     FROM dsc)
+                   WHERE r_dense <= {k_leg}),
+            f AS (SELECT query_id, doc_id, lex.r_lex, dn.r_dense
+                  FROM lex FULL JOIN dn USING (query_id, doc_id)),
+            s AS (SELECT query_id, doc_id,
+                         round(coalesce(1.0 / ({kc} + r_lex), 0.0)
+                               + coalesce(1.0 / ({kc} + r_dense), 0.0), 6)
+                             AS rrf,
+                         CAST(coalesce(r_lex, 0) AS INT) AS r_lex,
+                         CAST(coalesce(r_dense, 0) AS INT) AS r_dense
+                  FROM f)
+            SELECT query_id, rnk, doc_id, rrf, r_lex, r_dense FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY rrf DESC, doc_id ASC) AS rnk
+              FROM s)
+            WHERE rnk <= {k}
+        """
 
 
 def _caption_filter_sql(tau: float = 0.35, n_feat: int = 8) -> str:
@@ -5146,6 +5249,7 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle("documents", merges=4, head=12),
         "mm_phash": _mm_phash_sql(),
         "caption_filter": _caption_filter_sql(tau=0.35),
+        "hybrid_rrf_topk": _hybrid_rrf_sql(k=10, k_leg=20, kc=60),
     }
 
 

@@ -110,6 +110,7 @@ def _headline_queries():
         "bpe_encode",                              # r4 corpus tokenize w/ learned merges
         "mm_phash",                                # r4 perceptual-hash signatures
         "caption_filter",                          # r4 image-text alignment gate
+        "hybrid_rrf_topk",                         # r4 BM25 + dense RRF fusion
     ):
         if opt in qs:
             names.append(opt)

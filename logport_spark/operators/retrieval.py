@@ -201,3 +201,63 @@ def inverted_index(docs: DataFrame, text_col: str = "text",
     if max_df is not None:
         cond = cond & (F.col("df") <= max_df)
     return idx.filter(cond)
+
+
+def hybrid_rrf_topk(docs: DataFrame, emb: DataFrame, probe_ids: list[int],
+                    k: int = 10, k_leg: int = 20, kc: int = 60,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hybrid more-like-this retrieval: reciprocal-rank fusion (Cormack,
+    Clarke & Buettcher 2009) of a lexical BM25 leg and a dense cosine leg
+    over the SAME probe documents — the fusion every decontamination /
+    seed-expansion audit runs, because lexical misses paraphrases and
+    dense misses rare-token exact matches.
+
+    Per probe doc: the lexical leg queries the corpus with the probe's
+    own text (bm25_topk, self dropped, re-ranked on the rounded score);
+    the dense leg is cosine_topk over the probe's embedding (self
+    excluded by construction). Fusion: rrf = 1/(kc+r_lex) + 1/(kc+r_dense),
+    a missing leg contributing 0 (leg ranks emitted with 0 as the
+    "not in this leg's top-k_leg" sentinel — no nullable ints across the
+    engine boundary). Both leg ranks and the fused rank are total orders
+    (score desc, doc_id asc), so the result is engine-exact.
+
+    Scale shape: both legs are already corpus-scale operators (BM25's
+    pruned posting aggregation; brute cosine here, swap ann_ivfpq_topk
+    at 10^9 vectors — same (query_id, neighbor, rank) contract); the
+    fusion itself joins two k_leg-bounded tables — driver-free,
+    broadcast-sized."""
+    from pyspark.sql import Window
+
+    from logport_spark.operators.similarity import cosine_topk
+
+    probes = (docs.filter(F.col(id_col).isin([int(i) for i in probe_ids]))
+              .select(id_col, text_col).collect())  # bounded probe set
+    queries = sorted((int(r[id_col]), r[text_col]) for r in probes)
+
+    lex = (bm25_topk(docs, queries, k=k_leg + 1,
+                     text_col=text_col, id_col=id_col)
+           .filter(F.col("doc_id") != F.col("query_id")))
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    lex = (lex.withColumn("r_lex", F.row_number().over(wl))
+           .filter(F.col("r_lex") <= k_leg)
+           .select("query_id", "doc_id", "r_lex"))
+
+    dense = (cosine_topk(emb, [int(i) for i in probe_ids], k=k_leg)
+             .select("query_id", F.col("neighbor_id").alias("doc_id"),
+                     F.col("rank").alias("r_dense")))
+
+    j = lex.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(kc) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(kc) + F.col("r_dense")), F.lit(0.0)), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("rrf", rrf)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "rnk", "doc_id", "rrf",
+                F.coalesce("r_lex", F.lit(0)).cast("int").alias("r_lex"),
+                F.coalesce("r_dense", F.lit(0)).cast("int").alias("r_dense"))
+    )

@@ -111,7 +111,7 @@ def test_baselines_match_oracles(spark, duck):
         # r4 session-11: apply the learned merge table back to the corpus
         # (the encode step between bpe_train and pack_sequences), and
         # perceptual-hash signatures making image dedup a simhash problem
-        "bpe_encode", "mm_phash", "caption_filter",
+        "bpe_encode", "mm_phash", "caption_filter", "hybrid_rrf_topk",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

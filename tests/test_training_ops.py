@@ -299,6 +299,40 @@ def test_phash_pairs_planted_neardups(spark):
         phash60(pages, fake_decode=False).collect()
 
 
+def test_hybrid_rrf_fusion_semantics(spark):
+    """Planted fusion fixture for hybrid_rrf_topk: doc1 is the exact
+    lexical match (r_lex=1) but dense-orthogonal; doc2 is the exact dense
+    match (r_dense=1) but shares no terms (absent from the lexical leg —
+    sentinel 0); doc3 is decent in both. RRF must reproduce the
+    hand-computed reciprocal-rank order and sentinels."""
+    from logport_spark.operators.retrieval import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma q"),
+         (1, "alpha beta gamma q"),
+         (2, "zzz yyy xxx www"),
+         (3, "alpha beta nnn mmm")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]),
+         (1, [0.0, 1.0, 0.0, 0.0]),
+         (2, [1.0, 0.0, 0.0, 0.0]),
+         (3, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = [(r.rnk, r.doc_id, r.rrf, r.r_lex, r.r_dense)
+           for r in hybrid_rrf_topk(docs, emb, [0], k=3, k_leg=3, kc=60)
+           .orderBy("rnk").collect()]
+    ranks = {d: (rl, rd) for _, d, _, rl, rd in out}
+    assert ranks[1] == (1, 3)   # exact text match; dense-orthogonal
+    assert ranks[2] == (0, 1)   # exact dense match; no shared terms
+    assert ranks[3][0] == 2 and ranks[3][1] == 2
+    # hand RRF: doc1 = 1/61+1/63 > doc3 = 2/62 > doc2 = 1/61
+    assert [d for _, d, *_ in out] == [1, 3, 2]
+    want = {1: 1 / 61 + 1 / 63, 3: 2 / 62, 2: 1 / 61}
+    for _, d, rrf, *_ in out:
+        assert abs(rrf - want[d]) < 1e-6
+
+
 def test_caption_alignment_matches_python_reference(spark):
     """caption_alignment vs an independent pure-Python recomputation over
     40 datagen pages: same image ints (stride sums mod 997), same md5

@@ -478,6 +478,14 @@ ANNOTATED = {
         "In deployment the feature table is localCheckpoint'ed once, so "
         "steps 2..K never rescan the corpus."
     ),
+    "hybrid_rrf_topk": (
+        "RRF fusion of the BM25 leg (pruned posting aggregation — the "
+        "corpus shuffle carries only query-term postings) and the dense "
+        "cosine leg (broadcast probe set, per-query top-k); the fusion "
+        "itself is a full-outer join of two k_leg-bounded tables — "
+        "broadcast-sized, driver-free. At 10^9 vectors swap the dense "
+        "leg for ann_ivfpq_topk (same (query, neighbor, rank) contract)."
+    ),
     "caption_filter": (
         "The CLIP-score alignment gate: image vectors ride ONE "
         "ArrowEvalPython/mapInPandas pass (the CLIP-image swap point), "

@@ -1899,6 +1899,12 @@ _ROTATE_IN = [
     "quality_lr",           # trained quality classifier — new capability
                             # class (iterative float training graded
                             # hash-exact via state quantization) (s10)
+    "bpe_encode",           # tokenizer APPLY — completes the train->
+                            # encode->pack story (zero-shuffle padded-
+                            # replace scan; training-replay oracle) (s11)
+    "caption_filter",       # CLIP-style image-text alignment gate — the
+                            # multimodal curation capability (mm family's
+                            # mm_features stays graded too) (s11)
 ]
 _ROTATE_OUT = [
     "dedup_exact",          # family graded via dedup_clusters (same DAG+)
@@ -1943,6 +1949,15 @@ _ROTATE_OUT = [
     "top3_orders_per_cust",    # ranking-window family keeps
                                # sessionize_events graded (lag + running
                                # sum windows) (s10)
+    "dedup_simhash_pairs",     # near-dup-pairs capability keeps FIVE graded
+                               # reps (minhash_pairs, clusters, semantic,
+                               # line_dedup, embedding_lsh); the simhash
+                               # sketch stays pytest-pinned (blocked==narrow)
+                               # and value-checked in baselines (s11)
+    "doc_winnow",              # fingerprint family (winnow + doc_fingerprint)
+                               # stays value-checked in baselines; text
+                               # family keeps text_repetition/pii_scrub/
+                               # lm_bits/corpus_clean_v2 graded (s11)
 ]
 
 

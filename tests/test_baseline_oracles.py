@@ -111,14 +111,21 @@ def test_baselines_match_oracles(spark, duck):
         # r4 session-11: apply the learned merge table back to the corpus
         # (the encode step between bpe_train and pack_sequences), and
         # perceptual-hash signatures making image dedup a simhash problem
-        "bpe_encode", "mm_phash", "caption_filter", "hybrid_rrf_topk",
+        # r4 session-11: bpe_encode and caption_filter claimed contract
+        # slots (near-dup pairs keep 5 graded reps; the winnow/fingerprint
+        # family stays value-checked here); mm_phash and hybrid_rrf_topk
+        # stay as baselines (mm keeps mm_features+caption_filter graded,
+        # retrieval keeps bm25_topk graded)
+        "mm_phash", "hybrid_rrf_topk",
+        "dedup_simhash_pairs", "doc_winnow",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",
                  "vocab_topk", "text_repetition", "pii_scrub",
                  "stratified_sample", "line_dedup_corpus", "web_curation",
                  "semantic_dedup_pairs", "html_policy", "training_export",
-                 "bloom_contamination", "bpe_train", "quality_lr"):
+                 "bloom_contamination", "bpe_train", "quality_lr",
+                 "bpe_encode", "caption_filter"):
         assert name in entrymod.queries() and name in entrymod.oracle_sql()
     for name, fn in qs.items():
         scols, srows, slists = canon_pandas(fn(spark, SF_DIR).toPandas())

@@ -1144,6 +1144,17 @@ def _hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ANN_QUERY_IDS, k=10, k_leg=20)
 
 
+def _embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text -> embedding tower (similarity.py:embed_docs): the hashing-
+    trick stand-in that PRODUCES the embedding column the ANN/SemDeDup
+    stack consumes — exploded (doc_id, dim_id, val) so every normalized
+    float is a value-checkable cell; sentence-transformer swap point in
+    embed_docs_model (pytest pins the fake tower equal to this path)."""
+    from logport_spark.operators.similarity import embed_docs
+
+    return embed_docs(_docs(spark, sf_dir), dim=64)
+
+
 def _caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-text alignment gate (multimodal.py:caption_alignment) — the
     CLIP-score filter of image-text corpus curation (LAION's cosine
@@ -1857,6 +1868,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash": _mm_phash,  # perceptual-hash signatures (image dedup)
         "caption_filter": _caption_filter,  # CLIP-style image-text alignment gate
         "hybrid_rrf_topk": _hybrid_rrf_topk,  # BM25 + dense RRF fusion
+        "embed_docs": _embed_docs,  # text->embedding tower (hashing trick)
     }
 
 
@@ -2836,6 +2848,27 @@ def _hybrid_rrf_sql(k: int = 10, k_leg: int = 20, kc: int = 60) -> str:
               FROM s)
             WHERE rnk <= {k}
         """
+
+
+def _embed_docs_sql(dim: int = 64) -> str:
+    """Re-derive embed_docs in SQL: md5-digit bucket, per-(doc, dim)
+    counts, L2 norm from exact-int squares, round(c/nm, 6)."""
+    md5v = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1)"
+        f" * {16 ** (3 - j)}" for j in range(4))
+    return f"""
+        WITH tk AS (SELECT doc_id,
+                           unnest(list_filter(string_split(text, ' '),
+                                              x -> length(x) > 0)) AS tok
+                    FROM documents),
+        tb AS (SELECT doc_id, ({md5v}) % {dim} AS dim_id FROM tk),
+        c AS (SELECT doc_id, dim_id, count(*) AS c FROM tb GROUP BY 1, 2),
+        n AS (SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nm
+              FROM c GROUP BY 1)
+        SELECT c.doc_id, CAST(dim_id AS BIGINT) AS dim_id,
+               round(c / nm, 6) AS val
+        FROM c JOIN n USING (doc_id)
+    """
 
 
 def _caption_filter_sql(tau: float = 0.35, n_feat: int = 8) -> str:
@@ -5265,6 +5298,7 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "mm_phash": _mm_phash_sql(),
         "caption_filter": _caption_filter_sql(tau=0.35),
         "hybrid_rrf_topk": _hybrid_rrf_sql(k=10, k_leg=20, kc=60),
+        "embed_docs": _embed_docs_sql(dim=64),
     }
 
 

@@ -111,6 +111,7 @@ def _headline_queries():
         "mm_phash",                                # r4 perceptual-hash signatures
         "caption_filter",                          # r4 image-text alignment gate
         "hybrid_rrf_topk",                         # r4 BM25 + dense RRF fusion
+        "embed_docs",                              # r4 text->embedding tower
     ):
         if opt in qs:
             names.append(opt)
@@ -401,7 +402,7 @@ def dedup_scale_run() -> dict:
              "weighted_sample", "lang_segments", "ann_pq_topk",
              "ann_ivfpq_topk",
              # r4 session-10/11 additions
-             "bpe_train", "quality_lr", "bpe_encode"]
+             "bpe_train", "quality_lr", "bpe_encode", "embed_docs"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

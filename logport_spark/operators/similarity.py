@@ -887,3 +887,100 @@ def ivfpq_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
                        F.expr(adc).alias("adc")))
     return _adc_topk_rerank(stacked, emb, query_ids, k, rerank,
                             n_salts, id_col, vec_col)
+
+
+def embed_docs(docs: DataFrame, dim: int = 64, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Text -> embedding: the tower that PRODUCES the embedding column
+    every consumer in this module (ANN, LSH, SemDeDup, IVF-PQ) assumes
+    exists. The oracle-able stand-in is the hashing trick (Weinberger et
+    al. 2009, "Feature Hashing for Large Scale Multitask Learning"):
+    dim buckets keyed by md5(token), L2-normalized counts. A production
+    run swaps a sentence-transformer into `embed_docs_model`'s pandas
+    UDF — same output contract, this form keeps the vectors re-derivable
+    in SQL.
+
+    Output is EXPLODED — (doc_id, dim_id, val) for the non-zero dims —
+    so every float is a first-class value-checkable cell (the driver's
+    canonicalizer cannot sort list cells; the mm_features lesson). val =
+    round(c / sqrt(sum c^2), 6): counts are exact ints, so the norm and
+    divide are single correctly-rounded IEEE ops — hash-exact across
+    engines. Consumers re-assemble with collect_list(struct(dim_id,
+    val)) or read the model-path array form.
+
+    Plan: explode -> ONE partial-aggregated (doc_id, dim_id) count ->
+    one doc-keyed agg for the norm -> broadcast-free self-join on
+    doc_id (both sides already co-partitioned by the agg). Zero-token
+    docs are absent (the lm_bits convention)."""
+    b = (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10)
+         .cast("long") % dim).alias("dim_id")
+    cnt = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+           .filter(F.length("tok") > 0)
+           .select("doc_id", b)
+           .groupBy("doc_id", "dim_id")
+           .agg(F.count(F.lit(1)).alias("c")))
+    nrm = cnt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nm"))
+    return (cnt.join(nrm, "doc_id")
+            .select("doc_id", "dim_id",
+                    F.round(F.col("c") / F.col("nm"), 6).alias("val")))
+
+
+def embed_docs_model(docs: DataFrame, dim: int = 64,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     model_name: str | None = None,
+                     fake: bool = False) -> DataFrame:
+    """The sentence-transformer swap point (the lang_id_model pattern):
+    same exploded (doc_id, dim_id, val) contract as `embed_docs`. With
+    fake=True the pandas UDF computes the identical hashing-trick vector
+    in numpy (pytest pins it equal to the JVM path — proving the Arrow
+    plumbing end to end); without it, the probe gates on
+    sentence-transformers, loaded once per executor process."""
+    import importlib.util
+
+    if not fake and importlib.util.find_spec("sentence_transformers") is None:
+        raise NotImplementedError(
+            "embed_docs_model requires sentence-transformers — not "
+            "available in this container; pass fake=True for the "
+            "deterministic fake tower, or use embed_docs() (the oracle "
+            "contract)")
+
+    from collections.abc import Iterator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        model = None
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                if fake:
+                    c: dict[int, int] = {}
+                    for tok in (text or "").split(" "):
+                        if tok:
+                            h = int(hashlib.md5(
+                                tok.encode()).hexdigest()[:4], 16) % dim
+                            c[h] = c.get(h, 0) + 1
+                    if not c:
+                        continue
+                    nm = math.sqrt(float(sum(v * v for v in c.values())))
+                    for d, v in sorted(c.items()):
+                        rows.append({"doc_id": did, "dim_id": d,
+                                     "val": float(f"{v / nm:.6f}")})
+                else:  # pragma: no cover — model libs absent here
+                    if model is None:
+                        from sentence_transformers import SentenceTransformer
+                        model = SentenceTransformer(
+                            model_name or "all-MiniLM-L6-v2")
+                    vec = model.encode([text or ""])[0]
+                    for d, v in enumerate(vec[:dim]):
+                        rows.append({"doc_id": did, "dim_id": d,
+                                     "val": float(v)})
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "dim_id", "val"])
+
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text"))
+            .mapInPandas(run, "doc_id long, dim_id long, val double"))

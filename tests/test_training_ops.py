@@ -299,6 +299,35 @@ def test_phash_pairs_planted_neardups(spark):
         phash60(pages, fake_decode=False).collect()
 
 
+def test_embed_docs_tower_and_model_gate(spark):
+    """embed_docs: unit-norm exploded vectors; the fake-model pandas-UDF
+    tower (embed_docs_model) must reproduce the JVM path row for row —
+    proving the Arrow plumbing — and the real path stays gated."""
+    from logport_spark.operators.similarity import embed_docs, embed_docs_model
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma gamma gamma"),
+         (2, "zzz"),
+         (3, "   "),  # zero tokens -> absent
+         (4, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    jvm = {(r.doc_id, r.dim_id): r.val for r in embed_docs(docs).collect()}
+    assert not any(d == 3 for d, _ in jvm)
+    for did in (1, 2, 4):
+        s = sum(v * v for (d, _), v in jvm.items() if d == did)
+        assert abs(s - 1.0) < 1e-4, (did, s)
+    assert jvm[(2, next(dm for d, dm in jvm if d == 2))] == 1.0
+
+    udf = {(r.doc_id, r.dim_id): r.val
+           for r in embed_docs_model(docs, fake=True).collect()}
+    assert udf == jvm
+
+    import importlib.util
+    if importlib.util.find_spec("sentence_transformers") is None:
+        with pytest.raises(NotImplementedError):
+            embed_docs_model(docs, fake=False)
+
+
 def test_hybrid_rrf_fusion_semantics(spark):
     """Planted fusion fixture for hybrid_rrf_topk: doc1 is the exact
     lexical match (r_lex=1) but dense-orthogonal; doc2 is the exact dense

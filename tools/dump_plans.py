@@ -478,6 +478,15 @@ ANNOTATED = {
         "In deployment the feature table is localCheckpoint'ed once, so "
         "steps 2..K never rescan the corpus."
     ),
+    "embed_docs": (
+        "The text->embedding tower feeding every ANN/SemDeDup consumer: "
+        "explode -> ONE partial-aggregated (doc_id, dim_id) count -> a "
+        "doc-keyed norm agg -> a join that reuses the aggregate's "
+        "partitioning (no extra exchange). The hashing-trick stand-in is "
+        "pure codegen; the sentence-transformer swap point "
+        "(embed_docs_model) is a mapInPandas with the same exploded "
+        "contract, pytest-pinned equal on the fake path."
+    ),
     "hybrid_rrf_topk": (
         "RRF fusion of the BM25 leg (pruned posting aggregation — the "
         "corpus shuffle carries only query-term postings) and the dense "

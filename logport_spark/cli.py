@@ -222,6 +222,23 @@ def cmd_deliver(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """OPTIMIZE-style maintenance: rewrite over-split sink partitions at a
+    byte-targeted file count (route.compact_sinks) — row content and
+    exactly-once semantics untouched (dynamic partition overwrite)."""
+    from .operators.route import compact_sinks
+
+    spark = _spark(args.cpus)
+    done = compact_sinks(spark, args.out + "/sinks",
+                         target_file_bytes=args.target_mb << 20)
+    print(json.dumps({
+        "compacted": {s: {"files_before": b, "files_after": a}
+                      for s, (b, a) in done.items()},
+        "partitions_rewritten": len(done),
+    }))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import os
     import subprocess
@@ -271,6 +288,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--broker", required=True)
     common(sp)
     sp.set_defaults(fn=cmd_deliver)
+    sp = sub.add_parser("compact")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--target-mb", type=int, default=128)
+    common(sp)
+    sp.set_defaults(fn=cmd_compact)
     sp = sub.add_parser("bench")
     sp.add_argument("--scaling", action="store_true")
     sp.set_defaults(fn=cmd_bench)

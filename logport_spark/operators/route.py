@@ -99,19 +99,32 @@ def compact_sinks(spark, out_dir: str,
     mix, and row content is untouched; pytest pins count + value-hash
     equality across compaction).
 
-    The per-sink loop is driver-side but bounded by the ROUTE TABLE
-    (sinks are logport's topics — tens, not millions), and the directory
-    listing is the local-parquet stand-in for what Iceberg's
-    rewrite_data_files metadata scan does (plans/iceberg.py gates the
-    real thing). Returns {sink: (files_before, files_after)} for the
-    partitions rewritten."""
+    Handles any key=val partition tree — the run layout (sink=) and the
+    ledger layout (bucket=/sink=) alike. The per-leaf loop is
+    driver-side but bounded by the partition count (sinks are logport's
+    topics — tens; ledger buckets are the resume granularity — tens),
+    and the directory listing is the local-parquet stand-in for what
+    Iceberg's rewrite_data_files metadata scan does (plans/iceberg.py
+    gates the real thing). Returns {partition_path: (files_before,
+    files_after)} for the leaves rewritten."""
     import os
 
+    leaves: list[tuple[str, list[tuple[str, str]]]] = []
+
+    def walk(d: str, spec: list[tuple[str, str]]) -> None:
+        parts = [e for e in sorted(os.listdir(d))
+                 if "=" in e and os.path.isdir(os.path.join(d, e))]
+        if not parts:
+            if spec:
+                leaves.append((d, spec))
+            return
+        for e in parts:
+            k, v = e.split("=", 1)
+            walk(os.path.join(d, e), spec + [(k, v)])
+
+    walk(out_dir, [])
     done: dict[str, tuple[int, int]] = {}
-    for entry in sorted(os.listdir(out_dir)):
-        if not entry.startswith("sink="):
-            continue
-        d = os.path.join(out_dir, entry)
+    for d, spec in leaves:
         files = [os.path.join(d, f) for f in os.listdir(d)
                  if f.endswith(".parquet")]
         if not files:
@@ -120,10 +133,10 @@ def compact_sinks(spark, out_dir: str,
         target = max(1, -(-nbytes // target_file_bytes))
         if len(files) <= target:
             continue
-        sink = entry[len("sink="):]
-        (spark.read.parquet(d)
-         .repartition(target)
-         .withColumn("sink", F.lit(sink))
-         .write.mode("overwrite").partitionBy("sink").parquet(out_dir))
-        done[sink] = (len(files), target)
+        part = spark.read.parquet(d).repartition(target)
+        for k, v in spec:
+            part = part.withColumn(k, F.lit(v))
+        (part.write.mode("overwrite")
+         .partitionBy(*[k for k, _ in spec]).parquet(out_dir))
+        done["/".join(f"{k}={v}" for k, v in spec)] = (len(files), target)
     return done

@@ -71,6 +71,16 @@ def test_cli_run_and_status(spark, pages_small, tmp_path, capsys, monkeypatch):
     rep = json.loads(capsys.readouterr().out)
     assert "nack" not in rep
     assert rep["ack"]["msgs"] == run_out["rows_routed"]
+    # compact: the ledger layout writes ONE file per (bucket, sink) leaf
+    # by construction, so a fresh run is already compact — the verb must
+    # be a safe no-op here (the fragmented salted-run layout is exercised
+    # in test_streaming::test_compact_sinks_preserves_rows_and_bounds_files)
+    assert cli.main(["compact", "--out", out_dir, "--target-mb", "1024"]) == 0
+    comp = json.loads(capsys.readouterr().out)
+    assert comp["partitions_rewritten"] == 0
+    assert cli.main(["status", "--out", out_dir]) == 0
+    st2 = json.loads(capsys.readouterr().out)
+    assert st2["rows_routed"] == run_out["rows_routed"]
 
 
 def test_cli_adopt_end_to_end(spark, tmp_path, capsys):

@@ -223,8 +223,7 @@ def test_compact_sinks_preserves_rows_and_bounds_files(spark, tmp_path_factory):
     h1, f1 = state()
     assert h1 == h0                          # content byte-identical
     assert all(n == 1 for n in f1.values())  # collapsed to the target
-    assert set(done) == {s[len("sink="):]
-                         for s, n in f0.items() if n > 1} != set()
+    assert set(done) == {s for s, n in f0.items() if n > 1} != set()
     # idempotent: a second pass finds nothing to do
     assert compact_sinks(spark, out, target_file_bytes=1 << 30) == {}
 

@@ -17,7 +17,7 @@ from ..operators.similarity import (
 )
 from ..operators.textstats import _dup_count_expr as dup_count_expr
 from ..operators.textstats import _max_run_expr as max_run_expr
-from ..operators.textstats import shingles_expr
+from ..operators.textstats import bpe_apply, shingles_expr
 from ..operators.transport import batch_key
 from ..plans.ledger import bucket_col, scaled_buckets
 from ..streaming.dedup_stream import estimated_jaccard
@@ -39,4 +39,5 @@ __all__ = [
     "canonical_url",    # canonical web-URL form (RE2-safe regex chain)
     "sample_bucket",    # md5 bucket in [0,10000) — deterministic sampling
     "domain_suffix_chain",  # dot-suffix array of a host (blocklist keys)
+    "bpe_apply",        # learned-merge tokenize (padded-replace chain)
 ]

@@ -622,3 +622,29 @@ def test_quality_lr_train_matches_python_reference(spark, rows, steps):
         for gv, ev in zip(g_row[1:5], e_row[1:5]):
             assert abs(gv - ev) <= 2e-8, (g_row, e_row)
         assert abs(g_row[5] - e_row[5]) <= 1.1e-4, (g_row, e_row)
+
+
+@given(payloads=st.lists(st.binary(min_size=0, max_size=300),
+                         min_size=1, max_size=12))
+@settings(**SPARK_SETTINGS)
+def test_phash60_matches_python_reference(spark, payloads):
+    """phash60's 60 codegen byte probes equal a pure-Python re-derivation
+    on ANY random binary payloads (empty blobs hash to 0; every hash is a
+    non-negative 60-bit value)."""
+    from logport_spark.operators.multimodal import phash60
+
+    def ref(payload: bytes) -> int:
+        n = len(payload)
+        h = 0
+        for i in range(60):
+            if n and payload[(i * n) // 60] >= 128:
+                h |= 1 << i
+        return h
+
+    pages = spark.createDataFrame(
+        [(f"u{i}", p) for i, p in enumerate(payloads)],
+        "url string, html binary")
+    got = {r.url: r.phash for r in phash60(pages, fake_decode=True).collect()}
+    for i, p in enumerate(payloads):
+        assert got[f"u{i}"] == ref(p), (i, p)
+        assert 0 <= got[f"u{i}"] < (1 << 60)

@@ -912,3 +912,30 @@ def recrawl_policy(old: DataFrame, new: DataFrame,
                      F.floor(F.lit(base_interval)
                              * (F.lit(1.0) - frac) * (F.lit(1.0) - frac)),
                      F.lit(min_interval)).cast("long").alias("interval")))
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    body_col: str = "body") -> DataFrame:
+    """Extract Sitemap directives — the discovery seed every crawler
+    reads next. Sitemap lines are record-INDEPENDENT (sitemaps.org
+    protocol; RFC 9309 treats non-rule lines as "other records"): they
+    apply regardless of user-agent and commonly PRECEDE any User-agent
+    line, so they must not ride parse_robots' record binding — that
+    would drop a top-of-file Sitemap (rules before a User-agent record
+    are invalid there) and duplicate an in-record one once per bound
+    agent. Values keep their original case (URLs are case-sensitive;
+    only field names lower). Output: distinct (host, sitemap_url).
+
+    Same zero-window shape as the line scan inside parse_robots: explode
+    -> codegen regexp extraction -> one distinct on (host, url)."""
+    line = F.regexp_replace(F.col("line"), "#.*", "")
+    return (robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), "\n")).alias("line"))
+        .select("host",
+                F.lower(F.regexp_extract(line, ROBOTS_FIELD_RE, 1))
+                .alias("field"),
+                F.regexp_extract(line, ROBOTS_VALUE_RE, 1)
+                .alias("sitemap_url"))
+        .where((F.col("field") == "sitemap") & (F.col("sitemap_url") != ""))
+        .select("host", "sitemap_url").distinct())

@@ -440,6 +440,34 @@ def test_parse_robots_records_and_comments(spark):
     }
 
 
+def test_robots_sitemaps_record_independent(spark):
+    """Sitemap directives are record-independent (sitemaps.org): a
+    top-of-file Sitemap (BEFORE any User-agent — parse_robots drops that
+    region) and an in-record one both extract, once each regardless of
+    how many agents head the record; field case-insensitive, URL case
+    PRESERVED, comments strip, duplicates collapse."""
+    from logport_spark.operators.linkgraph import parse_robots, robots_sitemaps
+
+    body = "\n".join([
+        "Sitemap: https://H.example/TOP.xml   # before any record",
+        "User-Agent: *",
+        "User-agent: goodbot",
+        "Disallow: /a/",
+        "SITEMAP: https://H.example/Inner.xml",
+        "Sitemap: https://H.example/TOP.xml   # duplicate",
+    ])
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    got = {(r.host, r.sitemap_url) for r in robots_sitemaps(df).collect()}
+    assert got == {("h", "https://H.example/TOP.xml"),
+                   ("h", "https://H.example/Inner.xml")}
+    # and the record parser's view would have been wrong both ways: the
+    # two in-record Sitemap lines duplicate once per bound agent (2x2=4
+    # rows) while the top-of-file line drops with its invalid region
+    rec = parse_robots(df).where("field = 'sitemap'").collect()
+    assert len(rec) == 4
+    assert all(r["agent"] in ("*", "goodbot") for r in rec)
+
+
 def test_robots_filter_longest_match_precedence(spark):
     """Longest path prefix wins; Allow beats Disallow on a length tie;
     no match (and no rules for the agent) defaults to allowed; the

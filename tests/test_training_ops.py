@@ -1433,6 +1433,16 @@ def test_bpe_apply_matches_merge_fold(spark):
     assert got["aaaaa"][0] == ["aaaa", "a"]    # greedy non-overlap
     assert got["lowest"][0] == ["low", "e", "s", "t"]
 
+    # multibyte symbols: split('') is per CODE POINT in both engines
+    # (verified against DuckDB string_split) and literal replace merges
+    # multibyte pairs exactly like ASCII ones
+    uni = spark.createDataFrame([("héllo",), ("日本語",)], "w string")
+    got_u = {r.w: r.p for r in uni.select(
+        "w", bpe_apply(F.col("w"), [("é", "l"), ("日", "本")])
+        .alias("p")).collect()}
+    assert got_u["héllo"] == ["h", "él", "l", "o"]
+    assert got_u["日本語"] == ["日本", "語"]
+
 
 def test_bpe_encode_word_boundaries_and_contract(spark):
     """Whole-document encode never merges across word boundaries (the

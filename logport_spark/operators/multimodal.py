@@ -176,6 +176,26 @@ def sample_frames(pages: DataFrame, bin_col: str = "html", every: int = 2,
     return pages.select("url", bin_col).mapInPandas(run, FRAMES_DDL)
 
 
+def dct_phash60(gray) -> int:
+    """The real perceptual-hash math, Pillow-free and unit-testable: 2-D
+    DCT-II of a 32x32 grayscale array via the separable matrix form,
+    top-left 8x8 low-frequency block minus DC, sign-vs-median bits —
+    the classic pHash construction. Only the DECODE (bytes -> 32x32
+    gray) needs Pillow; this kernel is pinned in pytest (translation
+    invariance of a flat shift, small perturbation -> small hamming)."""
+    import numpy as np
+
+    k = np.arange(32)
+    c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 64.0)
+    d = c @ np.asarray(gray, dtype=np.float64) @ c.T
+    low = d[:8, :8].flatten()[1:61]  # skip DC, keep 60
+    med = float(np.median(low))
+    h = 0
+    for i, v in enumerate(low):
+        h |= int(v > med) << i
+    return h
+
+
 def phash60(pages: DataFrame, bin_col: str = "html",
             fake_decode: bool = True) -> DataFrame:
     """60-bit perceptual hash per media payload — the signature that makes
@@ -210,17 +230,7 @@ def phash60(pages: DataFrame, bin_col: str = "html",
                         im = Image.open(io.BytesIO(bytes(payload)))
                         g = np.asarray(
                             im.convert("L").resize((32, 32)), dtype=np.float64)
-                        # 2-D DCT-II via the separable matrix form
-                        k = np.arange(32)
-                        c = np.cos(np.pi * (2 * k[None, :] + 1)
-                                   * k[:, None] / 64.0)
-                        d = c @ g @ c.T
-                        low = d[:8, :8].flatten()[1:61]  # skip DC, keep 60
-                        med = float(np.median(low))
-                        h = 0
-                        for i, v in enumerate(low):
-                            h |= int(v > med) << i
-                        rows.append({"url": url, "phash": h})
+                        rows.append({"url": url, "phash": dct_phash60(g)})
                     yield pd.DataFrame(rows, columns=["url", "phash"])
 
             return pages.select("url", bin_col).mapInPandas(

@@ -411,6 +411,29 @@ def test_hybrid_rrf_fusion_semantics(spark):
         assert abs(rrf - want[d]) < 1e-6
 
 
+def test_dct_phash60_kernel_properties():
+    """The real pHash kernel (Pillow-free): deterministic; a uniform
+    brightness shift leaves the hash UNCHANGED (it only moves the DC
+    coefficient, which is excluded); small localized noise moves few
+    bits while an unrelated image moves many."""
+    import numpy as np
+
+    from logport_spark.operators.multimodal import dct_phash60
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(32, 32) * 255
+    h0 = dct_phash60(img)
+    assert 0 <= h0 < (1 << 60)
+    assert dct_phash60(img) == h0                       # deterministic
+    assert dct_phash60(img + 40.0) == h0                # DC-invariant
+    noisy = img.copy()
+    noisy[:2, :2] += rng.rand(2, 2) * 4.0               # small local noise
+    d_small = bin(h0 ^ dct_phash60(noisy)).count("1")
+    other = rng.rand(32, 32) * 255
+    d_other = bin(h0 ^ dct_phash60(other)).count("1")
+    assert d_small <= 8 < d_other
+
+
 def test_caption_alignment_matches_python_reference(spark):
     """caption_alignment vs an independent pure-Python recomputation over
     40 datagen pages: same image ints (stride sums mod 997), same md5

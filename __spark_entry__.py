@@ -1144,6 +1144,17 @@ def _hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ANN_QUERY_IDS, k=10, k_leg=20)
 
 
+def _quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep for the trained quality classifier
+    (textstats.py:quality_pr_curve): confusion counts + precision/recall
+    at nine literal z-cuts over the same bit-identical score
+    quality_lr_eval pins — how a pipeline owner picks the deployed
+    filter threshold (CCNet's per-language cuts are chosen this way)."""
+    from logport_spark.operators.textstats import quality_pr_curve
+
+    return quality_pr_curve(_docs(spark, sf_dir), steps=3)
+
+
 def _embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text -> embedding tower (similarity.py:embed_docs): the hashing-
     trick stand-in that PRODUCES the embedding column the ANN/SemDeDup
@@ -1869,6 +1880,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_filter": _caption_filter,  # CLIP-style image-text alignment gate
         "hybrid_rrf_topk": _hybrid_rrf_topk,  # BM25 + dense RRF fusion
         "embed_docs": _embed_docs,  # text->embedding tower (hashing trick)
+        "quality_pr_curve": _quality_pr_curve,  # threshold sweep (pick the cut)
     }
 
 
@@ -3588,7 +3600,34 @@ st{i} AS (SELECT round(s.wb - {lr}::DOUBLE * g.g0 / g.n, 8) AS wb,
                round(s.wa - {lr}::DOUBLE * g.g2 / g.n, 8) AS wa,
                round(s.wl - {lr}::DOUBLE * g.g3 / g.n, 8) AS wl
         FROM {s} s, gr{i} g)""")
-    if final == "trace":
+    if final == "curve":
+        # PR sweep: same bit-identical z, one literal-double cut per grid
+        # point (textstats.QUALITY_PR_THRESHOLDS)
+        from logport_spark.operators.textstats import QUALITY_PR_THRESHOLDS
+
+        grid = ", ".join(f"({t}::DOUBLE)" for t in QUALITY_PR_THRESHOLDS)
+        tail = f"""
+            , sc AS (SELECT s.wb + s.ws * f.x1 + s.wa * f.x2
+                            + s.wl * f.x3 AS z,
+                            CASE WHEN f.y = 1.0 THEN 1 ELSE 0 END AS y1
+                     FROM f, st{steps} s),
+            g AS (SELECT t.threshold,
+                         CASE WHEN z >= t.threshold THEN 1 ELSE 0 END AS pred,
+                         y1
+                  FROM sc, (VALUES {grid}) t(threshold)),
+            cm AS (SELECT threshold,
+                          CAST(sum(pred * y1) AS BIGINT) AS tp,
+                          CAST(sum(pred * (1 - y1)) AS BIGINT) AS fp,
+                          CAST(sum((1 - pred) * y1) AS BIGINT) AS fn,
+                          CAST(sum((1 - pred) * (1 - y1)) AS BIGINT) AS tn
+                   FROM g GROUP BY 1)
+            SELECT threshold, tp, fp, fn, tn,
+                   CASE WHEN tp + fp > 0
+                        THEN round(tp / (tp + fp), 4) END AS "precision",
+                   CASE WHEN tp + fn > 0
+                        THEN round(tp / (tp + fn), 4) END AS recall
+            FROM cm ORDER BY threshold"""
+    elif final == "trace":
         tail = "SELECT * FROM (" + "\n            UNION ALL ".join(
             f"SELECT {i} AS step, s.wb AS w_bias, s.ws AS w_stop, "
             f"s.wa AS w_alpha, s.wl AS w_len, round(g.l / g.n, 4) AS loss_pre "
@@ -5299,6 +5338,8 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "caption_filter": _caption_filter_sql(tau=0.35),
         "hybrid_rrf_topk": _hybrid_rrf_sql(k=10, k_leg=20, kc=60),
         "embed_docs": _embed_docs_sql(dim=64),
+        "quality_pr_curve": _quality_lr_oracle("documents", steps=3,
+                                               final="curve"),
     }
 
 

@@ -112,6 +112,7 @@ def _headline_queries():
         "caption_filter",                          # r4 image-text alignment gate
         "hybrid_rrf_topk",                         # r4 BM25 + dense RRF fusion
         "embed_docs",                              # r4 text->embedding tower
+        "quality_pr_curve",                        # r4 threshold sweep
     ):
         if opt in qs:
             names.append(opt)

@@ -148,6 +148,64 @@ def quality_lr_train(docs: DataFrame, steps: int = 3, lr: float = 1.0,
               "w_len double, loss_pre double").orderBy("step")
 
 
+def quality_lr_weights(feats: DataFrame, steps: int = 3,
+                       lr: float = 1.0) -> list[float]:
+    """The shared training loop (K one-row aggregates over the
+    checkpointed feature table, weights re-quantized to 8dp per step) —
+    factored out so eval and the PR-curve sweep train IDENTICALLY."""
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(steps):
+        r = quality_lr_grad(feats, w).collect()[0]
+        w = [round(w[j] - lr * r[f"g{j}"] / r["n"], 8) for j in range(4)]
+    return w
+
+
+QUALITY_PR_THRESHOLDS = (-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0)
+
+
+def quality_pr_curve(docs: DataFrame, steps: int = 3, lr: float = 1.0,
+                     thresholds: tuple[float, ...] = QUALITY_PR_THRESHOLDS,
+                     text_col: str = "text",
+                     label: Column | None = None) -> DataFrame:
+    """Threshold sweep for the trained quality classifier — the PR curve
+    a pipeline owner reads to PICK the filter cut (the z >= 0 default is
+    rarely the deployed one; CCNet ships per-language thresholds chosen
+    exactly this way). One row per threshold: confusion counts +
+    precision/recall at the cut z >= t.
+
+    Exactness: z is the same IEEE-bit-identical score quality_lr_eval
+    pins, and every threshold is a literal double, so each cut is exact
+    in both engines — integer counts, hash-exact. Plan: training's K
+    one-row aggregates, then ONE pass exploding the |grid|-sized literal
+    array and a partial-aggregated groupBy(threshold) — the grid is 9,
+    not corpus-sized, and the explode combines map-side."""
+    feats = quality_lr_features(docs, text_col, label) \
+        .localCheckpoint(eager=True)
+    w = quality_lr_weights(feats, steps, lr)
+    z = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
+         + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"))
+    y1 = (F.col("y") == 1.0).cast("int")
+    grid = F.explode(F.array(*[F.lit(float(t)) for t in thresholds]))
+    per = (feats.select(z.alias("z"), y1.alias("y1"))
+           .select("z", "y1", grid.alias("threshold")))
+    pred = (F.col("z") >= F.col("threshold")).cast("int")
+    agg = per.groupBy("threshold").agg(
+        F.sum(pred * F.col("y1")).alias("tp"),
+        F.sum(pred * (1 - F.col("y1"))).alias("fp"),
+        F.sum((1 - pred) * F.col("y1")).alias("fn"),
+        F.sum((1 - pred) * (1 - F.col("y1"))).alias("tn"),
+    )
+    return agg.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 4))
+         .alias("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 4))
+         .alias("recall"),
+    ).orderBy("threshold")
+
+
 def quality_lr_eval(docs: DataFrame, steps: int = 3, lr: float = 1.0,
                     text_col: str = "text",
                     label: Column | None = None) -> DataFrame:
@@ -165,10 +223,7 @@ def quality_lr_eval(docs: DataFrame, steps: int = 3, lr: float = 1.0,
     1-row agg after the corpus-linear feature pass."""
     feats = quality_lr_features(docs, text_col, label) \
         .localCheckpoint(eager=True)
-    w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(steps):
-        r = quality_lr_grad(feats, w).collect()[0]
-        w = [round(w[j] - lr * r[f"g{j}"] / r["n"], 8) for j in range(4)]
+    w = quality_lr_weights(feats, steps, lr)
     z = (F.lit(w[0]) + F.lit(w[1]) * F.col("x1")
          + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3"))
     pred = (z >= F.lit(0.0)).cast("int")

@@ -116,7 +116,7 @@ def test_baselines_match_oracles(spark, duck):
         # family stays value-checked here); mm_phash and hybrid_rrf_topk
         # stay as baselines (mm keeps mm_features+caption_filter graded,
         # retrieval keeps bm25_topk graded)
-        "mm_phash", "hybrid_rrf_topk", "embed_docs",
+        "mm_phash", "hybrid_rrf_topk", "embed_docs", "quality_pr_curve",
         "dedup_simhash_pairs", "doc_winnow",
     }
     assert len(entrymod.queries()) == 50

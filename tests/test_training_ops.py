@@ -1506,6 +1506,27 @@ def test_quality_lr_train_learns_and_pins_baseline(spark):
     assert got[-1].w_stop > 0
 
 
+def test_quality_pr_curve_monotone_and_consistent(spark):
+    """The threshold sweep on the separable toy corpus: per-threshold
+    counts always sum to n; predicted-positive count is non-increasing
+    in the threshold (z >= t nests); the t=0 row reproduces
+    quality_lr_eval's confusion exactly."""
+    from logport_spark.operators.textstats import quality_pr_curve
+
+    docs = spark.createDataFrame(
+        [("the and of to in is", "en")] * 4
+        + [("xyz qqq zzz kkk www vvv", "de")] * 4,
+        "text string, lang string")
+    rows = quality_pr_curve(docs, steps=3).orderBy("threshold").collect()
+    assert [r.threshold for r in rows] == [-2.0, -1.5, -1.0, -0.5, 0.0,
+                                           0.5, 1.0, 1.5, 2.0]
+    assert all(r.tp + r.fp + r.fn + r.tn == 8 for r in rows)
+    pos = [r.tp + r.fp for r in rows]
+    assert pos == sorted(pos, reverse=True)
+    at0 = next(r for r in rows if r.threshold == 0.0)
+    assert (at0.tp, at0.fp, at0.fn, at0.tn) == (4, 0, 0, 4)
+
+
 def test_quality_lr_eval_separates_toy_corpus(spark):
     """Applying the 3-step weights back to the separable toy corpus
     classifies it perfectly at the z>=0 cut — confusion counts are

@@ -478,6 +478,13 @@ ANNOTATED = {
         "In deployment the feature table is localCheckpoint'ed once, so "
         "steps 2..K never rescan the corpus."
     ),
+    "quality_pr_curve": (
+        "The threshold sweep rides training's checkpointed feature "
+        "table: K one-row GD aggregates, then ONE pass exploding the "
+        "9-point literal grid straight into a partial-aggregated "
+        "groupBy(threshold) — the explode combines map-side, so the "
+        "sweep costs one corpus scan regardless of grid size."
+    ),
     "embed_docs": (
         "The text->embedding tower feeding every ANN/SemDeDup consumer: "
         "explode -> ONE partial-aggregated (doc_id, dim_id) count -> a "

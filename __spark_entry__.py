@@ -2772,10 +2772,12 @@ def _mm_phash_sql() -> str:
     """
 
 
-def _hybrid_rrf_sql(k: int = 10, k_leg: int = 20, kc: int = 60) -> str:
-    """Replay both legs: the bm25 oracle's CTE chain with query terms
-    derived from the probe docs' own texts (rnk <= k_leg+1 with self,
-    then self-drop + re-rank, exactly the operator's order of
+def _hybrid_rrf_sql(k: int = 10, k_leg: int = 20, kc: int = 60,
+                    max_terms: int = 25) -> str:
+    """Replay both legs: the MoreLikeThis term selection (probe tf x
+    corpus df -> top max_terms by rounded tf*idf, term tie-break), the
+    bm25 oracle's CTE chain over the PRUNED query terms (rnk <= k_leg+1
+    with self, then self-drop + re-rank, exactly the operator's order of
     operations), the ann_topk oracle's cosine ranking at k_leg, then the
     identical two-term RRF (exact-int reciprocals, fixed add order,
     round 6dp) and the fused total order."""
@@ -2788,13 +2790,28 @@ def _hybrid_rrf_sql(k: int = 10, k_leg: int = 20, kc: int = 60) -> str:
                   FROM e),
             qd AS (SELECT doc_id AS query_id, text FROM documents
                    WHERE doc_id IN ({ids})),
-            qt AS (SELECT DISTINCT query_id,
-                          unnest(list_filter(string_split(text, ' '),
-                                             x -> length(x) > 0)) AS tok
-                   FROM qd),
             t AS (SELECT doc_id, list_filter(string_split(text, ' '),
                                              x -> length(x) > 0) AS toks
                   FROM documents),
+            qtf AS (SELECT query_id, tok, count(*) AS tf FROM (
+                      SELECT query_id,
+                             unnest(list_filter(string_split(text, ' '),
+                                                x -> length(x) > 0)) AS tok
+                      FROM qd) GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(DISTINCT doc_id) AS df
+                    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                    WHERE tok IN (SELECT tok FROM qtf)
+                    GROUP BY 1),
+            nd AS (SELECT count(*) AS n_docs FROM t),
+            sel AS (SELECT query_id, tok, row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY round(tf * ln((nd.n_docs - coalesce(df, 0)
+                                                + 0.5)
+                                               / (coalesce(df, 0) + 0.5)
+                                               + 1.0), 4) DESC,
+                                 tok ASC) AS r
+                    FROM qtf LEFT JOIN dfq USING (tok), nd),
+            qt AS (SELECT query_id, tok FROM sel WHERE r <= {max_terms}),
             l AS (SELECT doc_id, len(toks) AS dl FROM t),
             st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM l),
             tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),

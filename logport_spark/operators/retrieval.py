@@ -37,6 +37,8 @@ engines without also flipping the rounded score.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -203,8 +205,52 @@ def inverted_index(docs: DataFrame, text_col: str = "text",
     return idx.filter(cond)
 
 
+def mlt_query_terms(docs: DataFrame, probes: list[tuple[int, str]],
+                    max_terms: int = 25, text_col: str = "text",
+                    id_col: str = "doc_id") -> list[tuple[int, str]]:
+    """Lucene MoreLikeThis-style query-term selection: a more-like-this
+    lexical query is the probe's top `max_terms` terms by tf*idf, not its
+    full text — stopwords carry no signal but fan the posting shuffle out
+    to the corpus's hottest keys, and at 10^12 docs an unpruned ~200-term
+    doc-query is 8x the network of a 25-term one. df comes from ONE
+    corpus pass pruned to the probes' vocabulary (the bm25 broadcast
+    semi-join shape); selection happens driver-side on the
+    probe-vocab-bounded (term, tf, df) table with the repo's rounded-
+    score + term tie-break so the choice is engine-reproducible (the
+    oracle replays it in SQL)."""
+    spark = docs.sparkSession
+    qtf: dict[tuple[int, str], int] = {}
+    for qid, qtext in probes:
+        for tok in qtext.split(" "):
+            if tok:
+                qtf[(qid, tok)] = qtf.get((qid, tok), 0) + 1
+    vocab = sorted({t for _, t in qtf})
+    vdf = spark.createDataFrame([(t,) for t in vocab], "tok string")
+    n_docs = docs.count()
+    dfreq = {r["tok"]: r["df"] for r in (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+                    F.col(id_col).alias("doc_id"))
+        .filter(F.length("tok") > 0)
+        .join(F.broadcast(vdf), "tok")
+        .groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+        .collect())}
+    out = []
+    for qid, _ in probes:
+        scored = []
+        for (q, tok), tf in qtf.items():
+            if q != qid:
+                continue
+            df = dfreq.get(tok, 0)
+            idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            scored.append((round(tf * idf, 4), tok))
+        top = sorted(scored, key=lambda s: (-s[0], s[1]))[:max_terms]
+        out.append((qid, " ".join(t for _, t in top)))
+    return out
+
+
 def hybrid_rrf_topk(docs: DataFrame, emb: DataFrame, probe_ids: list[int],
                     k: int = 10, k_leg: int = 20, kc: int = 60,
+                    max_query_terms: int = 25,
                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hybrid more-like-this retrieval: reciprocal-rank fusion (Cormack,
     Clarke & Buettcher 2009) of a lexical BM25 leg and a dense cosine leg
@@ -232,7 +278,12 @@ def hybrid_rrf_topk(docs: DataFrame, emb: DataFrame, probe_ids: list[int],
 
     probes = (docs.filter(F.col(id_col).isin([int(i) for i in probe_ids]))
               .select(id_col, text_col).collect())  # bounded probe set
-    queries = sorted((int(r[id_col]), r[text_col]) for r in probes)
+    raw = sorted((int(r[id_col]), r[text_col]) for r in probes)
+    # MoreLikeThis pruning: query with the probe's top tf*idf terms, not
+    # its full text (see mlt_query_terms — the posting shuffle then
+    # carries max_query_terms*|probes| term postings, stopwords dropped)
+    queries = mlt_query_terms(docs, raw, max_terms=max_query_terms,
+                              text_col=text_col, id_col=id_col)
 
     lex = (bm25_topk(docs, queries, k=k_leg + 1,
                      text_col=text_col, id_col=id_col)

@@ -410,6 +410,15 @@ def test_hybrid_rrf_fusion_semantics(spark):
     for _, d, rrf, *_ in out:
         assert abs(rrf - want[d]) < 1e-6
 
+    # MoreLikeThis pruning: with max_query_terms=1 the lexical query for
+    # probe 0 is its top tf*idf term — 'gamma' (df=2 ties with 'q',
+    # term asc breaks it; alpha/beta at df=3 score lower) — so doc3
+    # (no 'gamma') drops to dense-only while doc1 keeps both legs
+    pruned = {r.doc_id: (r.r_lex, r.r_dense)
+              for r in hybrid_rrf_topk(docs, emb, [0], k=3, k_leg=3,
+                                       max_query_terms=1).collect()}
+    assert pruned[1][0] >= 1 and pruned[3][0] == 0
+
 
 def test_dct_phash60_kernel_properties():
     """The real pHash kernel (Pillow-free): deterministic; a uniform

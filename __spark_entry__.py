@@ -1144,6 +1144,20 @@ def _hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ANN_QUERY_IDS, k=10, k_leg=20)
 
 
+def _text_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tower -> similarity-join composite (similarity.py:embed_docs ->
+    sparse_near_pairs): near-dup text pairs straight from the hashing-
+    trick vectors via the WWW'07 AllPairs shape — one dim_id-keyed
+    shuffle, partial-aggregated sparse dots, threshold on the rounded
+    cosine (0.95 — the 64-dim hashing space's baseline similarity on
+    same-generator docs sits near 0.8, measured). No dense array, no embeddings table — text in, pairs out."""
+    from logport_spark.operators.similarity import (embed_docs,
+                                                    sparse_near_pairs)
+
+    return sparse_near_pairs(embed_docs(_docs(spark, sf_dir), dim=64),
+                             threshold=0.95)
+
+
 def _quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold sweep for the trained quality classifier
     (textstats.py:quality_pr_curve): confusion counts + precision/recall
@@ -1881,6 +1895,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _hybrid_rrf_topk,  # BM25 + dense RRF fusion
         "embed_docs": _embed_docs,  # text->embedding tower (hashing trick)
         "quality_pr_curve": _quality_pr_curve,  # threshold sweep (pick the cut)
+        "text_near_pairs": _text_near_pairs,  # AllPairs sparse cosine join
     }
 
 
@@ -2897,6 +2912,33 @@ def _embed_docs_sql(dim: int = 64) -> str:
         SELECT c.doc_id, CAST(dim_id AS BIGINT) AS dim_id,
                round(c / nm, 6) AS val
         FROM c JOIN n USING (doc_id)
+    """
+
+
+def _text_near_pairs_sql(dim: int = 64, threshold: float = 0.8) -> str:
+    """embed_docs' oracle CTEs feeding the sparse self-join: per-pair
+    cosine = sum of shared-dimension products of the 6dp-rounded unit
+    components, thresholded on the rounded 4dp score."""
+    md5v = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1)"
+        f" * {16 ** (3 - j)}" for j in range(4))
+    return f"""
+        WITH tk AS (SELECT doc_id,
+                           unnest(list_filter(string_split(text, ' '),
+                                              x -> length(x) > 0)) AS tok
+                    FROM documents),
+        tb AS (SELECT doc_id, ({md5v}) % {dim} AS dim_id FROM tk),
+        c AS (SELECT doc_id, dim_id, count(*) AS c FROM tb GROUP BY 1, 2),
+        n AS (SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nm
+              FROM c GROUP BY 1),
+        v AS (SELECT c.doc_id, dim_id, round(c / nm, 6) AS val
+              FROM c JOIN n USING (doc_id)),
+        p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                     round(sum(a.val * b.val), 4) AS cos
+              FROM v a JOIN v b
+                ON a.dim_id = b.dim_id AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT d1, d2, cos FROM p WHERE cos >= {threshold}
     """
 
 
@@ -5357,6 +5399,7 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "embed_docs": _embed_docs_sql(dim=64),
         "quality_pr_curve": _quality_lr_oracle("documents", steps=3,
                                                final="curve"),
+        "text_near_pairs": _text_near_pairs_sql(dim=64, threshold=0.95),
     }
 
 

@@ -113,6 +113,7 @@ def _headline_queries():
         "hybrid_rrf_topk",                         # r4 BM25 + dense RRF fusion
         "embed_docs",                              # r4 text->embedding tower
         "quality_pr_curve",                        # r4 threshold sweep
+        "text_near_pairs",                         # r4 AllPairs sparse cosine
     ):
         if opt in qs:
             names.append(opt)

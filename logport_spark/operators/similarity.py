@@ -984,3 +984,40 @@ def embed_docs_model(docs: DataFrame, dim: int = 64,
     return (docs.select(F.col(id_col).alias("doc_id"),
                         F.col(text_col).alias("text"))
             .mapInPandas(run, "doc_id long, dim_id long, val double"))
+
+
+def sparse_near_pairs(vecs: DataFrame, threshold: float = 0.8,
+                      max_dim_df: int | None = None) -> DataFrame:
+    """All-pairs cosine over SPARSE vectors in exploded (doc_id, dim_id,
+    val) form — the similarity-join shape text retrieval ran before
+    dense embeddings (Bayardo/Ma/Srikant, "Scaling Up All Pairs
+    Similarity Search", WWW'07): candidates meet only on shared
+    dimensions, so the join is one shuffle keyed on dim_id and the dot
+    product is a partial-aggregated sum of per-dimension products — no
+    dense array ever materializes and absent dims cost nothing.
+
+    `max_dim_df` is the AllPairs hot-dimension prune (the cap_buckets
+    analogue): a dimension shared by d docs contributes d(d-1)/2
+    candidate pairs, and the hottest dims (stopword buckets, in
+    embed_docs' hashing space) carry the least signal — dropping dims
+    with df > max_dim_df bounds the candidate volume at the cost of
+    underestimating cosines by those dims' (small) products. WWW'07's
+    exact variant re-verifies survivors against full vectors; here the
+    pruned result is the documented approximation, threshold-gated on
+    the ROUNDED 4dp score (engine-exact both sides).
+
+    Input vals are embed_docs' L2-normalized components, so the pair dot
+    IS the cosine. Output: (d1, d2, cos) with d1 < d2, cos >= threshold."""
+    v = vecs
+    if max_dim_df is not None:
+        hot = (v.groupBy("dim_id").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > max_dim_df).select("dim_id"))
+        v = v.join(F.broadcast(hot), "dim_id", "left_anti")
+    a, b = v.alias("a"), v.alias("b")
+    return (a.join(b, (F.col("a.dim_id") == F.col("b.dim_id"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("d1"),
+                     F.col("b.doc_id").alias("d2"))
+            .agg(F.round(F.sum(F.col("a.val") * F.col("b.val")), 4)
+                 .alias("cos"))
+            .filter(F.col("cos") >= threshold))

@@ -117,6 +117,7 @@ def test_baselines_match_oracles(spark, duck):
         # stay as baselines (mm keeps mm_features+caption_filter graded,
         # retrieval keeps bm25_topk graded)
         "mm_phash", "hybrid_rrf_topk", "embed_docs", "quality_pr_curve",
+        "text_near_pairs",
         "dedup_simhash_pairs", "doc_winnow",
     }
     assert len(entrymod.queries()) == 50

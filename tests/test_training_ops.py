@@ -377,6 +377,34 @@ def test_embed_docs_feeds_semantic_dedup(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_sparse_near_pairs_planted_and_pruned(spark):
+    """AllPairs sparse-cosine join over embed_docs vectors: identical
+    texts pair at cos 1.0, near-identical texts clear 0.9, unrelated
+    texts don't; the hot-dimension prune (max_dim_df) drops a dimension
+    shared by every doc and only LOWERS cosines (never invents pairs)."""
+    from logport_spark.operators.similarity import (embed_docs,
+                                                    sparse_near_pairs)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "alpha beta gamma delta epsilon eta"),
+         (4, "qq ww ee rr tt yy uu ii")],
+        "doc_id long, text string")
+    vecs = embed_docs(docs, dim=64)
+    got = {(r.d1, r.d2): r.cos
+           for r in sparse_near_pairs(vecs, threshold=0.5).collect()}
+    assert got[(1, 2)] == 1.0
+    assert got.get((1, 3), 0) > 0.9 and got.get((2, 3), 0) > 0.9
+    assert not any(4 in p for p in got)
+
+    pruned = {(r.d1, r.d2): r.cos
+              for r in sparse_near_pairs(vecs, threshold=0.5,
+                                         max_dim_df=3).collect()}
+    assert set(pruned) <= set(got)
+    assert all(pruned[p] <= got[p] for p in pruned)
+
+
 def test_hybrid_rrf_fusion_semantics(spark):
     """Planted fusion fixture for hybrid_rrf_topk: doc1 is the exact
     lexical match (r_lex=1) but dense-orthogonal; doc2 is the exact dense

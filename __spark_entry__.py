@@ -1158,6 +1158,101 @@ def _text_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.95)
 
 
+def _page_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(domain, tok) occurrences off the pages scan — shared input of the
+    sketch family below. No distinct, no shuffle: sketches absorb
+    duplicates themselves (that is their point)."""
+    return (_pages(spark, sf_dir)
+            .select(F.split_part(F.split_part("url", F.lit("://"), F.lit(2)),
+                                 F.lit("/"), F.lit(1)).alias("domain"),
+                    F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.length("tok") > 0))
+
+
+def _hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain HyperLogLog vocabulary size (sketches.py:hll_distinct):
+    COUNT(DISTINCT) without the distinct — 2 KB of registers per domain
+    leave every partition map-side, so the shuffle is O(domains x 256)
+    however large the token stream. The sketch is a pure function of
+    md5(tok) (register = first byte, rho = capped leading-zero rank), so
+    the oracle replays every register bit-for-bit; the exact distinct
+    count rides along purely as the accuracy audit column (a 100 TB run
+    drops it — it IS the cost being avoided)."""
+    from logport_spark.operators.sketches import hll_distinct
+
+    toks = _page_tokens(spark, sf_dir)
+    hll = hll_distinct(toks, ["domain"], "tok")
+    exact = toks.groupBy("domain").agg(
+        F.countDistinct("tok").alias("exact_distinct"))
+    return (hll.join(exact, "domain")
+            .select("domain", "exact_distinct", "hll_s", "hll_zeros",
+                    "branch", "hll_est",
+                    F.round((F.col("hll_est") - F.col("exact_distinct"))
+                            / F.col("exact_distinct") * 100, 2)
+                        .alias("err_pct")))
+
+
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (sketches.py:cms_counters/cms_point_
+    estimates): the 4x1024-counter sketch built in one bounded shuffle
+    (partial agg caps every partition's contribution at d*w cells), then
+    point-queried for the exact top-20 tokens. Estimates only ever
+    overcount; `overcount` makes the CMS error visible data the oracle
+    checks exactly — every column integer-exact."""
+    from pyspark.sql import Window
+
+    from logport_spark.operators.sketches import (cms_counters,
+                                                  cms_point_estimates)
+
+    toks = _page_tokens(spark, sf_dir).select("tok")
+    counters = cms_counters(toks, "tok")
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    w = Window.orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+    top = (exact.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 20).drop("rk"))
+    est = cms_point_estimates(counters, top.select("tok"), "tok")
+    return (top.join(est, "tok")
+            .select("tok", "exact_cnt", "cms_est",
+                    (F.col("cms_est") - F.col("exact_cnt")).alias("overcount")))
+
+
+def _kmv_domain_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs domain vocabulary overlap from KMV bottom-k sketches
+    (sketches.py:kmv_sketch/kmv_pair_similarity): each domain collapses
+    to its 128 smallest token hashes, so the 1326-pair comparison runs
+    over 52x128 rows — corpus-size-independent, which is what makes
+    all-pairs overlap feasible over millions of hosts where the exact
+    token self-join cannot run. Exact common/union/Jaccard ride along as
+    the accuracy audit (computed small here; the avoided cost at scale)."""
+    from logport_spark.operators.sketches import (kmv_pair_similarity,
+                                                  kmv_sketch)
+
+    toks = _page_tokens(spark, sf_dir)
+    sim = kmv_pair_similarity(kmv_sketch(toks, ["domain"], "tok"), "domain")
+    d = toks.distinct()
+    sizes = d.groupBy("domain").agg(F.count("*").alias("sz"))
+    common = (d.alias("a").join(d.alias("b"), "tok")
+              .filter(F.col("a.domain") < F.col("b.domain"))
+              .groupBy(F.col("a.domain").alias("group_a"),
+                       F.col("b.domain").alias("group_b"))
+              .agg(F.count("*").alias("exact_common")))
+    return (sim.join(common, ["group_a", "group_b"], "left")
+            .join(sizes.withColumnRenamed("domain", "group_a")
+                       .withColumnRenamed("sz", "sz_a"), "group_a")
+            .join(sizes.withColumnRenamed("domain", "group_b")
+                       .withColumnRenamed("sz", "sz_b"), "group_b")
+            .withColumn("exact_common",
+                        F.coalesce("exact_common", F.lit(0)).cast("long"))
+            .withColumn("exact_union",
+                        (F.col("sz_a") + F.col("sz_b")
+                         - F.col("exact_common")).cast("long"))
+            .select("group_a", "group_b", "kmv_matches", "kmv_jacc",
+                    "kmv_union_est", "exact_common", "exact_union",
+                    F.round(F.col("exact_common")
+                            / F.col("exact_union").cast("double"), 4)
+                        .alias("exact_jacc")))
+
+
 def _quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold sweep for the trained quality classifier
     (textstats.py:quality_pr_curve): confusion counts + precision/recall
@@ -1896,6 +1991,9 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_docs": _embed_docs,  # text->embedding tower (hashing trick)
         "quality_pr_curve": _quality_pr_curve,  # threshold sweep (pick the cut)
         "text_near_pairs": _text_near_pairs,  # AllPairs sparse cosine join
+        "hll_distinct": _hll_distinct,  # HyperLogLog per-domain vocab size
+        "cms_heavy_hitters": _cms_heavy_hitters,  # Count-Min top-k estimates
+        "kmv_domain_sim": _kmv_domain_sim,  # bottom-k all-pairs set overlap
     }
 
 
@@ -3974,6 +4072,179 @@ SELECT domain, round(rank, 8) AS trust FROM {prev}
     )
 
 
+def _sketch_tok_cte() -> str:
+    """Shared (domain, tok) occurrence CTE for the sketch oracles."""
+    return f"""
+        WITH p AS (SELECT split_part(split_part(url, '://', 2), '/', 1)
+                              AS domain,
+                          unnest(string_split(text, ' ')) AS tok
+                   FROM {_PAGES}),
+        t AS (SELECT domain, tok FROM p WHERE length(tok) > 0)
+    """
+
+
+def _hll_distinct_sql() -> str:
+    """Bit-for-bit HLL replay: register from the first 2 md5 hex digits
+    (strpos digit arithmetic — DuckDB has no conv()), rho from regexp
+    leading-zero nibbles + a CASE on the first non-zero digit, the scaled
+    harmonic sum as exact BIGINT shifts, ONE IEEE division for the raw
+    estimate (the alpha*m^2*2^40 literal is python-computed, shared with
+    the Spark side), ln only on the flagged linear-counting branch."""
+    from logport_spark.operators.sketches import (HLL_CONST, HLL_M,
+                                                  HLL_RHO_CAP)
+    reg = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {c}"
+        for j, c in enumerate([16, 1]))
+    return f"""
+        {_sketch_tok_cte()},
+        hx AS (SELECT domain, md5(tok) AS h FROM t),
+        rr AS (SELECT domain, CAST(({reg}) AS BIGINT) AS register,
+                      substr(h, 3, 15) AS s
+               FROM hx),
+        rho AS (SELECT domain, register,
+                       least(4 * length(regexp_extract(s, '^0*')) +
+                             CASE substr(s, length(regexp_extract(s, '^0*'))
+                                            + 1, 1)
+                               WHEN '1' THEN 3
+                               WHEN '2' THEN 2 WHEN '3' THEN 2
+                               WHEN '4' THEN 1 WHEN '5' THEN 1
+                               WHEN '6' THEN 1 WHEN '7' THEN 1
+                               ELSE 0 END + 1,
+                             {HLL_RHO_CAP}) AS rho
+                FROM rr),
+        mj AS (SELECT domain, register, max(rho) AS m_j
+               FROM rho GROUP BY 1, 2),
+        ag AS (SELECT domain,
+                      CAST(sum(CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - m_j))
+                           AS BIGINT) AS s_present,
+                      count(*) AS regs_used
+               FROM mj GROUP BY 1),
+        hll AS (SELECT domain,
+                       CAST(s_present + ({HLL_M} - regs_used)
+                            * (CAST(1 AS BIGINT) << {HLL_RHO_CAP})
+                            AS BIGINT) AS hll_s,
+                       CAST({HLL_M} - regs_used AS INT) AS hll_zeros
+                FROM ag),
+        est AS (SELECT domain, hll_s, hll_zeros,
+                       {HLL_CONST!r} / hll_s AS raw,
+                       (({HLL_CONST!r} / hll_s) <= {2.5 * HLL_M}
+                        AND hll_zeros > 0) AS lin
+                FROM hll),
+        ex AS (SELECT domain, count(DISTINCT tok) AS exact_distinct
+               FROM t GROUP BY 1)
+        SELECT domain, exact_distinct, hll_s, hll_zeros,
+               CASE WHEN lin THEN 'linear' ELSE 'raw' END AS branch,
+               round(CASE WHEN lin
+                          THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                                                     / hll_zeros)
+                          ELSE raw END, 4) AS hll_est,
+               round((round(CASE WHEN lin
+                            THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                                                       / hll_zeros)
+                            ELSE raw END, 4) - exact_distinct)
+                     / exact_distinct * 100, 2) AS err_pct
+        FROM est JOIN ex USING (domain)
+    """
+
+
+def _cms_heavy_hitters_sql() -> str:
+    """Count-Min replay: per-row-salt md5 buckets via digit arithmetic,
+    counters as exact counts, point estimates as min over the d rows for
+    the exact top-20 tokens (same desc-count, asc-token tie-break)."""
+    from logport_spark.operators.sketches import CMS_D, CMS_W
+    coefs = [16 ** (4 - j) for j in range(5)]
+
+    def bucket(r: int) -> str:
+        digits = " + ".join(
+            f"(strpos('0123456789abcdef', "
+            f"substr(md5('cms{r}:' || tok), {j + 1}, 1)) - 1) * {c}"
+            for j, c in enumerate(coefs))
+        return f"CAST(({digits}) % {CMS_W} AS BIGINT)"
+
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS r, {bucket(r)} AS c FROM t" for r in range(CMS_D))
+    probes = " UNION ALL ".join(
+        f"SELECT tok, exact_cnt, {r} AS r, {bucket(r)} AS c FROM top"
+        for r in range(CMS_D))
+    return f"""
+        {_sketch_tok_cte()},
+        cells AS ({cells}),
+        counters AS (SELECT r, c, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        ex AS (SELECT tok, count(*) AS exact_cnt FROM t GROUP BY 1),
+        top AS (SELECT tok, exact_cnt FROM ex
+                ORDER BY exact_cnt DESC, tok ASC LIMIT 20),
+        probe AS ({probes})
+        SELECT probe.tok, probe.exact_cnt,
+               min(counters.cnt) AS cms_est,
+               min(counters.cnt) - probe.exact_cnt AS overcount
+        FROM probe JOIN counters USING (r, c)
+        GROUP BY 1, 2
+    """
+
+
+def _kmv_domain_sim_sql() -> str:
+    """KMV replay: bottom-128 md5 minima per domain (hex strings order
+    lexicographically = numerically; token tie-break pinned), union-k by
+    merge + row_number, matches = both-side flags among the union-k,
+    theta from the k-th hash's first 15 hex digits as exact BIGINT with
+    the python-shared (k-1)*16^15 literal — one IEEE division. Exact
+    common/union/Jaccard from the distinct (domain, tok) self-join."""
+    from logport_spark.operators.sketches import KMV_CONST, KMV_K
+    theta = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) * {c}"
+        for j, c in enumerate([16 ** (14 - j) for j in range(15)]))
+    return f"""
+        {_sketch_tok_cte()},
+        td AS (SELECT DISTINCT domain, tok FROM t),
+        hx AS (SELECT domain, tok, md5(tok) AS h FROM td),
+        rk AS (SELECT domain, h,
+                      row_number() OVER (PARTITION BY domain
+                                         ORDER BY h ASC, tok ASC) AS rk
+               FROM hx),
+        sk AS (SELECT domain, h FROM rk WHERE rk <= {KMV_K}),
+        doms AS (SELECT DISTINCT domain FROM sk),
+        pairs AS (SELECT a.domain AS ga, b.domain AS gb
+                  FROM doms a, doms b WHERE a.domain < b.domain),
+        merged AS (SELECT ga, gb, h,
+                          max(in_a) AS in_a, max(in_b) AS in_b
+                   FROM (SELECT ga, gb, h, 1 AS in_a, 0 AS in_b
+                         FROM pairs JOIN sk ON sk.domain = pairs.ga
+                         UNION ALL
+                         SELECT ga, gb, h, 0 AS in_a, 1 AS in_b
+                         FROM pairs JOIN sk ON sk.domain = pairs.gb)
+                   GROUP BY 1, 2, 3),
+        topk AS (SELECT *, row_number() OVER (PARTITION BY ga, gb
+                                              ORDER BY h ASC) AS rk
+                 FROM merged),
+        kmv AS (SELECT ga AS group_a, gb AS group_b,
+                       CAST(sum(in_a * in_b) AS INT) AS kmv_matches,
+                       round(sum(in_a * in_b)
+                             / CAST({KMV_K} AS DOUBLE), 4) AS kmv_jacc,
+                       round({KMV_CONST!r}
+                             / max(CASE WHEN rk = {KMV_K}
+                                        THEN CAST(({theta}) AS BIGINT) END),
+                             2) AS kmv_union_est
+                FROM topk WHERE rk <= {KMV_K} GROUP BY 1, 2),
+        sizes AS (SELECT domain, count(*) AS sz FROM td GROUP BY 1),
+        cmn AS (SELECT a.domain AS group_a, b.domain AS group_b,
+                       count(*) AS exact_common
+                FROM td a JOIN td b USING (tok)
+                WHERE a.domain < b.domain GROUP BY 1, 2)
+        SELECT k.group_a, k.group_b, k.kmv_matches, k.kmv_jacc,
+               k.kmv_union_est,
+               CAST(coalesce(cmn.exact_common, 0) AS BIGINT) AS exact_common,
+               CAST(sa.sz + sb.sz - coalesce(cmn.exact_common, 0) AS BIGINT)
+                   AS exact_union,
+               round(coalesce(cmn.exact_common, 0)
+                     / CAST(sa.sz + sb.sz - coalesce(cmn.exact_common, 0)
+                            AS DOUBLE), 4) AS exact_jacc
+        FROM kmv k
+        LEFT JOIN cmn ON cmn.group_a = k.group_a AND cmn.group_b = k.group_b
+        JOIN sizes sa ON sa.domain = k.group_a
+        JOIN sizes sb ON sb.domain = k.group_b
+    """
+
+
 def _baseline_oracle_registry() -> dict[str, str]:
     return {
         "span_dup_stats": """
@@ -5400,6 +5671,9 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "quality_pr_curve": _quality_lr_oracle("documents", steps=3,
                                                final="curve"),
         "text_near_pairs": _text_near_pairs_sql(dim=64, threshold=0.95),
+        "hll_distinct": _hll_distinct_sql(),
+        "cms_heavy_hitters": _cms_heavy_hitters_sql(),
+        "kmv_domain_sim": _kmv_domain_sim_sql(),
     }
 
 

@@ -459,6 +459,35 @@ def pages_scale_run() -> dict:
     from logport_spark.session import get_spark
 
     qs = {**em.queries(), **getattr(em, "baseline_queries", dict)()}
+
+    # Sketch-family ladder variants: the contract queries carry exact
+    # audit columns (countDistinct / all-pairs token self-join) that ARE
+    # the cost sketches exist to avoid — at 1M pages the audit would
+    # dominate the timing and measure the wrong thing. The ladder times
+    # the sketch path alone.
+    def _hll_l(spark, sf_dir):
+        from logport_spark.operators.sketches import hll_distinct
+
+        return hll_distinct(em._page_tokens(spark, sf_dir), ["domain"],
+                            "tok")
+
+    def _cms_l(spark, sf_dir):
+        from logport_spark.operators.sketches import cms_counters
+
+        return cms_counters(em._page_tokens(spark, sf_dir).select("tok"),
+                            "tok")
+
+    def _kmv_l(spark, sf_dir):
+        from logport_spark.operators.sketches import (kmv_pair_similarity,
+                                                      kmv_sketch)
+
+        return kmv_pair_similarity(
+            kmv_sketch(em._page_tokens(spark, sf_dir), ["domain"], "tok"),
+            "domain")
+
+    qs["hll_distinct"] = _hll_l
+    qs["cms_heavy_hitters"] = _cms_l
+    qs["kmv_domain_sim"] = _kmv_l
     names = ["link_extract", "link_degrees", "domain_pagerank",
              "anchor_topk", "hits_scores", "host_components",
              "crawl_frontier", "host_quality", "trust_scores",
@@ -471,7 +500,11 @@ def pages_scale_run() -> dict:
              "cocitation_pairs", "recrawl_policy",
              # r4 session-11: perceptual-hash signatures + CLIP-style
              # image-text alignment gate (binary-column scan profiles)
-             "mm_phash", "caption_filter"]
+             "mm_phash", "caption_filter",
+             # r4 session-12: sketch family (audit-free ladder variants
+             # above — fixed-size mergeable state, shuffle bounded by
+             # sketch size x groups at any corpus size)
+             "hll_distinct", "cms_heavy_hitters", "kmv_domain_sim"]
     if "--ops" in sys.argv:
         only = sys.argv[sys.argv.index("--ops") + 1].split(",")
         names = [n for n in names if n in only]

@@ -194,6 +194,69 @@ def dedup_stream(events: DataFrame, key: str = "event_id",
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
 
 
+def windowed_hll_distinct(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "windowed_hll",
+    watermark: str = "1 hour",
+    window: str = "1 day",
+    max_files: int = 2,
+):
+    """Streaming distinct-URL estimation with HLL registers AS the state.
+
+    Exact streaming COUNT(DISTINCT) must hold every key in the state store
+    — O(distinct keys per horizon), unbounded on a web-scale stream. Here
+    the streaming aggregate is groupBy(window, domain, register) -> max(rho)
+    (operators/sketches.py), so state is bounded at windows x domains x 256
+    rows NO MATTER the stream: the keys themselves never enter state. The
+    emitted register table is the same mergeable artifact the batch sketch
+    persists (hll_merge/hll_estimate consume it unchanged), so a streaming
+    day and a batch backfill combine exactly.
+
+    Returns (register table, max state rows observed) — the bound is part
+    of the contract and pytest-pinned.
+    """
+    from ..operators import enrich as E
+    from ..operators.sketches import hll_register, hll_rho
+
+    src = pages_stream(spark, pages_dir, max_files)
+    regs = (
+        E.with_domain(src)
+        .select(
+            "warc_ts",
+            "domain",
+            hll_register(F.col("url")).alias("register"),
+            hll_rho(F.col("url")).alias("rho"),
+        )
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "domain", "register")
+        .agg(F.max("rho").alias("m_j"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "domain",
+            "register",
+            "m_j",
+        )
+    )
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_rows = max(
+        (so.get("numRowsTotal", 0)
+         for p in q.recentProgress
+         for so in p.get("stateOperators", [])),
+        default=0,
+    )
+    return spark.table(query_name), state_rows
+
+
 # ------------------------------------------------ Kafka sink (gated) -------
 
 

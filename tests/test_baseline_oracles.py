@@ -118,6 +118,11 @@ def test_baselines_match_oracles(spark, duck):
         # retrieval keeps bm25_topk graded)
         "mm_phash", "hybrid_rrf_topk", "embed_docs", "quality_pr_curve",
         "text_near_pairs",
+        # r4 session-12: the sketch family (operators/sketches.py) —
+        # HyperLogLog distinct, Count-Min heavy hitters, KMV bottom-k
+        # set overlap; fixed-size mergeable state, md5-deterministic so
+        # each estimate is itself bit-exact against the oracle
+        "hll_distinct", "cms_heavy_hitters", "kmv_domain_sim",
         "dedup_simhash_pairs", "doc_winnow",
     }
     assert len(entrymod.queries()) == 50

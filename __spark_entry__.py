@@ -2014,16 +2014,27 @@ _ROTATE_IN = [
     "line_dedup_corpus",    # C4 corpus line dedup — no family twin
     "web_curation",         # end-to-end pages composite — no family twin
     "semantic_dedup_pairs", # SemDeDup — embedding-space near-dup family
-    "bm25_topk",            # corpus retrieval — no family twin (session 4)
+    "hybrid_rrf_topk",      # lexical+dense RRF retrieval — supersedes
+                            # bm25_topk as the graded retrieval rep (the
+                            # BM25 leg incl. MLT term pruning is replayed
+                            # verbatim inside it and in its oracle) (s12)
     "domain_kl",            # distribution-drift monitor — no family twin
     "html_policy",          # page-policy scan — no family twin (session 5)
     "training_export",      # score->budget->manifest composite (session 5)
-    "link_extract",         # web-graph edge kernel over binary html (s6)
-    "domain_pagerank",      # iterative graph op — new capability class (s6)
-    "hits_scores",          # HITS hubs/authorities — dual-score iterate (s7)
-    "host_components",      # site/mirror clusters over the host graph (s7)
+    "domain_pagerank",      # iterative graph op — new capability class
+                            # (s6; also exercises extract_links/host_graph,
+                            # so link_extract keeps coverage from here)
     "crawl_frontier",       # anti-join frontier + multi-distinct top-k (s7)
-    "host_quality",         # per-host ban induction from page policy (s7)
+    "embed_docs",           # the text->embedding tower feeding the whole
+                            # ANN/SemDeDup stack — no family twin (s12)
+    "mm_phash",             # perceptual-hash image signatures — the image
+                            # near-dup capability (caption_filter grades
+                            # alignment, mm_features grades decode) (s12)
+    "hll_distinct",         # mergeable-sketch family: bounded-state
+                            # COUNT(DISTINCT) at corpus scale (s12)
+    "cms_heavy_hitters",    # Count-Min frequency sketch — bounded-shuffle
+                            # heavy hitters, the scale twin of exact
+                            # vocab_topk (s12)
     "bloom_contamination",  # zero-shuffle decontamination prefilter (s8)
     "ann_ivfpq_topk",       # IVF∘PQ residual quantization — the ANN family's
                             # 10^9-vector scale path (supersedes ann_ivf_topk
@@ -2042,6 +2053,13 @@ _ROTATE_IN = [
     "caption_filter",       # CLIP-style image-text alignment gate — the
                             # multimodal curation capability (mm family's
                             # mm_features stays graded too) (s11)
+    # s12 rotation-back (each family keeps a stronger graded rep, rows stay
+    # value-checked in baseline_queries()): bm25_topk -> hybrid_rrf_topk
+    # replays the full BM25 leg; hits_scores -> iterative-rank family keeps
+    # domain_pagerank; host_components -> the pointer-jumping components
+    # kernel stays graded via dedup_clusters; host_quality -> page-policy
+    # induction keeps html_policy + web_curation graded; link_extract ->
+    # recomputed inside the graded domain_pagerank DAG.
 ]
 _ROTATE_OUT = [
     "dedup_exact",          # family graded via dedup_clusters (same DAG+)

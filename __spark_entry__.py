@@ -1253,6 +1253,59 @@ def _kmv_domain_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("exact_jacc")))
 
 
+def _sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a deterministic md5 hash sample
+    (sketches.py:sampled_quantiles) — the bounded-buffer scale twin of
+    event_value_quantiles: exact `percentile` materializes each group's
+    full value list at the final agg, the 1-in-4 sample caps it at
+    rate x n with O(1/sqrt(rate x n)) rank error. Membership is
+    md5('q42'||event_id) — sampling.py's determinism contract — so the
+    oracle replays the identical sample; the exact quantiles ride along
+    as the accuracy audit (the cost being avoided at 100 TB)."""
+    from logport_spark.operators.sketches import sampled_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    est = sampled_quantiles(ev, ["event_type"], "value", [0.5, 0.95],
+                            rate=0.25, key_col="event_id")
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_exact"))
+    return est.join(exact, "event_type").select(
+        "event_type", "n_sample", "p50_s", "p95_s", "p50_exact", "p95_exact",
+        F.round(F.abs(F.col("p50_s") - F.col("p50_exact")), 4).alias("p50_abs_err"),
+        F.round(F.abs(F.col("p95_s") - F.col("p95_exact")), 4).alias("p95_abs_err"))
+
+
+def _bucketed_domain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed tables (operators/bucketed.py): the
+    page facts and the per-domain dim are both written `bucketBy(8,
+    domain)`, so the join AND the following domain-keyed aggregate plan
+    with zero shuffle Exchange (pytest-pinned in tests/test_bucketed.py;
+    here the dim side is small enough that Catalyst broadcasts it, which
+    still moves no fact rows). This is the pay-the-shuffle-once storage
+    layout for the keys a pipeline joins repeatedly — at 10^12 pages the
+    per-query Exchange it deletes is the dominant cost. Values are layout-
+    independent, so the oracle is the plain relational replay."""
+    from logport_spark.operators.bucketed import (bucketed_equijoin,
+                                                  write_bucketed)
+    from logport_spark.operators.enrich import with_domain
+
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    facts = with_domain(_pages(spark, sf_dir)).select(
+        "url", "domain", F.length("text").alias("text_chars"), "lang")
+    dims = facts.groupBy("domain").agg(
+        F.countDistinct("lang").alias("n_langs"))
+    write_bucketed(facts, f"bq_pages_{sfname}",
+                   f"{DATA}/bucketed/{sfname}/pages", "domain", 8)
+    write_bucketed(dims, f"bq_domains_{sfname}",
+                   f"{DATA}/bucketed/{sfname}/domains", "domain", 8)
+    j = bucketed_equijoin(spark, f"bq_pages_{sfname}",
+                          f"bq_domains_{sfname}", "domain")
+    return j.groupBy("domain", "n_langs").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("text_chars").alias("text_chars"))
+
+
 def _quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold sweep for the trained quality classifier
     (textstats.py:quality_pr_curve): confusion counts + precision/recall
@@ -1994,6 +2047,8 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _hll_distinct,  # HyperLogLog per-domain vocab size
         "cms_heavy_hitters": _cms_heavy_hitters,  # Count-Min top-k estimates
         "kmv_domain_sim": _kmv_domain_sim,  # bottom-k all-pairs set overlap
+        "sampled_quantiles": _sampled_quantiles,  # hash-sample quantile est.
+        "bucketed_domain_join": _bucketed_domain_join,  # zero-Exchange join
     }
 
 
@@ -4263,6 +4318,56 @@ def _kmv_domain_sim_sql() -> str:
     """
 
 
+def _sampled_quantiles_sql() -> str:
+    """Replays the md5 sample membership (the _HEX8 digit arithmetic over
+    md5('q42' || event_id), mod 10000 < 2500 — sampling.py's exact rule)
+    and the interpolated quantile on the identical sample; the exact
+    columns reuse the event_value_quantiles quantile_cont pinning."""
+    bucket = "((" + _HEX8.format(
+        h="md5('q42' || CAST(event_id AS VARCHAR))") + ") % 10000)"
+    return f"""
+        WITH s AS (
+          SELECT event_type, value FROM events
+          WHERE {bucket} < 2500),
+        samp AS (
+          SELECT event_type, count(*) AS n_sample,
+                 round(quantile_cont(value, 0.5), 4) AS p50_s,
+                 round(quantile_cont(value, 0.95), 4) AS p95_s
+          FROM s GROUP BY event_type),
+        ex AS (
+          SELECT event_type,
+                 round(quantile_cont(value, 0.5), 4) AS p50_exact,
+                 round(quantile_cont(value, 0.95), 4) AS p95_exact
+          FROM events GROUP BY event_type)
+        SELECT samp.event_type, n_sample, p50_s, p95_s,
+               p50_exact, p95_exact,
+               round(abs(p50_s - p50_exact), 4) AS p50_abs_err,
+               round(abs(p95_s - p95_exact), 4) AS p95_abs_err
+        FROM samp JOIN ex USING (event_type)
+    """
+
+
+def _bucketed_domain_join_sql() -> str:
+    """The bucketed layout is an execution detail — values are the plain
+    relational replay (domain via the lp_enrich split_part equivalence of
+    parse_url HOST)."""
+    return f"""
+        WITH f AS (
+          SELECT url,
+                 split_part(split_part(url, '://', 2), '/', 1) AS domain,
+                 length(text) AS text_chars, lang
+          FROM {_PAGES}),
+        d AS (
+          SELECT domain, count(DISTINCT lang) AS n_langs
+          FROM f GROUP BY domain)
+        SELECT f.domain, d.n_langs,
+               count(*) AS n_pages,
+               CAST(sum(text_chars) AS BIGINT) AS text_chars
+        FROM f JOIN d USING (domain)
+        GROUP BY f.domain, d.n_langs
+    """
+
+
 def _baseline_oracle_registry() -> dict[str, str]:
     return {
         "span_dup_stats": """
@@ -5692,6 +5797,8 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "hll_distinct": _hll_distinct_sql(),
         "cms_heavy_hitters": _cms_heavy_hitters_sql(),
         "kmv_domain_sim": _kmv_domain_sim_sql(),
+        "sampled_quantiles": _sampled_quantiles_sql(),
+        "bucketed_domain_join": _bucketed_domain_join_sql(),
     }
 
 

@@ -114,6 +114,8 @@ def _headline_queries():
         "embed_docs",                              # r4 text->embedding tower
         "quality_pr_curve",                        # r4 threshold sweep
         "text_near_pairs",                         # r4 AllPairs sparse cosine
+        "sampled_quantiles",                       # r4 hash-sample quantiles
+        "bucketed_domain_join",                    # r4 zero-Exchange layout
     ):
         if opt in qs:
             names.append(opt)

@@ -268,3 +268,40 @@ def kmv_pair_similarity(sk: DataFrame, group_col: str,
                 F.round(F.lit(KMV_CONST) / F.col("theta_int"), 2)
                     .alias("kmv_union_est"),
             ))
+
+
+# ------------------------------------------------------ sampled quantiles
+
+def sampled_quantiles(df: DataFrame, group_cols: list[str], val_col: str,
+                      probs: list[float], rate: float = 0.25,
+                      key_col: str = "event_id",
+                      salt: str = "q42") -> DataFrame:
+    """Per-group quantiles from a deterministic md5 hash sample — the
+    quantile member of the approximate tier.
+
+    Exact `percentile` buffers every group's full value list at the final
+    aggregate: at 10^12 rows a hot group's buffer is the whole group.
+    Sampling first caps that buffer at ~rate x n while the quantile
+    estimate stays within O(1/sqrt(rate x n)) rank error (DKW bound) — the
+    same exact-becomes-bounded move as vocab_topk -> cms_heavy_hitters.
+
+    Unlike ``df.sample()`` (RNG, partitioning-dependent), membership is
+    md5(salt || key) — ``operators/sampling.py``'s determinism contract —
+    so the estimate is deterministic DATA: any engine, any cluster size,
+    any partitioning picks the identical sample, and the DuckDB oracle
+    replays sample and quantile bit-for-bit. Merge-friendly too: the
+    sample of a union is the union of samples, so per-partition /
+    per-day samples concatenate without re-scanning history.
+
+    Output: group_cols + n_sample + one ``p<P>_s`` per prob (rounded 4dp,
+    the house float-pinning idiom of event_value_quantiles).
+    """
+    from logport_spark.operators.sampling import hash_sample
+
+    s = hash_sample(df, rate, key_col=key_col, salt=salt)
+    aggs = [F.count(F.lit(1)).alias("n_sample")]
+    for p in probs:
+        aggs.append(
+            F.round(F.percentile(val_col, F.lit(p)), 4)
+             .alias(f"p{int(round(p * 100)):02d}_s"))
+    return s.groupBy(*group_cols).agg(*aggs)

@@ -126,6 +126,11 @@ def test_baselines_match_oracles(spark, duck):
         "bm25_topk", "hits_scores", "host_components", "host_quality",
         "link_extract", "kmv_domain_sim",
         "dedup_simhash_pairs", "doc_winnow",
+        # r4 session-12: the quantile member of the approximate tier
+        # (md5-sample + exact-on-sample percentile) and the co-located
+        # bucketed-join exhibit (zero-Exchange plan pinned in
+        # tests/test_bucketed.py; values layout-independent)
+        "sampled_quantiles", "bucketed_domain_join",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

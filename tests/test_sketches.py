@@ -229,3 +229,97 @@ def test_hll_shuffle_is_register_bounded(spark):
     # a partial HashAggregate appears below (after, in toString order) the
     # topmost exchange-feeding aggregate pair
     assert "HashAggregate" in plan[first_exchange:]
+
+
+# ------------------------------------------------------ sampled quantiles
+
+def _quant_df(spark, n=4000):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).cast("string").alias("g"),
+        # deterministic skewed-ish values, pure function of id
+        ((F.col("id") * 37 % 1000) / F.lit(10.0)).alias("value"))
+
+
+def test_sampled_quantiles_partitioning_independent(spark):
+    """The sample is md5 membership, not RNG: any repartitioning of the
+    input yields the identical rows, counts and quantiles."""
+    from logport_spark.operators.sketches import sampled_quantiles
+
+    df = _quant_df(spark)
+    a = sampled_quantiles(df, ["g"], "value", [0.5, 0.95],
+                          rate=0.25, key_col="event_id")
+    b = sampled_quantiles(df.repartition(13, "value"), ["g"], "value",
+                          [0.5, 0.95], rate=0.25, key_col="event_id")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) == 4
+
+
+def test_sampled_quantiles_python_reference(spark):
+    """Sample membership and the interpolated quantile replayed in pure
+    Python (the same linear interpolation percentile/quantile_cont use)."""
+    import hashlib
+
+    from logport_spark.operators.sketches import sampled_quantiles
+
+    df = _quant_df(spark)
+    got = {r["g"]: r.asDict() for r in
+           sampled_quantiles(df, ["g"], "value", [0.5],
+                             rate=0.25, key_col="event_id").collect()}
+
+    def bucket(eid):
+        h = hashlib.md5(f"q42{eid}".encode()).hexdigest()
+        return int(h[:8], 16) % 10_000
+
+    by_g = {}
+    for eid in range(4000):
+        if bucket(eid) < 2500:
+            by_g.setdefault(str(eid % 4), []).append((eid * 37 % 1000) / 10.0)
+    for g, vals in by_g.items():
+        vals.sort()
+        idx = 0.5 * (len(vals) - 1)
+        lo, hi = vals[int(idx)], vals[min(int(idx) + 1, len(vals) - 1)]
+        ref = lo + (idx - int(idx)) * (hi - lo)
+        assert got[g]["n_sample"] == len(vals)
+        assert got[g]["p50_s"] == round(ref, 4), g
+
+
+def test_sampled_quantiles_merge_property(spark):
+    """The sample of a union is the union of samples: sketching two halves
+    separately and re-aggregating equals sketching the whole — the property
+    that lets per-day samples concatenate without rescanning history."""
+    from logport_spark.operators.sampling import hash_sample
+    from logport_spark.operators.sketches import sampled_quantiles
+
+    df = _quant_df(spark)
+    whole = sampled_quantiles(df, ["g"], "value", [0.95],
+                              rate=0.25, key_col="event_id")
+    h1 = hash_sample(df.filter(F.col("event_id") < 2000), 0.25,
+                     "event_id", salt="q42")
+    h2 = hash_sample(df.filter(F.col("event_id") >= 2000), 0.25,
+                     "event_id", salt="q42")
+    merged = (h1.unionByName(h2).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_s")))
+    assert sorted(map(tuple, whole.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_sampled_quantiles_rank_error_bounded(spark):
+    """Accuracy the estimator exists for: at rate=0.25 over 1000 values
+    per group, the p50 estimate's TRUE rank stays within a few points of
+    0.5 (DKW: eps ~ sqrt(ln(2/d)/2n) ~ 0.06 at n=250, d=0.05)."""
+    from logport_spark.operators.sketches import sampled_quantiles
+
+    df = _quant_df(spark)
+    est = {r["g"]: r["p50_s"] for r in
+           sampled_quantiles(df, ["g"], "value", [0.5],
+                             rate=0.25, key_col="event_id").collect()}
+    ranks = (df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect())
+    n_by_g = {r["g"]: r["n"] for r in ranks}
+    for g, q in est.items():
+        below = df.filter((F.col("g") == g) & (F.col("value") <= q)).count()
+        true_rank = below / n_by_g[g]
+        assert abs(true_rank - 0.5) < 0.08, (g, true_rank)

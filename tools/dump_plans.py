@@ -542,6 +542,44 @@ ANNOTATED = {
         "and the argmax is TakeOrderedAndProject — 1 row crosses to the "
         "driver per round, never a global sort."
     ),
+    "hll_distinct": (
+        "COUNT(DISTINCT) with bounded state: register+rho are pure "
+        "codegen over md5(tok), then partial_max per (domain, register) "
+        "collapses every partition to <=256 rows per group BEFORE the "
+        "exchange — the shuffle is O(groups x 256) at any corpus size, "
+        "where the exact countDistinct (the audit leg of this query) "
+        "shuffles every distinct token. One IEEE division per estimate."
+    ),
+    "cms_heavy_hitters": (
+        "Count-Min: each token explodes to d=4 salted cells, "
+        "partial_sum caps a partition's contribution at d*w=4096 rows "
+        "before the one bounded exchange; the probe side broadcasts "
+        "into the counter table (BuildLeft on a <=4096-row relation), "
+        "so point estimation moves no corpus data at all."
+    ),
+    "kmv_domain_sim": (
+        "Bottom-k overlap: the only corpus-linear work is the distinct "
+        "+ per-group row_number window keeping k=128 minima; the "
+        "all-pairs compare then runs over k x |groups| rows — "
+        "corpus-size-INDEPENDENT, visible in the plan as every join "
+        "after the window reading tiny relations."
+    ),
+    "sampled_quantiles": (
+        "The quantile member of the approximate tier: the md5-bucket "
+        "membership filter is pure codegen pushed against the scan, so "
+        "only rate*n rows reach the percentile aggregate — the exact "
+        "audit leg buffers each group's FULL value list at its final "
+        "agg, which is precisely the cost the sample caps at 10^12 rows."
+    ),
+    "bucketed_domain_join": (
+        "Co-located layout: both scans show Bucketed: true / "
+        "SelectedBucketsCount 8 of 8; the join needs no shuffle of the "
+        "fact side (here Catalyst broadcasts the 52-row dim — on a "
+        "10^9-host dim the same plan is a zero-Exchange SortMergeJoin, "
+        "pinned in test_bucketed with the merge hint forced), and the "
+        "following (domain, n_langs) aggregate rides the bucket "
+        "partitioning: partial+final fuse with no Exchange between."
+    ),
 }
 
 

@@ -862,7 +862,8 @@ def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFra
 
 
 def connected_components(pairs: DataFrame, nodes: DataFrame,
-                         max_iter: int = 15) -> DataFrame:
+                         max_iter: int = 15,
+                         state_dir: str | None = None) -> DataFrame:
     """Duplicate-cluster assignment: (doc_id, cluster_id) for every node,
     where cluster_id = min doc_id reachable through the near-dup pair graph.
 
@@ -894,6 +895,14 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
 
     `nodes` supplies the full id universe (singletons keep cluster_id =
     their own id); `pairs` needs (d1, d2) with d1 < d2.
+
+    With ``state_dir``, rounds commit durably through plans/iterstate.py
+    (same lineage-cut I/O class as the localCheckpoint, now restartable):
+    re-invocation resumes from the highest committed round, the fixpoint
+    is recorded with a _DONE marker so a finished run returns without
+    re-verifying, input drift RAISES, and — because the unconverged path
+    raises — "resume with a higher max_iter" continues from the committed
+    rounds instead of restarting the propagation.
     """
     # materialize the edge list ONCE: without this every round re-runs the
     # upstream pair miner (the whole MinHash DAG) — the dominant cost. The
@@ -903,7 +912,24 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
              .localCheckpoint(eager=True))
     labels = nodes.select(F.col("doc_id").alias("id"),
                           F.col("doc_id").alias("lbl")).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    st = None
+    start = 0
+    if state_dir is not None:
+        from logport_spark.plans.iterstate import IterState, input_fp
+
+        st = IterState(
+            pairs.sparkSession, state_dir,
+            input_fp(pairs, "d1", "d2"),
+            {"algo": "cc_v1",
+             "nodes_fp": str(input_fp(nodes, "doc_id"))})
+        start = max(st.latest_round(), 0)
+        if start > 0:
+            labels = st.load(start)
+        if st.is_done():
+            return labels.select(F.col("id").alias("doc_id"),
+                                 F.col("lbl").alias("cluster_id"))
+    changed = None
+    for _round in range(start + 1, max_iter + 1):
         # min neighbor label, NULL for isolated nodes
         nbr = (edges.join(labels, edges.src == labels.id)
                .groupBy(F.col("dst").alias("id"))
@@ -912,13 +938,16 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                 .select("id", F.least("lbl", "nlbl").alias("lbl")))
         # pointer jump: follow the label one hop (l(v) ← l(l(v)))
         hop = labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
-        new = (prop.join(hop, "lbl", "left")
-               .select("id", F.least("lbl", "lbl2").alias("lbl"))
-               .localCheckpoint(eager=True))
+        new = prop.join(hop, "lbl", "left").select(
+            "id", F.least("lbl", "lbl2").alias("lbl"))
+        new = (st.save(_round, new) if st is not None
+               else new.localCheckpoint(eager=True))
         changed = (new.alias("n").join(labels.alias("o"), "id")
                    .filter(F.col("n.lbl") != F.col("o.lbl")).count())
         labels = new
         if changed == 0:
+            if st is not None:
+                st.mark_done()
             break
     else:
         # partially-propagated labels are WRONG clusters, not slightly-stale
@@ -926,7 +955,11 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
         # diameter > 2^max_iter is the only way here)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter")
+            f"({changed if changed is not None else 'unknown'} labels "
+            "still changing); raise max_iter"
+            + (" (committed rounds are kept — re-invoking with the same "
+               "state_dir continues, not restarts)" if st is not None
+               else ""))
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 

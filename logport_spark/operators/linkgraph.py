@@ -144,7 +144,8 @@ def link_degrees(graph: DataFrame) -> DataFrame:
 
 
 def domain_pagerank(graph: DataFrame, iters: int = 3,
-                    damping: float = 0.85) -> DataFrame:
+                    damping: float = 0.85,
+                    state_dir: str | None = None) -> DataFrame:
     """Fixed-iteration synchronous PageRank over the host graph.
 
     Textbook formulation (Page et al. 1999), link-weighted: a domain's
@@ -162,6 +163,14 @@ def domain_pagerank(graph: DataFrame, iters: int = 3,
     components lesson: persist alone left Catalyst re-planning a growing
     DAG and hung a 300-round plan). Per round: one shuffle join on src +
     one shuffle agg on dst + two 1-row broadcast aggregates.
+
+    With ``state_dir``, each completed round is durably committed through
+    plans/iterstate.py instead of localCheckpoint (same lineage-cut I/O
+    class, now restartable): a re-invocation against the same graph and
+    damping resumes from the highest committed round — hours of a
+    10^12-page run survive preemption — and RAISES on input/param drift
+    (the ledger's refusal contract). Rounds are deterministic, so
+    resumed == uninterrupted bit-for-bit (pytest-pinned).
     """
     # Materialize the (|host edges|-bounded) graph ONCE; nodes and edges
     # then derive from the checkpointed frame. Checkpointing them
@@ -185,10 +194,25 @@ def domain_pagerank(graph: DataFrame, iters: int = 3,
     edges = edges.localCheckpoint(eager=True)
     n = nodes.count()
 
+    st = None
+    start = 0
     ranks = nodes.select("domain", F.lit(1.0 / n).alias("rank"))
-    ranks = ranks.localCheckpoint(eager=True)
+    if state_dir is not None:
+        from logport_spark.plans.iterstate import IterState, input_fp
+
+        st = IterState(
+            graph.sparkSession, state_dir,
+            input_fp(graph, "src_domain", "dst_domain", "n_links"),
+            {"algo": "pagerank_v1", "damping": repr(damping), "n": n})
+        start = min(st.latest_round(), iters)
+        if start > 0:
+            ranks = st.load(start)
+        else:
+            start = 0
+    if st is None:
+        ranks = ranks.localCheckpoint(eager=True)
     src_set = edges.select(F.col("src_domain").alias("domain")).distinct()
-    for _ in range(iters):
+    for _round in range(start + 1, iters + 1):
         # dangling mass: rank held by domains with no outgoing edges
         dangling = (
             ranks.join(src_set, "domain", "left_anti")
@@ -210,7 +234,8 @@ def domain_pagerank(graph: DataFrame, iters: int = 3,
                     + F.col("d_mass") / n)).alias("rank"),
             )
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = (st.save(_round, ranks) if st is not None
+                 else ranks.localCheckpoint(eager=True))
     return ranks.select("domain", F.round("rank", 8).alias("rank"))
 
 

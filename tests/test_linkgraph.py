@@ -562,3 +562,52 @@ def test_recrawl_policy_intervals(spark):
     assert (h4["n_urls"], h4["n_changed"], h4["change_frac"],
             h4["interval"]) == (1, 0, 0.0, 16)
     assert "h3" not in got  # dropped from the new crawl -> no schedule row
+
+
+def test_pagerank_resume_equals_fresh(spark, pages_small, tmp_path):
+    """plans/iterstate.py round-commit contract: run 2 of 4 rounds durably
+    (a simulated preemption), re-invoke for 4 — the resumed run loads
+    round 2 from parquet and continues, and the final ranks are
+    BIT-IDENTICAL to an uninterrupted 4-round run (each round is a
+    deterministic function of state+input; the parquet double round-trip
+    is exact)."""
+    g = host_graph(extract_links(pages_small)).cache()
+    sd = str(tmp_path / "pr_state")
+    fresh = sorted(map(tuple, domain_pagerank(g, iters=4).collect()))
+
+    partial = domain_pagerank(g, iters=2, state_dir=sd)
+    partial.collect()  # runs rounds 1-2, committing each
+    from logport_spark.plans.iterstate import IterState, input_fp
+
+    fp = input_fp(g, "src_domain", "dst_domain", "n_links")
+    n = (g.select(F.col("src_domain").alias("d"))
+         .union(g.select("dst_domain")).distinct().count())
+    st = IterState(spark, sd, fp, {"algo": "pagerank_v1",
+                                   "damping": repr(0.85), "n": n})
+    assert st.latest_round() == 2
+
+    resumed = sorted(map(tuple,
+                         domain_pagerank(g, iters=4, state_dir=sd).collect()))
+    assert resumed == fresh
+    assert st.latest_round() == 4
+    # idempotent re-invocation: everything committed, zero new rounds run
+    again = sorted(map(tuple,
+                       domain_pagerank(g, iters=4, state_dir=sd).collect()))
+    assert again == fresh
+
+
+def test_pagerank_state_refuses_drift(spark, pages_small, tmp_path):
+    """Resuming against a different graph or different damping RAISES
+    (the ledger input-drift contract): silently continuing someone
+    else's rounds would produce wrong ranks with no signal."""
+    import pytest as _pytest
+
+    g = host_graph(extract_links(pages_small)).cache()
+    sd = str(tmp_path / "pr_state2")
+    domain_pagerank(g, iters=1, state_dir=sd).collect()
+
+    g2 = g.filter(F.col("src_domain") != F.col("dst_domain")).limit(5)
+    with _pytest.raises(ValueError, match="different run"):
+        domain_pagerank(g2, iters=2, state_dir=sd).collect()
+    with _pytest.raises(ValueError, match="different run"):
+        domain_pagerank(g, iters=2, damping=0.5, state_dir=sd).collect()

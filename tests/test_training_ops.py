@@ -2362,3 +2362,43 @@ def test_ivfpq_beats_raw_pq_recall(spark, emb):
                                  k=10, rerank=50).collect()}
     assert again == {(r.query_id, r.neighbor_id, r.cos, r.rank)
                      for r in ivf}
+
+
+def test_connected_components_resume_and_done_marker(spark, tmp_path):
+    """plans/iterstate.py on the fixpoint operator: a 1-round 'preempted'
+    run leaves committed state; the resumed run continues to the fixpoint
+    and equals the uninterrupted result exactly; the _DONE marker makes a
+    third invocation return without running any propagation round (no new
+    round dirs appear); input drift raises."""
+    import os
+
+    import pytest as _pytest
+
+    from logport_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (10, 11)],
+        "d1 long, d2 long")
+    nodes = spark.range(1, 15).select(F.col("id").alias("doc_id"))
+    fresh = sorted(map(tuple, connected_components(pairs, nodes).collect()))
+
+    sd = str(tmp_path / "cc_state")
+    with _pytest.raises(RuntimeError, match="continues, not restarts"):
+        connected_components(pairs, nodes, max_iter=1, state_dir=sd)
+    assert os.path.isdir(os.path.join(sd, "round=1"))
+
+    resumed = sorted(map(tuple, connected_components(
+        pairs, nodes, max_iter=15, state_dir=sd).collect()))
+    assert resumed == fresh
+    assert os.path.exists(os.path.join(sd, "_DONE"))
+
+    rounds_before = {d for d in os.listdir(sd) if d.startswith("round=")}
+    again = sorted(map(tuple, connected_components(
+        pairs, nodes, max_iter=15, state_dir=sd).collect()))
+    assert again == fresh
+    rounds_after = {d for d in os.listdir(sd) if d.startswith("round=")}
+    assert rounds_after == rounds_before  # _DONE short-circuited the loop
+
+    drifted = pairs.filter(F.col("d1") != 3)
+    with _pytest.raises(ValueError, match="different run"):
+        connected_components(drifted, nodes, state_dir=sd)

@@ -1306,6 +1306,41 @@ def _bucketed_domain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("text_chars").alias("text_chars"))
 
 
+def _manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout + min/max file manifest (plans/manifest.py): the
+    pages are written Morton-ordered on (warc_ts rank, domain prefix rank)
+    with per-file statistics, and a 3-day crawl-window slice is answered
+    by PLANNING-time file pruning (pruned_read) with the real row filter
+    re-applied — Iceberg's read side on the parquet stand-in, paired with
+    plans/iceberg.py's gated write side. tests/test_manifest.py pins the
+    selectivity (range slice ≤3/32 files on the clustered layout, both
+    single-column predicates prune on the z-ordered one) and that a
+    missing manifest degrades to a full scan, never a wrong answer.
+    Values are layout-independent, so the oracle is the plain filter."""
+    from logport_spark.operators.enrich import with_domain
+    from logport_spark.plans.manifest import (fitted_rank32, prefix_rank32,
+                                              pruned_read, write_manifest,
+                                              zorder_write)
+
+    sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    pages = with_domain(_pages(spark, sf_dir)).select(
+        "url", "warc_ts", "domain", F.length("text").alias("text_chars"))
+    path = f"{DATA}/zorder/{sfname}/pages"
+    zorder_write(pages, path,
+                 fitted_rank32(pages, F.unix_timestamp("warc_ts")),
+                 fitted_rank32(pages, prefix_rank32(F.col("domain"))),
+                 n_files=16)
+    write_manifest(spark, path, ["warc_ts", "domain"])
+    lo, hi = "2024-08-10 00:00:00", "2024-08-13 00:00:00"
+    pruned = pruned_read(spark, path, "warc_ts", lo, hi, numeric=False)
+    return (pruned
+            .filter((F.col("warc_ts") >= F.lit(lo).cast("timestamp"))
+                    & (F.col("warc_ts") < F.lit(hi).cast("timestamp")))
+            .groupBy("domain").agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.sum("text_chars").alias("text_chars")))
+
+
 def _quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold sweep for the trained quality classifier
     (textstats.py:quality_pr_curve): confusion counts + precision/recall
@@ -2049,6 +2084,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_domain_sim": _kmv_domain_sim,  # bottom-k all-pairs set overlap
         "sampled_quantiles": _sampled_quantiles,  # hash-sample quantile est.
         "bucketed_domain_join": _bucketed_domain_join,  # zero-Exchange join
+        "manifest_prune": _manifest_prune,  # z-order + min/max file pruning
     }
 
 
@@ -4368,6 +4404,21 @@ def _bucketed_domain_join_sql() -> str:
     """
 
 
+def _manifest_prune_sql() -> str:
+    """The z-order layout and manifest pruning are execution details —
+    conservative pruning plus the re-applied row filter make values the
+    plain time-slice aggregate."""
+    return f"""
+        SELECT split_part(split_part(url, '://', 2), '/', 1) AS domain,
+               count(*) AS n_pages,
+               CAST(sum(length(text)) AS BIGINT) AS text_chars
+        FROM {_PAGES}
+        WHERE warc_ts >= TIMESTAMP '2024-08-10 00:00:00'
+          AND warc_ts <  TIMESTAMP '2024-08-13 00:00:00'
+        GROUP BY 1
+    """
+
+
 def _baseline_oracle_registry() -> dict[str, str]:
     return {
         "span_dup_stats": """
@@ -5799,6 +5850,7 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "kmv_domain_sim": _kmv_domain_sim_sql(),
         "sampled_quantiles": _sampled_quantiles_sql(),
         "bucketed_domain_join": _bucketed_domain_join_sql(),
+        "manifest_prune": _manifest_prune_sql(),
     }
 
 

@@ -131,6 +131,11 @@ def test_baselines_match_oracles(spark, duck):
         # bucketed-join exhibit (zero-Exchange plan pinned in
         # tests/test_bucketed.py; values layout-independent)
         "sampled_quantiles", "bucketed_domain_join",
+        # r4 session-13: Iceberg's read side on the parquet stand-in —
+        # z-order (Morton) layout + per-file min/max manifest + planning-
+        # time file pruning (selectivity pinned in tests/test_manifest.py;
+        # values layout-independent)
+        "manifest_prune",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

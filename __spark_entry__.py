@@ -1146,15 +1146,20 @@ def _hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _text_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tower -> similarity-join composite (similarity.py:embed_docs ->
-    sparse_near_pairs): near-dup text pairs straight from the hashing-
-    trick vectors via the WWW'07 AllPairs shape — one dim_id-keyed
-    shuffle, partial-aggregated sparse dots, threshold on the rounded
-    cosine (0.95 — the 64-dim hashing space's baseline similarity on
-    same-generator docs sits near 0.8, measured). No dense array, no embeddings table — text in, pairs out."""
+    hybrid_near_pairs): EXACT near-dup text pairs from the hashing-trick
+    vectors, threshold on the rounded cosine (0.95 — the 64-dim hashing
+    space's baseline similarity on same-generator docs sits near 0.8,
+    measured). The 64-dim space is all hot dimensions, so the WWW'07
+    AllPairs dim join materializes ~Σ df² rows (measured 169 s at 5k
+    docs); hybrid_near_pairs runs the same exact semantics with the
+    quadratic part as a blocked GEMM over the dense head plus the sparse
+    dim join over the tail (2 s at 5k docs, output bit-equal — pytest
+    pins hybrid == sparse on this space). Oracle unchanged: exact is
+    exact."""
     from logport_spark.operators.similarity import (embed_docs,
-                                                    sparse_near_pairs)
+                                                    hybrid_near_pairs)
 
-    return sparse_near_pairs(embed_docs(_docs(spark, sf_dir), dim=64),
+    return hybrid_near_pairs(embed_docs(_docs(spark, sf_dir), dim=64),
                              threshold=0.95)
 
 

@@ -116,6 +116,7 @@ def _headline_queries():
         "text_near_pairs",                         # r4 AllPairs sparse cosine
         "sampled_quantiles",                       # r4 hash-sample quantiles
         "bucketed_domain_join",                    # r4 zero-Exchange layout
+        "manifest_prune",                          # r4 z-order + file pruning
     ):
         if opt in qs:
             names.append(opt)

@@ -405,6 +405,55 @@ def test_sparse_near_pairs_planted_and_pruned(spark):
     assert all(pruned[p] <= got[p] for p in pruned)
 
 
+def test_hybrid_near_pairs_equals_sparse_exact(spark):
+    """hybrid_near_pairs (dense-head GEMM + sparse-tail join) is the SAME
+    exact operator as the unpruned AllPairs join — bit-equal output
+    including the 4dp-rounded cosine — on (a) a random sparse corpus with
+    a planted hot dimension straddling the head/tail cut, and (b) the
+    all-hot 64-dim hashing space (the regime that motivated it: every dim
+    lands in the head, the tail join is empty). Also pins the
+    max_head_dims guardrail and the empty-head degradation."""
+    import random
+
+    import pytest as _pytest
+
+    from logport_spark.operators.similarity import (embed_docs,
+                                                    hybrid_near_pairs,
+                                                    sparse_near_pairs)
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(120):
+        toks = ["the"] * 3 + rng.sample(words, rng.randint(3, 10))
+        docs.append((i, " ".join(toks)))
+    docs.append((200, docs[5][1]))          # exact dup
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for dim in (64, 4096):
+        vecs = embed_docs(df, dim=dim).cache()
+        exact = {(r.d1, r.d2, r.cos)
+                 for r in sparse_near_pairs(vecs, threshold=0.6).collect()}
+        hybrid = {(r.d1, r.d2, r.cos)
+                  for r in hybrid_near_pairs(vecs, threshold=0.6,
+                                             head_df_frac=0.1).collect()}
+        assert hybrid == exact, f"dim={dim}"
+        assert (5, 200, 1.0) in hybrid
+        vecs.unpersist()
+
+    vecs = embed_docs(df, dim=64)
+    with _pytest.raises(ValueError, match="max_head_dims"):
+        hybrid_near_pairs(vecs, threshold=0.6, head_df_frac=0.1,
+                          max_head_dims=2)
+    with _pytest.raises(ValueError, match="capped"):
+        hybrid_near_pairs(vecs, threshold=0.6, max_dense_docs=10)
+    # head cut above every df: degrades to the plain sparse join
+    none_hot = hybrid_near_pairs(vecs, threshold=0.6, head_df_frac=2.0)
+    assert {(r.d1, r.d2, r.cos) for r in none_hot.collect()} == \
+        {(r.d1, r.d2, r.cos)
+         for r in sparse_near_pairs(vecs, threshold=0.6).collect()}
+
+
 def test_hybrid_rrf_fusion_semantics(spark):
     """Planted fusion fixture for hybrid_rrf_topk: doc1 is the exact
     lexical match (r_lex=1) but dense-orthogonal; doc2 is the exact dense

@@ -131,6 +131,87 @@ def _pruned_state_bands(spark: SparkSession, bands_dir: str,
     ).filter(F.col("kb").isin(kbs)).drop("kb")
 
 
+def process_batch_dedup(batch_df: DataFrame, batch_id: int, out_dir: str,
+                        threshold: float = 0.8, est_threshold: float = 0.7,
+                        n_state_buckets: int = 32) -> None:
+    """One micro-batch of the cross-batch near-dup protocol (module
+    docstring): in-batch exact-verified drops, cross-batch estimated-J
+    drops against the key-bucket-pruned band state, then the three
+    idempotent batch_id-partition overwrites (clean, sigs, bands).
+    Factored out so composites (streaming/curation_stream.py) can gate
+    docs first and reuse the identical state/idempotence contract."""
+    sigs_dir = out_dir.rstrip("/") + "/state/sigs"
+    bands_dir = out_dir.rstrip("/") + "/state/bands"
+    clean_dir = out_dir.rstrip("/") + "/clean"
+    sp = batch_df.sparkSession
+    docs = batch_df.persist()
+    # 1. in-batch near-dups, exact verify (text available)
+    drops = minhash_lsh_pairs(docs, threshold=threshold).select(
+        F.col("d2").alias("doc_id")).distinct()
+    kept = docs.join(drops, "doc_id", "left_anti")
+    sig = doc_signatures(kept).persist()
+    # 2. cross-batch candidates vs persisted bands, estimated-J verify
+    batch_bands = band_rows(sig).withColumn(
+        "kb", F.pmod(F.col("key"), F.lit(n_state_buckets)).cast("int"))
+    # bounded collect: ≤ n_state_buckets values, drives partition pruning
+    kbs = [r["kb"] for r in batch_bands.select("kb").distinct().collect()]
+    state_bands = _pruned_state_bands(sp, bands_dir, batch_id, kbs)
+    state_sigs = _read_state(
+        sp, sigs_dir, "doc_id long, sig array<long>", batch_id)
+    cands = (
+        batch_bands.drop("kb").alias("n")
+        .join(state_bands.alias("o"), ["band", "key"])
+        .select(F.col("n.doc_id").alias("new_id"),
+                F.col("o.doc_id").alias("old_id"))
+        .distinct()
+    )
+    cross_drops = (
+        cands
+        .join(sig.select(F.col("doc_id").alias("new_id"),
+                         F.col("sig").alias("s_new")), "new_id")
+        .join(state_sigs.select(F.col("doc_id").alias("old_id"),
+                                F.col("sig").alias("s_old")), "old_id")
+        .withColumn("est_j", estimated_jaccard("s_new", "s_old"))
+        .filter(F.col("est_j") >= est_threshold)
+        .select(F.col("new_id").alias("doc_id")).distinct()
+    )
+    final = kept.join(cross_drops, "doc_id", "left_anti")
+    final_sig = sig.join(cross_drops, "doc_id", "left_anti")
+
+    def _write(df: DataFrame, path: str, *parts: str) -> None:
+        (df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id", *parts).parquet(path))
+
+    _write(final, clean_dir)
+    _write(final_sig, sigs_dir)
+    final_bands = band_rows(final_sig).withColumn(
+        "kb", F.pmod(F.col("key"), F.lit(n_state_buckets)).cast("int"))
+    _write(final_bands, bands_dir, "kb")
+    sig.unpersist()
+    docs.unpersist()
+
+
+def run_docs_stream(spark: SparkSession, docs_dir: str, checkpoint_dir: str,
+                    process, max_files: int = 1) -> None:
+    """availableNow file-source stream over a parquet docs directory,
+    draining `max_files` per micro-batch into `process(batch_df, batch_id)`
+    with the checkpoint carrying batch identity across restarts."""
+    schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(docs_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_minhash_dedup(
     spark: SparkSession,
     docs_dir: str,
@@ -144,72 +225,15 @@ def run_stream_minhash_dedup(
     """Continuous corpus ingestion with in-batch exact and cross-batch
     estimated near-dup removal (module docstring). Drains available files
     (availableNow) with `max_files` per micro-batch."""
-    sigs_dir = out_dir.rstrip("/") + "/state/sigs"
-    bands_dir = out_dir.rstrip("/") + "/state/bands"
-    clean_dir = out_dir.rstrip("/") + "/clean"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        docs = batch_df.persist()
-        # 1. in-batch near-dups, exact verify (text available)
-        drops = minhash_lsh_pairs(docs, threshold=threshold).select(
-            F.col("d2").alias("doc_id")).distinct()
-        kept = docs.join(drops, "doc_id", "left_anti")
-        sig = doc_signatures(kept).persist()
-        # 2. cross-batch candidates vs persisted bands, estimated-J verify
-        batch_bands = band_rows(sig).withColumn(
-            "kb", F.pmod(F.col("key"), F.lit(n_state_buckets)).cast("int"))
-        # bounded collect: ≤ n_state_buckets values, drives partition pruning
-        kbs = [r["kb"] for r in batch_bands.select("kb").distinct().collect()]
-        state_bands = _pruned_state_bands(sp, bands_dir, batch_id, kbs)
-        state_sigs = _read_state(
-            sp, sigs_dir, "doc_id long, sig array<long>", batch_id)
-        cands = (
-            batch_bands.drop("kb").alias("n")
-            .join(state_bands.alias("o"), ["band", "key"])
-            .select(F.col("n.doc_id").alias("new_id"),
-                    F.col("o.doc_id").alias("old_id"))
-            .distinct()
-        )
-        cross_drops = (
-            cands
-            .join(sig.select(F.col("doc_id").alias("new_id"),
-                             F.col("sig").alias("s_new")), "new_id")
-            .join(state_sigs.select(F.col("doc_id").alias("old_id"),
-                                    F.col("sig").alias("s_old")), "old_id")
-            .withColumn("est_j", estimated_jaccard("s_new", "s_old"))
-            .filter(F.col("est_j") >= est_threshold)
-            .select(F.col("new_id").alias("doc_id")).distinct()
-        )
-        final = kept.join(cross_drops, "doc_id", "left_anti")
-        final_sig = sig.join(cross_drops, "doc_id", "left_anti")
+        process_batch_dedup(batch_df, batch_id, out_dir,
+                            threshold=threshold,
+                            est_threshold=est_threshold,
+                            n_state_buckets=n_state_buckets)
 
-        def _write(df: DataFrame, path: str, *parts: str) -> None:
-            (df.withColumn("batch_id", F.lit(batch_id).cast("long"))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("batch_id", *parts).parquet(path))
-
-        _write(final, clean_dir)
-        _write(final_sig, sigs_dir)
-        final_bands = band_rows(final_sig).withColumn(
-            "kb", F.pmod(F.col("key"), F.lit(n_state_buckets)).cast("int"))
-        _write(final_bands, bands_dir, "kb")
-        sig.unpersist()
-        docs.unpersist()
-
-    schema = spark.read.option("pathGlobFilter", "*.parquet").parquet(docs_dir).schema
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(docs_dir)
-        .writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_docs_stream(spark, docs_dir, checkpoint_dir, process,
+                    max_files=max_files)
 
 
 def _fs_swap(spark: SparkSession, tmp: str, dst: str) -> None:

@@ -533,3 +533,49 @@ def test_adopt_exit_event_matches_reference_format(spark):
 
     sig = adopt_exit_event(spark, pid=7, signal=9).collect()[0]
     assert json.loads(sig["record"])["log"] == "logport: PID (7) killed by signal 9"
+
+
+def test_stream_curation_gates_then_cross_batch_dedup(spark, tmp_path_factory):
+    """Streaming curation composite (streaming/curation_stream.py): per
+    micro-batch the corpus_clean_v2 gates run first (low-quality and PII
+    docs never reach the dedup state), survivors flow through the
+    cross-batch MinHash protocol (a batch-2 near-dup of a batch-1 doc is
+    dropped via persisted state), clean/ carries the gate metadata, and
+    re-draining with the same checkpoint is a no-op."""
+    from logport_spark.streaming.curation_stream import run_stream_curation
+
+    good = ("the quick brown fox jumps over the lazy dog and then the dog "
+            "sleeps near the quiet river bank every single day in summer")
+    near = good.replace("summer", "winter")   # one 3-gram shingle differs
+    fresh = ("a small boat drifts along the old canal while two birds "
+             "circle above the water and the town slowly wakes up again")
+    lowq = " ".join(str(i * 37 % 97) for i in range(40))     # numeric junk
+    pii = good + " contact me at bob@example.com for details"
+
+    d = str(tmp_path_factory.mktemp("cur_docs"))
+    out = str(tmp_path_factory.mktemp("cur_out"))
+    ckpt = str(tmp_path_factory.mktemp("cur_ckpt"))
+
+    _write_docs(d, "b1", [(0, good), (1, lowq), (2, pii)])
+    run_stream_curation(spark, d, out, ckpt)
+    clean1 = spark.read.parquet(out + "/clean")
+    assert {r.doc_id for r in clean1.select("doc_id").collect()} == {0}
+    # gate metadata rides along as the audit trail
+    assert {"pred_lang", "quality_score", "top_token_frac",
+            "dup_2gram_frac"} <= set(clean1.columns)
+    # gated-out docs never minted state: signatures exist only for doc 0
+    sigs1 = {r.doc_id for r in
+             spark.read.parquet(out + "/state/sigs").select("doc_id").collect()}
+    assert sigs1 == {0}
+
+    _write_docs(d, "b2", [(10, near), (11, fresh)])
+    run_stream_curation(spark, d, out, ckpt)
+    clean2 = {r.doc_id for r in
+              spark.read.parquet(out + "/clean").select("doc_id").collect()}
+    assert clean2 == {0, 11}, clean2    # 10 dropped cross-batch, 11 kept
+
+    # idempotent re-drain (no new files)
+    run_stream_curation(spark, d, out, ckpt)
+    clean3 = {r.doc_id for r in
+              spark.read.parquet(out + "/clean").select("doc_id").collect()}
+    assert clean3 == clean2

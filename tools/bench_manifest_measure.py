@@ -30,6 +30,9 @@ ROOT = "/root/repo/data/bench_manifest"
 
 
 def rows(spark):
+    """Page-shaped rows: the wide text payload (~960 B, low-compressibility
+    md5 hex) is what makes file pruning a BYTES story, not just a
+    task-count story — a crawl table's cost is its text/html columns."""
     return spark.range(N).select(
         F.concat(F.lit("https://d"),
                  F.pmod(F.xxhash64("id"), F.lit(4096)).cast("string"),
@@ -38,7 +41,11 @@ def rows(spark):
         F.concat(F.lit("d"), F.pmod(F.xxhash64("id"), F.lit(4096))
                  .cast("string"), F.lit(".example")).alias("domain"),
         (F.lit(TS_LO) + F.col("id")).alias("ts"),
-        (F.col("id") * 7 % 1013).alias("v"))
+        (F.col("id") * 7 % 1013).alias("v"),
+        F.concat_ws("", F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda i: F.md5(F.concat(F.col("id").cast("string"),
+                                     i.cast("string"))))).alias("text"))
 
 
 def timed(fn, reps=2):
@@ -76,23 +83,25 @@ def main():
     lo, hi = TS_LO + 1_000_000, TS_LO + 1_125_000  # 2.5% slice
     dom = "d777.example"
 
+    # the query a curation pass actually runs: text bytes of the slice
+    agg = [F.count(F.lit(1)), F.sum(F.length("text"))]
     for k, p in paths.items():
         nf_ts = len(pruned_files(spark, p, "ts", lo, hi))
         nf_dom = len(pruned_files(spark, p, "domain", dom, dom,
                                   numeric=False))
         full_ts = timed(lambda: spark.read.parquet(p)
                         .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
-                        .agg(F.count(F.lit(1)), F.sum("v")).collect())
+                        .agg(*agg).collect())
         pr_ts = timed(lambda: pruned_read(spark, p, "ts", lo, hi)
                       .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
-                      .agg(F.count(F.lit(1)), F.sum("v")).collect())
+                      .agg(*agg).collect())
         full_dom = timed(lambda: spark.read.parquet(p)
                          .filter(F.col("domain") == dom)
-                         .agg(F.count(F.lit(1)), F.sum("v")).collect())
+                         .agg(*agg).collect())
         pr_dom = timed(lambda: pruned_read(spark, p, "domain", dom, dom,
                                            numeric=False)
                        .filter(F.col("domain") == dom)
-                       .agg(F.count(F.lit(1)), F.sum("v")).collect())
+                       .agg(*agg).collect())
         print(f"{k}: ts-slice files {nf_ts}/{N_FILES} "
               f"full {full_ts:.2f}s pruned {pr_ts:.2f}s | "
               f"domain-eq files {nf_dom}/{N_FILES} "

@@ -580,6 +580,25 @@ ANNOTATED = {
         "following (domain, n_langs) aggregate rides the bucket "
         "partitioning: partial+final fuse with no Exchange between."
     ),
+    "manifest_prune": (
+        "Iceberg's read side on the parquet stand-in: the scan node lists "
+        "ONLY the manifest-surviving files (16-file z-ordered layout; the "
+        "3-day slice keeps a fraction of them), the row filter is re-"
+        "applied on top (PushedFilters shows the warc_ts bounds reaching "
+        "the reader), and the aggregate is ordinary partial+final. The "
+        "pruning happened before this plan existed — file selection is "
+        "planning-time, which is the point: at 10^12 rows it removes the "
+        "no-op task launches row-group skipping cannot."
+    ),
+    "text_near_pairs": (
+        "Exact all-pairs cosine, hybrid form (similarity.hybrid_near_"
+        "pairs): one ArrowEvalPython/mapInPandas span is the blocked GEMM "
+        "over the dense head (the quadratic part, in BLAS instead of a "
+        "~230M-row dim join — 169s -> ~2s at 5k docs), the sparse tail "
+        "joins on rare dims only, and the final project rounds and "
+        "filters. Output bit-equal to the unpruned AllPairs join "
+        "(Cauchy-Schwarz emission floor with 4dp rounding slack)."
+    ),
 }
 
 

@@ -239,6 +239,30 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_manifest(args) -> int:
+    """Build or refresh the per-file min/max statistics table for a parquet
+    directory (plans/manifest.write_manifest) and report per-column file
+    counts — the maintenance verb that keeps planning-time pruning
+    (pruned_read) current after new generations land. Pair with `compact`:
+    compaction changes the file set, so it invalidates per-file stats."""
+    from pyspark.sql import functions as F
+
+    from .plans.manifest import MANIFEST_DIR, write_manifest
+
+    spark = _spark(args.cpus)
+    cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+    if not cols:
+        print(json.dumps({"error": "no columns given"}))
+        return 2
+    write_manifest(spark, args.path, cols)
+    man = spark.read.parquet(f"{args.path}/{MANIFEST_DIR}")
+    stats = {r["col"]: r["n"] for r in
+             man.groupBy("col").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(json.dumps({"path": args.path, "columns": cols,
+                      "files_per_column": stats}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import os
     import subprocess
@@ -293,6 +317,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--target-mb", type=int, default=128)
     common(sp)
     sp.set_defaults(fn=cmd_compact)
+    sp = sub.add_parser("manifest")
+    sp.add_argument("--path", required=True)
+    sp.add_argument("--columns", required=True,
+                    help="comma-separated stat columns, e.g. warc_ts,domain")
+    common(sp)
+    sp.set_defaults(fn=cmd_manifest)
     sp = sub.add_parser("bench")
     sp.add_argument("--scaling", action="store_true")
     sp.set_defaults(fn=cmd_bench)

@@ -114,3 +114,26 @@ def test_cli_adopt_end_to_end(spark, tmp_path, capsys):
               for r in recs}
     assert ("adopt://fixture/stderr", "err: boom") in by_src
     assert ("adopt://fixture/stdout", "one line") in by_src
+
+
+def test_cli_manifest_builds_stats_and_enables_pruning(
+        spark, pages_small, tmp_path, capsys, monkeypatch):
+    """`manifest` verb: builds the per-file stats table over a parquet dir
+    and reports per-column file counts; the resulting manifest actually
+    drives pruned_read (fewer files than the listing on a selective
+    predicate over an ordered layout)."""
+    import json
+
+    from logport_spark.plans.manifest import cluster_write, pruned_files
+
+    tbl = str(tmp_path / "pages_tbl")
+    cluster_write(pages_small.select("url", "warc_ts", "lang"), tbl,
+                  "warc_ts", n_files=8)
+    monkeypatch.setattr(cli, "_spark", lambda cpus=None: spark)
+    assert cli.main(["manifest", "--path", tbl,
+                     "--columns", "warc_ts,lang"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["files_per_column"] == {"warc_ts": 8, "lang": 8}
+    lo = str(pages_small.agg({"warc_ts": "min"}).first()[0])
+    kept = pruned_files(spark, tbl, "warc_ts", lo, lo, numeric=False)
+    assert 1 <= len(kept) <= 2   # ordered layout: the min lives in file 1

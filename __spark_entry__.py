@@ -1862,10 +1862,19 @@ def _robots_fixture(pages: DataFrame) -> DataFrame:
     body = F.concat_ws(
         "\n",
         F.lit("# synthetic per-host policy"),
+        # top-of-file Sitemap (d%5==0): record-INDEPENDENT — precedes any
+        # User-agent record, which parse_robots' record binding must skip
+        # and robots_sitemaps must still extract
+        F.when(d % 5 == 0, F.concat(F.lit("Sitemap: https://"),
+                                    F.col("host"), F.lit("/root.xml"))),
         F.lit("User-agent: *"),
         F.when(d % 3 == 0, F.lit("Disallow: /p/")),
         F.when(d % 3 == 0, F.lit("Allow: /p/1")),
         F.lit("Disallow: /private/"),
+        # in-record Sitemap (d%4==0): must be extracted ONCE, not once per
+        # bound agent, and must not perturb rule verdicts
+        F.when(d % 4 == 0, F.concat(F.lit("Sitemap: https://"),
+                                    F.col("host"), F.lit("/pages.xml"))),
         F.when(d % 2 == 0, F.concat(F.lit("Crawl-delay: "),
                                     (d % 5 + 1).cast("string"))),
         F.lit(""),
@@ -1886,6 +1895,21 @@ def _robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = _pages(spark, sf_dir).select("url")
     return robots_filter(pages, parse_robots(_robots_fixture(pages)))
+
+
+def _robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery (linkgraph.robots_sitemaps) over the shared
+    robots fixture: record-independent extraction — the top-of-file
+    Sitemap (d%5==0, BEFORE any User-agent record) and the in-record one
+    (d%4==0) both land exactly once per host with URL case preserved.
+    The oracle re-derives both URLs from the same md5 arithmetic that
+    synthesized the bodies, so a record-binding bug (dropping the
+    top-of-file line, or duplicating the in-record one per bound agent)
+    is a hash mismatch."""
+    from logport_spark.operators.linkgraph import robots_sitemaps
+
+    pages = _pages(spark, sf_dir).select("url")
+    return robots_sitemaps(_robots_fixture(pages))
 
 
 def _training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2090,6 +2114,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_quantiles": _sampled_quantiles,  # hash-sample quantile est.
         "bucketed_domain_join": _bucketed_domain_join,  # zero-Exchange join
         "manifest_prune": _manifest_prune,  # z-order + min/max file pruning
+        "robots_sitemaps": _robots_sitemaps,  # record-independent discovery
     }
 
 
@@ -5856,6 +5881,14 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "sampled_quantiles": _sampled_quantiles_sql(),
         "bucketed_domain_join": _bucketed_domain_join_sql(),
         "manifest_prune": _manifest_prune_sql(),
+        "robots_sitemaps": _ROBOTS_UH_SQL + """
+            , hosts AS (SELECT DISTINCT host, dv FROM h)
+            SELECT host, 'https://' || host || '/root.xml' AS sitemap_url
+            FROM hosts WHERE dv % 5 = 0
+            UNION
+            SELECT host, 'https://' || host || '/pages.xml' AS sitemap_url
+            FROM hosts WHERE dv % 4 = 0
+        """,
     }
 
 

@@ -136,6 +136,11 @@ def test_baselines_match_oracles(spark, duck):
         # time file pruning (selectivity pinned in tests/test_manifest.py;
         # values layout-independent)
         "manifest_prune",
+        # r4 session-13: Sitemap discovery promoted from pytest-gated to
+        # value-oracled — the shared robots fixture now plants a
+        # top-of-file and an in-record Sitemap by the same md5 arithmetic
+        # its rule oracles use (robots_filter/crawl_plan hashes unchanged)
+        "robots_sitemaps",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

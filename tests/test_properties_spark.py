@@ -648,3 +648,42 @@ def test_phash60_matches_python_reference(spark, payloads):
     for i, p in enumerate(payloads):
         assert got[f"u{i}"] == ref(p), (i, p)
         assert 0 <= got[f"u{i}"] < (1 << 60)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)),
+        min_size=0, max_size=24),
+    split=st.integers(0, 24),
+)
+@settings(**SPARK_SETTINGS)
+def test_update_clusters_equals_full_recompute(spark, pairs, split):
+    """Incremental clustering (dedup.update_clusters) is bit-identical to
+    connected_components over the full pair history, for every random
+    two-batch split: the committed state is contracted to super-nodes,
+    the propagation runs on the batch-sized graph only, and min-doc_id
+    labels stay canonical (cross-batch merges of two committed clusters
+    included). Nodes 0..19; batch 2 may touch old docs, new docs, both."""
+    from logport_spark.operators.dedup import (connected_components,
+                                               update_clusters)
+
+    pairs = [(min(a, b), max(a, b)) for a, b in pairs if a != b]
+    b1, b2 = pairs[:split], pairs[split:]
+    n1 = sorted({d for p in b1 for d in p} | set(range(10)))
+    all_nodes = sorted(set(n1) | {d for p in b2 for d in p} | {25})
+
+    def df_pairs(ps):
+        return spark.createDataFrame(ps or [(None, None)],
+                                     "d1 long, d2 long").dropna()
+
+    def df_nodes(ids):
+        return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    state = connected_components(df_pairs(b1), df_nodes(n1))
+    inc = update_clusters(
+        state, df_pairs(b2),
+        new_nodes=df_nodes(sorted(set(all_nodes) - set(n1))))
+    full = connected_components(df_pairs(pairs), df_nodes(all_nodes))
+    got = {(r.doc_id, r.cluster_id) for r in inc.collect()}
+    want = {(r.doc_id, r.cluster_id) for r in full.collect()}
+    assert got == want

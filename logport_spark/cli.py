@@ -247,19 +247,26 @@ def cmd_manifest(args) -> int:
     compaction changes the file set, so it invalidates per-file stats."""
     from pyspark.sql import functions as F
 
-    from .plans.manifest import MANIFEST_DIR, write_manifest
+    from .plans.manifest import MANIFEST_DIR, update_manifest, write_manifest
 
     spark = _spark(args.cpus)
-    cols = [c.strip() for c in args.columns.split(",") if c.strip()]
-    if not cols:
-        print(json.dumps({"error": "no columns given"}))
-        return 2
-    write_manifest(spark, args.path, cols)
+    cols = [c.strip() for c in (args.columns or "").split(",") if c.strip()]
+    delta = None
+    if args.update:
+        delta = update_manifest(spark, args.path, cols or None)
+    else:
+        if not cols:
+            print(json.dumps({"error": "no columns given"}))
+            return 2
+        write_manifest(spark, args.path, cols)
     man = spark.read.parquet(f"{args.path}/{MANIFEST_DIR}")
     stats = {r["col"]: r["n"] for r in
              man.groupBy("col").agg(F.count(F.lit(1)).alias("n")).collect()}
-    print(json.dumps({"path": args.path, "columns": cols,
-                      "files_per_column": stats}))
+    out = {"path": args.path, "columns": cols or sorted(stats),
+           "files_per_column": stats}
+    if delta is not None:
+        out["delta"] = delta
+    print(json.dumps(out))
     return 0
 
 
@@ -319,8 +326,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.set_defaults(fn=cmd_compact)
     sp = sub.add_parser("manifest")
     sp.add_argument("--path", required=True)
-    sp.add_argument("--columns", required=True,
-                    help="comma-separated stat columns, e.g. warc_ts,domain")
+    sp.add_argument("--columns", default=None,
+                    help="comma-separated stat columns, e.g. warc_ts,domain "
+                         "(required for a full build; optional with --update)")
+    sp.add_argument("--update", action="store_true",
+                    help="incremental: stat only new files, drop vanished")
     common(sp)
     sp.set_defaults(fn=cmd_manifest)
     sp = sub.add_parser("bench")

@@ -193,6 +193,58 @@ def write_manifest(spark: SparkSession, path: str, cols: list[str]) -> None:
     man.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
 
 
+def update_manifest(spark: SparkSession, path: str,
+                    cols: list[str] | None = None) -> dict:
+    """Incremental manifest maintenance: stat ONLY files missing from the
+    existing manifest (new generations appended since the last build) and
+    drop rows for files that no longer exist (compaction rewrote them).
+    The full rebuild (`write_manifest`) scans the whole table; an
+    append-mostly crawl sink should pay per-generation cost instead —
+    this is Iceberg's incremental metadata commit, expressed over the
+    stand-in. Falls back to a full build when no manifest exists.
+    `cols` defaults to the column set of the existing manifest. Returns
+    {"added": n, "removed": n, "kept": n} file counts."""
+    man = _read_manifest(spark, path)
+    current = set(spark.read.parquet(path).inputFiles())
+    if man is None:
+        if not cols:
+            raise ValueError("no existing manifest — pass cols for the "
+                             "initial build")
+        write_manifest(spark, path, cols)
+        return {"added": len(current), "removed": 0, "kept": 0}
+    if cols is None:
+        cols = [r.col for r in man.select("col").distinct().collect()]
+    known = {r.file for r in man.select("file").distinct().collect()}
+    stale = known - current
+    new = sorted(current - known)
+    kept = man.filter(F.col("file").isin(list(current))) if stale else man
+    if new:
+        src = (spark.read.schema(spark.read.parquet(path).schema)
+               .parquet(*new)
+               .select(F.input_file_name().alias("file"), *cols))
+        parts = []
+        for c in cols:
+            parts.append(src.groupBy("file").agg(
+                F.lit(c).alias("col"),
+                F.min(c).cast("string").alias("min_v"),
+                F.max(c).cast("string").alias("max_v"),
+                F.sum(F.col(c).isNull().cast("long")).alias("null_count"),
+                F.count(F.lit(1)).alias("row_count"),
+            ).select("file", "col", "min_v", "max_v", "null_count",
+                     "row_count"))
+        add = parts[0]
+        for p in parts[1:]:
+            add = add.unionByName(p)
+        kept = kept.unionByName(add)
+    if new or stale:
+        # the old generation is an input to this write — materialize first
+        out = kept.localCheckpoint(eager=True)
+        (out.coalesce(1).write.mode("overwrite")
+            .parquet(f"{path}/{MANIFEST_DIR}"))
+    return {"added": len(new), "removed": len(stale),
+            "kept": len(known - stale)}
+
+
 def _read_manifest(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(f"{path}/{MANIFEST_DIR}")

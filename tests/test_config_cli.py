@@ -137,3 +137,10 @@ def test_cli_manifest_builds_stats_and_enables_pruning(
     lo = str(pages_small.agg({"warc_ts": "min"}).first()[0])
     kept = pruned_files(spark, tbl, "warc_ts", lo, lo, numeric=False)
     assert 1 <= len(kept) <= 2   # ordered layout: the min lives in file 1
+    # incremental maintenance: append a generation, --update stats it only
+    pages_small.limit(20).select("url", "warc_ts", "lang").write.mode(
+        "append").parquet(tbl)
+    assert cli.main(["manifest", "--path", tbl, "--update"]) == 0
+    upd = json.loads(capsys.readouterr().out)
+    assert upd["delta"]["kept"] == 8 and upd["delta"]["added"] >= 1
+    assert upd["files_per_column"]["warc_ts"] == 8 + upd["delta"]["added"]

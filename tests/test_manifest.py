@@ -119,3 +119,48 @@ def test_empty_prune_returns_empty_with_schema(spark, layouts):
                      lo=TS_HI + 10_000, hi=TS_HI + 20_000)
     assert df.columns == ["url", "domain", "ts", "v"]
     assert df.count() == 0
+
+
+def test_update_manifest_incremental_append_and_compaction(spark, tmp_path):
+    """update_manifest stats only NEW files (append) and drops rows for
+    vanished ones (compaction), leaving pruning exactly as a full rebuild
+    would — compared table-for-table against write_manifest's output."""
+    from logport_spark.plans.manifest import update_manifest
+
+    p = str(tmp_path / "tbl")
+    df1 = _rows(spark).filter(F.col("ts") < TS_LO + 5000)
+    df1.repartition(4).write.parquet(p)
+    write_manifest(spark, p, ["ts"])
+
+    # append a generation
+    df2 = _rows(spark).filter((F.col("ts") >= TS_LO + 5000)
+                              & (F.col("ts") < TS_LO + 8000))
+    df2.repartition(2).write.mode("append").parquet(p)
+    res = update_manifest(spark, p)
+    assert res["added"] == 2 and res["removed"] == 0 and res["kept"] == 4
+
+    def canon(man_df):
+        return {tuple(r) for r in man_df
+                .select("file", "col", "min_v", "max_v", "null_count",
+                        "row_count").collect()}
+
+    incr = canon(spark.read.parquet(p + "/_manifest"))
+    write_manifest(spark, p, ["ts"])
+    full = canon(spark.read.parquet(p + "/_manifest"))
+    assert incr == full
+
+    # simulate compaction: replace the DATA files with 3 merged ones (the
+    # manifest survives, as it does under compact_sinks' partition rewrite)
+    import glob
+    import os
+    allrows = spark.read.parquet(p).localCheckpoint(eager=True)
+    for f in glob.glob(p + "/part-*.parquet"):
+        os.remove(f)
+    allrows.repartition(3).write.mode("append").parquet(p)
+    res2 = update_manifest(spark, p)
+    assert res2["added"] == 3 and res2["removed"] == 6
+    files = pruned_files(spark, p, "ts", TS_LO, TS_LO + 100)
+    assert 1 <= len(files) <= 3
+    got = (pruned_read(spark, p, "ts", TS_LO, TS_LO + 100)
+           .filter(F.col("ts") <= TS_LO + 100).count())
+    assert got == 101

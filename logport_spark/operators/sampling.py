@@ -279,6 +279,81 @@ def pack_sequences(docs: DataFrame, window_tokens: int = 2048,
     )
 
 
+def pack_sequences_nosplit(docs: DataFrame, window_tokens: int = 2048,
+                           n_shards: int = 64, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """No-split sequence packing — the SFT/eval-style loader contract
+    where a document must NEVER cross an example boundary: every pack's
+    token total is ≤ window_tokens and the unused remainder is PADDING,
+    so the packer's job is minimizing wasted tokens (pack_sequences, the
+    GPT-style variant, splits on boundaries and wastes nothing — these
+    are different contracts, not competing implementations).
+
+    First-fit-decreasing inside hash shards: docs land in `n_shards`
+    stable md5 shards (same membership contract as everything in this
+    module), each shard solves FFD independently in one applyInPandas
+    group — sort by (n_tokens desc, doc_id), place each doc in the first
+    pack with room, open a new pack otherwise. FFD is the classic 11/9
+    OPT + 6/9 bin-packing approximation; sequential first-fit-in-order
+    (the naive loader) leaves every pack's tail empty whenever the next
+    doc doesn't fit, and the measured padding gap on the bench corpus is
+    the operator's reason to exist (BENCH/BASELINE.md). Docs longer than
+    the window get singleton packs flagged `oversize` (loaders truncate
+    or chunk them downstream — this operator never silently drops).
+
+    Shard-local Python is the right tool here: FFD is inherently
+    sequential-greedy (each placement depends on all prior fills), so it
+    cannot be a window cumsum; bounding it to a hash shard keeps each
+    group ~corpus/n_shards docs — Arrow-batched, no driver state, and at
+    10^12 docs n_shards scales up so the per-group solve stays bounded.
+
+    Output: (doc_id, shard, pack_id, n_tokens, pack_tokens, oversize) —
+    pack_tokens is the final fill of the doc's pack (shared by its
+    members), so padding = window_tokens - pack_tokens per distinct pack.
+    Deterministic under any input partitioning (pytest pins equality
+    across repartitions and against a pure-Python FFD reference)."""
+    import pandas as pd
+
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("pack"),
+                                          F.col(id_col).cast("string"))),
+                           1, 8), 16, 10).cast("long"),
+        F.lit(n_shards)).cast("int")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shard.alias("shard"),
+        F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda t: F.length(t) > 0)).cast("long")
+        .alias("n_tokens"),
+    )
+    w = int(window_tokens)
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", "doc_id"],
+                              ascending=[False, True])
+        fills: list[int] = []           # running fill per open pack
+        assign: list[int] = []
+        for t in pdf["n_tokens"].to_numpy():
+            t = int(t)
+            for i, f in enumerate(fills):
+                if t <= w - f:
+                    fills[i] = f + t
+                    assign.append(i)
+                    break
+            else:
+                fills.append(t)
+                assign.append(len(fills) - 1)
+        pdf = pdf.assign(pack_id=assign)
+        pdf["pack_tokens"] = pdf["pack_id"].map(
+            {i: f for i, f in enumerate(fills)})
+        pdf["oversize"] = pdf["n_tokens"] > w
+        return pdf
+
+    return toks.groupBy("shard").applyInPandas(
+        ffd, "doc_id long, shard int, n_tokens long, pack_id long, "
+             "pack_tokens long, oversize boolean")
+
+
 def chunk_documents(docs: DataFrame, window: int = 128, stride: int = 96,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

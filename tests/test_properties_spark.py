@@ -687,3 +687,93 @@ def test_update_clusters_equals_full_recompute(spark, pairs, split):
     got = {(r.doc_id, r.cluster_id) for r in inc.collect()}
     want = {(r.doc_id, r.cluster_id) for r in full.collect()}
     assert got == want
+
+
+@given(lens=st.lists(st.integers(1, 130), min_size=1, max_size=40))
+@settings(**SPARK_SETTINGS)
+def test_pack_nosplit_matches_python_ffd_and_beats_first_fit(spark, lens):
+    """No-split packing (sampling.pack_sequences_nosplit): matches an
+    independent pure-Python FFD per shard (same sort, same first-fit
+    placement), every non-oversize pack fits the window, oversize docs sit
+    alone and flagged, the assignment is repartition-invariant, and total
+    padding never exceeds the naive in-order first-fit loader's."""
+    from logport_spark.operators.sampling import pack_sequences_nosplit
+
+    W = 100
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * n)) for i, n in enumerate(lens)],
+        "doc_id long, text string")
+    out = pack_sequences_nosplit(docs, window_tokens=W, n_shards=4)
+    rows = out.collect()
+
+    # python reference, per shard
+    import hashlib
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, n in enumerate(lens):
+        sh = int(hashlib.md5(f"pack{i}".encode()).hexdigest()[:8], 16) % 4
+        by_shard.setdefault(sh, []).append((n, i))
+    want = {}
+    for sh, items in by_shard.items():
+        fills: list[int] = []
+        for n, i in sorted(items, key=lambda x: (-x[0], x[1])):
+            for b, f in enumerate(fills):
+                if n <= W - f:
+                    fills[b] = f + n
+                    want[i] = (sh, b)
+                    break
+            else:
+                fills.append(n)
+                want[i] = (sh, len(fills) - 1)
+    got = {r.doc_id: (r.shard, r.pack_id) for r in rows}
+    assert got == want
+
+    fill = {}
+    for r in rows:
+        fill[(r.shard, r.pack_id)] = fill.get((r.shard, r.pack_id), 0) + r.n_tokens
+    for r in rows:
+        assert r.pack_tokens == fill[(r.shard, r.pack_id)]
+        assert r.oversize == (r.n_tokens > W)
+        if r.oversize:
+            assert fill[(r.shard, r.pack_id)] == r.n_tokens  # alone
+        else:
+            assert fill[(r.shard, r.pack_id)] <= W
+
+    # repartition invariance
+    out2 = {r.doc_id: (r.shard, r.pack_id) for r in
+            pack_sequences_nosplit(docs.repartition(7), window_tokens=W,
+                                   n_shards=4).collect()}
+    assert out2 == got
+
+    # padding vs the naive in-order first-fit loader (per shard, doc_id
+    # order, new pack when the next doc doesn't fit)
+    def padding(pack_fill):
+        return sum(W - f for f in pack_fill if f <= W)
+
+    ffd_pads = naive_pads = 0
+    for sh, items in by_shard.items():
+        packs = {}
+        for i, (s, b) in want.items():
+            if s == sh:
+                packs[b] = packs.get(b, 0) + lens[i]
+        ffd_pads += padding(packs.values())
+        cur, naive_packs = 0, []
+        for n, i in sorted(items, key=lambda x: x[1]):
+            if n > W:
+                if cur:
+                    naive_packs.append(cur)
+                    cur = 0
+                naive_packs.append(n)
+            elif cur + n <= W:
+                cur += n
+            else:
+                naive_packs.append(cur)
+                cur = n
+        if cur:
+            naive_packs.append(cur)
+        naive_pads += padding(naive_packs)
+    # NOT ffd <= naive strictly: first-fit anomalies are real — e.g.
+    # [26,43,28,64,27,9] at W=100 packs to 2 bins in arrival order but 3
+    # under FFD (search script finding, session 13). The sound per-shard
+    # bound is one window of slack; the aggregate win on real corpora is
+    # measured in BENCH/BASELINE.md, not asserted per-instance.
+    assert ffd_pads <= naive_pads + 100 * len(by_shard)

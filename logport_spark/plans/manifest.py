@@ -77,7 +77,14 @@ def zorder_key(rank_a: Column, rank_b: Column) -> Column:
     """64-bit Morton key from two 32-bit ranks: bit i of ``rank_a`` lands
     at position 2i, bit i of ``rank_b`` at 2i+1. Monotone in both inputs
     along the z-curve, so range-sorting on the key clusters rows that are
-    close in EITHER dimension."""
+    close in EITHER dimension.
+
+    More than two filter keys: compose hierarchically — directory-
+    partition (or bucket) the coarsest key, z-order the next two inside
+    each partition. Per-dimension selectivity of a k-way interleave decays
+    as 2^(64/k) distinct prefixes anyway, so beyond 2-3 dims the curve
+    stops buying locality; partition + 2-D z-order is what Delta/Iceberg
+    deployments converge on too."""
     return _spread32(rank_a.cast("long")).bitwiseOR(
         F.shiftleft(_spread32(rank_b.cast("long")), 1)).alias("zkey")
 

@@ -711,6 +711,21 @@ def _domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_kl(_docs(spark, sf_dir), group_col="source")
 
 
+def _domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style mixture weights (sampling.py:domain_reweight) over the
+    per-source excess-loss table domain_kl produces: w ∝ exp(η·kl),
+    ε-blended with uniform, integer epoch token budgets. η=1, ε=0.2
+    pinned; the oracle replays the identical softmax over the identical
+    4dp KL inputs (the exp/softmax float risk class is caption_filter's,
+    with |sources| summands)."""
+    from logport_spark.operators.sampling import domain_reweight
+    from logport_spark.operators.textstats import domain_kl
+
+    return domain_reweight(domain_kl(_docs(spark, sf_dir),
+                                     group_col="source"),
+                           eta=1.0, eps=0.2)
+
+
 def _normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode canonicalization (curation.py:normalize_text) over a
     deliberately messy projection of documents (uppercased, double-spaced,
@@ -2115,6 +2130,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_domain_join": _bucketed_domain_join,  # zero-Exchange join
         "manifest_prune": _manifest_prune,  # z-order + min/max file pruning
         "robots_sitemaps": _robots_sitemaps,  # record-independent discovery
+        "domain_reweight": _domain_reweight,  # DoReMi-style mixture weights
     }
 
 
@@ -5881,6 +5897,37 @@ def _baseline_oracle_registry() -> dict[str, str]:
         "sampled_quantiles": _sampled_quantiles_sql(),
         "bucketed_domain_join": _bucketed_domain_join_sql(),
         "manifest_prune": _manifest_prune_sql(),
+        # DoReMi-style softmax over the domain_kl CTE chain: same 4dp KL
+        # inputs, same eta/eps literals, 6dp weights, floor token budgets
+        "domain_reweight": """
+            WITH tok AS (SELECT source AS domain,
+                                unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+            tk AS (SELECT domain, tok FROM tok WHERE length(tok) > 0),
+            g AS (SELECT domain, tok, count(*) AS gc FROM tk GROUP BY 1, 2),
+            gt AS (SELECT domain, CAST(sum(gc) AS BIGINT) AS gn,
+                          count(*) AS n_types
+                   FROM g GROUP BY 1),
+            cc AS (SELECT tok, CAST(sum(gc) AS BIGINT) AS cc
+                   FROM g GROUP BY 1),
+            ct AS (SELECT CAST(sum(cc) AS BIGINT) AS cn FROM cc),
+            term AS (SELECT g.domain, gt.gn,
+                            (g.gc * 1.0 / gt.gn)
+                            * log2((g.gc * 1.0 / gt.gn)
+                                   / (cc.cc * 1.0 / ct.cn)) AS t
+                     FROM g JOIN gt USING (domain) JOIN cc USING (tok), ct),
+            kl AS (SELECT domain, max(gn) AS n_tokens,
+                          round(sum(t), 4) AS excess_bits
+                   FROM term GROUP BY 1),
+            e AS (SELECT *, exp(1.0 * excess_bits) AS w FROM kl),
+            tot AS (SELECT sum(w) AS s, CAST(sum(n_tokens) AS BIGINT) AS n,
+                           count(*) AS k FROM e)
+            SELECT domain, n_tokens, excess_bits,
+                   round(0.8 * w / s + 0.2 / k, 6) AS weight,
+                   CAST(floor(round(0.8 * w / s + 0.2 / k, 6) * n)
+                        AS BIGINT) AS epoch_tokens
+            FROM e, tot
+        """,
         "robots_sitemaps": _ROBOTS_UH_SQL + """
             , hosts AS (SELECT DISTINCT host, dv FROM h)
             SELECT host, 'https://' || host || '/root.xml' AS sitemap_url

@@ -279,6 +279,56 @@ def pack_sequences(docs: DataFrame, window_tokens: int = 2048,
     )
 
 
+def domain_reweight(excess: DataFrame, eta: float = 1.0, eps: float = 0.2,
+                    group_col: str = "domain",
+                    excess_col: str = "kl_bits",
+                    count_col: str = "n_tokens") -> DataFrame:
+    """DoReMi-style domain mixture weights (Xie et al. 2023) from a
+    per-domain excess-loss table: w ∝ exp(η·excess), ε-blended with
+    uniform — hard/distinctive domains get upweighted instead of merely
+    flattened (domain_mix's temperature rule ignores CONTENT; this rule
+    reads it).
+
+    Engine-shaped stand-in for the proxy-model loop, stated honestly:
+    DoReMi's excess loss is proxy-model minus reference-model loss under
+    Group DRO; the engine's exact analogue is KL(P_domain ‖ P_corpus)
+    (textstats.domain_kl) — the domain's unigram cross-entropy under the
+    corpus LM minus under its own, i.e. how much harder the corpus
+    reference finds this domain. With a fixed excess table the
+    exponentiated-gradient iteration collapses to its fixpoint, ONE
+    softmax — so that is what this computes; swap the excess column for
+    real proxy-loss deltas and the arithmetic is unchanged.
+
+    Cross-engine float contract: excess comes in 4dp-rounded (domain_kl's
+    output contract), η·excess and exp are single IEEE ops, the softmax
+    denominator sums |domains| values, and weights round to 6dp —
+    the caption_filter risk class. epoch_tokens = floor(weight·Σtokens)
+    makes the mixture actionable as an integer token budget per domain.
+
+    Output: (domain, n_tokens, excess_bits, weight, epoch_tokens)."""
+    k = excess.count()
+    if k == 0:
+        return excess.sparkSession.createDataFrame(
+            [], "domain string, n_tokens long, excess_bits double, "
+                "weight double, epoch_tokens long")
+    e = excess.select(
+        F.col(group_col).alias("domain"),
+        F.col(count_col).cast("long").alias("n_tokens"),
+        F.col(excess_col).cast("double").alias("excess_bits"),
+        F.exp(F.lit(float(eta)) * F.col(excess_col)).alias("_w"))
+    tot = e.agg(F.sum("_w").alias("_s"),
+                F.sum("n_tokens").alias("_n"))
+    return (e.crossJoin(F.broadcast(tot))
+            .select(
+                "domain", "n_tokens", "excess_bits",
+                F.round(F.lit(1.0 - eps) * F.col("_w") / F.col("_s")
+                        + F.lit(eps / k), 6).alias("weight"),
+                F.col("_n"))
+            .withColumn("epoch_tokens",
+                        F.floor(F.col("weight") * F.col("_n")).cast("long"))
+            .drop("_n"))
+
+
 def pack_sequences_nosplit(docs: DataFrame, window_tokens: int = 2048,
                            n_shards: int = 64, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:

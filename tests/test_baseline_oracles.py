@@ -141,6 +141,9 @@ def test_baselines_match_oracles(spark, duck):
         # top-of-file and an in-record Sitemap by the same md5 arithmetic
         # its rule oracles use (robots_filter/crawl_plan hashes unchanged)
         "robots_sitemaps",
+        # r4 session-13: DoReMi-style mixture weights over the domain_kl
+        # excess table (softmax replayed in SQL on identical 4dp inputs)
+        "domain_reweight",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

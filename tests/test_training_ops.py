@@ -2451,3 +2451,32 @@ def test_connected_components_resume_and_done_marker(spark, tmp_path):
     drifted = pairs.filter(F.col("d1") != 3)
     with _pytest.raises(ValueError, match="different run"):
         connected_components(drifted, nodes, state_dir=sd)
+
+
+def test_domain_reweight_softmax_semantics(spark):
+    """DoReMi-style reweighting (sampling.domain_reweight): matches a pure
+    Python softmax on the same 4dp inputs, weights sum to 1 (within the
+    6dp rounding), are monotone in excess loss, and never fall below the
+    ε-uniform floor; epoch budgets are the floor of weight·Σtokens."""
+    import math
+
+    from logport_spark.operators.sampling import domain_reweight
+
+    rows = [("a", 1000, 0.1), ("b", 3000, 1.5), ("c", 500, 0.0),
+            ("d", 2000, 0.7)]
+    df = spark.createDataFrame(
+        rows, "domain string, n_tokens long, kl_bits double")
+    got = {r.domain: r for r in
+           domain_reweight(df, eta=1.0, eps=0.2).collect()}
+    s = sum(math.exp(x) for _, _, x in rows)
+    n = sum(t for _, t, _ in rows)
+    for d, t, x in rows:
+        want = round(0.8 * math.exp(x) / s + 0.2 / 4, 6)
+        assert got[d].weight == want, d
+        assert got[d].epoch_tokens == math.floor(want * n)
+        assert got[d].weight >= 0.2 / 4 - 1e-9
+    assert abs(sum(r.weight for r in got.values()) - 1.0) < 5e-6
+    order = sorted(rows, key=lambda r: r[2])
+    ws = [got[d].weight for d, _, _ in order]
+    assert ws == sorted(ws)
+    assert domain_reweight(df.limit(0)).count() == 0

@@ -777,3 +777,42 @@ def test_pack_nosplit_matches_python_ffd_and_beats_first_fit(spark, lens):
     # bound is one window of slack; the aggregate win on real corpora is
     # measured in BENCH/BASELINE.md, not asserted per-instance.
     assert ffd_pads <= naive_pads + 100 * len(by_shard)
+
+
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=1, max_size=60),
+    lo=st.integers(-50, 1050),
+    span=st.integers(0, 300),
+    nf=st.integers(1, 6),
+)
+@settings(**{**SPARK_SETTINGS, "max_examples": 5})
+def test_manifest_pruning_conservative_on_random_layouts(
+        spark, tmp_path_factory, vals, lo, span, nf):
+    """Manifest pruning is conservative-correct for RANDOM data, random
+    [lo, hi] predicates (empty, partial, out-of-range), and random file
+    counts: pruned_read + the row filter returns exactly the full scan's
+    rows, and every file holding a matching row survives the prune."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.plans.manifest import (pruned_files, pruned_read,
+                                              write_manifest)
+
+    hi = lo + span
+    p = str(tmp_path_factory.mktemp("manprop"))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long")
+    df.repartition(nf).write.mode("overwrite").parquet(p)
+    write_manifest(spark, p, ["v"])
+
+    want = sorted(i for i, v in enumerate(vals) if lo <= v <= hi)
+    got = sorted(r.id for r in
+                 pruned_read(spark, p, "v", lo, hi)
+                 .filter((F.col("v") >= lo) & (F.col("v") <= hi)).collect())
+    assert got == want
+
+    kept = set(pruned_files(spark, p, "v", lo, hi))
+    full = spark.read.parquet(p)
+    needed = {r.f for r in full
+              .filter((F.col("v") >= lo) & (F.col("v") <= hi))
+              .select(F.input_file_name().alias("f")).distinct().collect()}
+    assert needed <= kept

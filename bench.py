@@ -117,6 +117,8 @@ def _headline_queries():
         "sampled_quantiles",                       # r4 hash-sample quantiles
         "bucketed_domain_join",                    # r4 zero-Exchange layout
         "manifest_prune",                          # r4 z-order + file pruning
+        "robots_sitemaps",                         # r4 sitemap discovery
+        "domain_reweight",                         # r4 DoReMi-style mixture
     ):
         if opt in qs:
             names.append(opt)

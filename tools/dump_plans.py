@@ -590,6 +590,13 @@ ANNOTATED = {
         "planning-time, which is the point: at 10^12 rows it removes the "
         "no-op task launches row-group skipping cannot."
     ),
+    "domain_reweight": (
+        "DoReMi-style mixture weights: the domain_kl DAG (one shuffle on "
+        "(domain, tok), vocab-sized second shuffle, broadcast totals) "
+        "feeds a |domains|-row softmax — exp, one broadcast-joined "
+        "denominator, 6dp round — and the floor token budgets. Everything "
+        "after the KL aggregate is constant-size; no Python anywhere."
+    ),
     "text_near_pairs": (
         "Exact all-pairs cosine, hybrid form (similarity.hybrid_near_"
         "pairs): one ArrowEvalPython/mapInPandas span is the blocked GEMM "

@@ -306,6 +306,10 @@ def domain_reweight(excess: DataFrame, eta: float = 1.0, eps: float = 0.2,
     makes the mixture actionable as an integer token budget per domain.
 
     Output: (domain, n_tokens, excess_bits, weight, epoch_tokens)."""
+    # the excess table is |domains|-sized but its LINEAGE is corpus-linear
+    # (the domain_kl DAG) — cut it before count(), or the eps/k literal
+    # re-runs the whole upstream once more than the result does
+    excess = excess.localCheckpoint(eager=True)
     k = excess.count()
     if k == 0:
         return excess.sparkSession.createDataFrame(

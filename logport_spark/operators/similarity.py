@@ -1061,6 +1061,11 @@ def hybrid_near_pairs(vecs: DataFrame, threshold: float = 0.8,
     import pandas as pd
 
     spark = vecs.sparkSession
+    # the vector table is read 5 times below (doc count, doc-id collect,
+    # head collect, tail join, candidate re-join) and typically arrives as
+    # an UNMATERIALIZED tower DAG (embed_docs' mapInPandas) — cut the
+    # lineage once so the Python tower runs once, not per reference
+    vecs = vecs.localCheckpoint(eager=True)
     n_docs = vecs.select("doc_id").distinct().count()
     if n_docs > max_dense_docs:
         raise ValueError(

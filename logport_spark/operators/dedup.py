@@ -1192,7 +1192,10 @@ def update_clusters(state: DataFrame, new_pairs: DataFrame,
          .filter(F.col("r1") != F.col("r2"))
          .select(F.least("r1", "r2").alias("d1"),
                  F.greatest("r1", "r2").alias("d2"))
-         .distinct())
+         .distinct()
+         # referenced three times (touched set, propagation, new-id scan)
+         # and batch-sized — materialize once
+         .localCheckpoint(eager=True))
     touched = (p.select(F.col("d1").alias("doc_id"))
                .union(p.select(F.col("d2").alias("doc_id"))).distinct())
     # 2. components over the contracted (batch-sized) graph

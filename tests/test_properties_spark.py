@@ -816,3 +816,105 @@ def test_manifest_pruning_conservative_on_random_layouts(
               .filter((F.col("v") >= lo) & (F.col("v") <= hi))
               .select(F.input_file_name().alias("f")).distinct().collect()}
     assert needed <= kept
+
+
+@given(word=st.text(alphabet="abc", min_size=1, max_size=7),
+       data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_unigram_viterbi_kernel_matches_bruteforce(word, data):
+    """The shared Viterbi kernel equals brute-force enumeration of ALL
+    segmentations under the documented total order (score desc, fewer
+    pieces, lexicographic path) — random words, random piece tables."""
+    from logport_spark.operators.textstats import _unigram_viterbi
+
+    pieces = set("abc")
+    for i in range(len(word)):
+        for j in range(i + 1, min(len(word), i + 4) + 1):
+            if data.draw(st.booleans()):
+                pieces.add(word[i:j])
+    logp = {p: round(data.draw(st.floats(-8, -0.1)), 6) for p in pieces}
+
+    def segs(w):
+        if not w:
+            yield ()
+            return
+        for k in range(1, min(len(w), 4) + 1):
+            if w[:k] in logp:
+                for rest in segs(w[k:]):
+                    yield (w[:k],) + rest
+
+    # tie order on path: lexicographically SMALLER wins -> compare directly
+    best = None
+    for s in segs(word):
+        cand = (sum(logp[p] for p in s), -len(s), s)
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]) or (
+                (cand[0], cand[1]) == (best[0], best[1]) and s < best[2]):
+            best = cand
+    want = list(best[2])
+    got = _unigram_viterbi(word, logp, 4)
+    assert got == want
+
+
+@given(docs=st.lists(st.lists(st.sampled_from(
+    ["abab", "abc", "cd", "ababcd", "a", "dcba"]),
+    min_size=1, max_size=5), min_size=1, max_size=5))
+@settings(**{**SPARK_SETTINGS, "max_examples": 5})
+def test_unigram_train_matches_python_reference(spark, docs):
+    """Full unigram-LM training pipeline (seed -> Viterbi-EM -> prune)
+    equals an independent Python driver over the same word counts, piece
+    for piece and logp for logp."""
+    import math
+
+    from logport_spark.operators.textstats import (_unigram_viterbi,
+                                                   unigram_train)
+
+    VS, SS, MPL, EM, KF = 12, 40, 3, 2, 0.75
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string")
+    got = {(r.piece, r.logp) for r in
+           unigram_train(df, vocab_size=VS, seed_size=SS, max_piece_len=MPL,
+                         em_rounds=EM, keep_frac=KF).collect()}
+
+    wc: dict[str, int] = {}
+    for ws in docs:
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+    sub: dict[str, int] = {}
+    for w, c in wc.items():
+        for L in range(1, MPL + 1):
+            for i in range(len(w) - L + 1):
+                sub[w[i:i + L]] = sub.get(w[i:i + L], 0) + c
+    ranked = sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))
+    cnt = dict(ranked[:SS])
+    chars = {p: c for p, c in sub.items() if len(p) == 1}
+    for ch, c in chars.items():
+        cnt.setdefault(ch, c)
+
+    def norm(d):
+        tot = float(sum(d.values()))
+        return {p: round(math.log2(c / tot), 6) for p, c in d.items()}
+
+    logp = norm(cnt)
+    rounds = EM
+    v = len(logp)
+    while v > VS:
+        v = max(VS, int(v * KF))
+        rounds += 1
+    for _ in range(rounds):
+        acc: dict[str, int] = {}
+        for w, c in wc.items():
+            for piece in _unigram_viterbi(w, logp, MPL) or []:
+                acc[piece] = acc.get(piece, 0) + c
+        cnt = acc
+        for ch in chars:
+            cnt.setdefault(ch, 1)
+        if len(cnt) > VS:
+            target = max(VS, int(len(cnt) * KF))
+            keep = dict(sorted(cnt.items(),
+                               key=lambda kv: (-kv[1], kv[0]))[:target])
+            for ch in chars:
+                keep.setdefault(ch, cnt.get(ch, 1))
+            cnt = keep
+        logp = norm(cnt)
+    assert got == set(logp.items())

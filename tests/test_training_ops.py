@@ -2480,3 +2480,33 @@ def test_domain_reweight_softmax_semantics(spark):
     ws = [got[d].weight for d, _, _ in order]
     assert ws == sorted(ws)
     assert domain_reweight(df.limit(0)).count() == 0
+
+
+def test_unigram_train_learns_motif_and_encode_roundtrips(spark):
+    """Unigram-LM tokenizer (textstats.unigram_train/unigram_encode): a
+    repeated motif earns a multi-char piece, every corpus char stays in
+    the vocab (coverage), and Viterbi encoding round-trips — concatenating
+    a word's pieces reproduces the word, positions are dense per doc."""
+    from logport_spark.operators.textstats import (unigram_encode,
+                                                   unigram_train)
+
+    docs = spark.createDataFrame(
+        [(0, "abab abab abab cd"), (1, "abab cd cd xyz")],
+        "doc_id long, text string")
+    pieces = unigram_train(docs, vocab_size=10, seed_size=64,
+                           max_piece_len=4, em_rounds=2)
+    vocab = {r.piece: r.logp for r in pieces.collect()}
+    assert any(len(p) > 1 and "ab" in p for p in vocab)   # motif learned
+    assert set("abcdxyz") <= set(vocab)                   # coverage
+    assert all(lp < 0 for lp in vocab.values())
+
+    enc = unigram_encode(docs, pieces).collect()
+    by_doc: dict[int, list] = {}
+    for r in enc:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.piece))
+    for did, text in [(0, "abab abab abab cd"), (1, "abab cd cd xyz")]:
+        seq = [p for _, p in sorted(by_doc[did])]
+        assert "".join(seq) == text.replace(" ", "")
+        assert [p for p, _ in enumerate(seq)] == list(range(len(seq)))
+    # the motif piece is actually USED by the encoder
+    assert any(len(p) > 1 for _, p in sorted(by_doc[0]))

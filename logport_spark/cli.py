@@ -253,7 +253,11 @@ def cmd_manifest(args) -> int:
     cols = [c.strip() for c in (args.columns or "").split(",") if c.strip()]
     delta = None
     if args.update:
-        delta = update_manifest(spark, args.path, cols or None)
+        try:
+            delta = update_manifest(spark, args.path, cols or None)
+        except ValueError as e:
+            print(json.dumps({"error": str(e)}))
+            return 2
     else:
         if not cols:
             print(json.dumps({"error": "no columns given"}))

@@ -1574,9 +1574,12 @@ def unigram_train(docs: DataFrame, vocab_size: int = 64,
             "i -> substring(w, i, L)) "
             "ELSE CAST(array() AS array<string>) END))")).alias("piece"),
         F.col("c"))
+    # one aggregate job: the substring explosion is |types|×L-positions
+    # sized — materialize before the two consumers (top-K seed, char floor)
     counts = (sub.groupBy("piece").agg(F.sum("c").alias("pc"))
-              .orderBy(F.desc("pc"), F.asc("piece")))
-    seed = counts.limit(int(seed_size)).collect()
+              .localCheckpoint(eager=True))
+    seed = (counts.orderBy(F.desc("pc"), F.asc("piece"))
+            .limit(int(seed_size)).collect())
     chars = {r.piece: r.pc for r in counts.filter(
         F.length("piece") == 1).collect()}
     cnt = {r.piece: r.pc for r in seed}

@@ -170,6 +170,27 @@ def zorder_write(df: DataFrame, path: str, rank_a: Column, rank_b: Column,
        .write.mode(mode).parquet(path))
 
 
+def _file_stats(src: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-(file, column) stats rows from a source carrying a `file`
+    column plus the stat columns — the ONE definition both the full build
+    and the incremental update aggregate with (diverging copies were how
+    the partition-column bug slipped in)."""
+    parts = []
+    for c in cols:
+        parts.append(src.groupBy("file").agg(
+            F.lit(c).alias("col"),
+            F.min(c).cast("string").alias("min_v"),
+            F.max(c).cast("string").alias("max_v"),
+            F.sum(F.col(c).isNull().cast("long")).alias("null_count"),
+            F.count(F.lit(1)).alias("row_count"),
+        ).select("file", "col", "min_v", "max_v", "null_count",
+                 "row_count"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def write_manifest(spark: SparkSession, path: str, cols: list[str]) -> None:
     """Build the per-file statistics table: one row per (file, column) with
     min/max/null_count/row_count, written to ``<path>/_manifest``. One
@@ -182,22 +203,12 @@ def write_manifest(spark: SparkSession, path: str, cols: list[str]) -> None:
     Values are stringified for a uniform schema; ``pruned_files`` compares
     numerics numerically and strings lexically, matching parquet's
     per-type ordering."""
+    if not cols:
+        raise ValueError("write_manifest needs at least one stat column")
     src = spark.read.parquet(path).select(
         F.input_file_name().alias("file"), *cols)
-    parts = []
-    for c in cols:
-        parts.append(src.groupBy("file").agg(
-            F.lit(c).alias("col"),
-            F.min(c).cast("string").alias("min_v"),
-            F.max(c).cast("string").alias("max_v"),
-            F.sum(F.col(c).isNull().cast("long")).alias("null_count"),
-            F.count(F.lit(1)).alias("row_count"),
-        ).select("file", "col", "min_v", "max_v", "null_count",
-                 "row_count"))
-    man = parts[0]
-    for p in parts[1:]:
-        man = man.unionByName(p)
-    man.coalesce(1).write.mode("overwrite").parquet(f"{path}/{MANIFEST_DIR}")
+    _file_stats(src, cols).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/{MANIFEST_DIR}")
 
 
 def update_manifest(spark: SparkSession, path: str,
@@ -211,6 +222,7 @@ def update_manifest(spark: SparkSession, path: str,
     stand-in. Falls back to a full build when no manifest exists.
     `cols` defaults to the column set of the existing manifest. Returns
     {"added": n, "removed": n, "kept": n} file counts."""
+    cols = list(cols) if cols else None
     man = _read_manifest(spark, path)
     current = set(spark.read.parquet(path).inputFiles())
     if man is None:
@@ -219,30 +231,28 @@ def update_manifest(spark: SparkSession, path: str,
                              "initial build")
         write_manifest(spark, path, cols)
         return {"added": len(current), "removed": 0, "kept": 0}
+    existing = sorted(r.col for r in man.select("col").distinct().collect())
     if cols is None:
-        cols = [r.col for r in man.select("col").distinct().collect()]
+        cols = existing
+    elif sorted(cols) != existing:
+        # a partial update would leave new files without stat rows for the
+        # other columns, and pruned_files silently prunes statless files —
+        # non-conservative. Stat the same set or rebuild.
+        raise ValueError(
+            f"cols {sorted(cols)} != manifest columns {existing}; "
+            "update must stat the same set (or write_manifest to rebuild)")
     known = {r.file for r in man.select("file").distinct().collect()}
     stale = known - current
     new = sorted(current - known)
     kept = man.filter(F.col("file").isin(list(current))) if stale else man
     if new:
+        # basePath keeps PARTITION columns resolvable from the leaf paths
+        # (without it their values read as NULL and pruning would silently
+        # drop the new files — the non-conservative failure mode)
         src = (spark.read.schema(spark.read.parquet(path).schema)
-               .parquet(*new)
+               .option("basePath", path).parquet(*new)
                .select(F.input_file_name().alias("file"), *cols))
-        parts = []
-        for c in cols:
-            parts.append(src.groupBy("file").agg(
-                F.lit(c).alias("col"),
-                F.min(c).cast("string").alias("min_v"),
-                F.max(c).cast("string").alias("max_v"),
-                F.sum(F.col(c).isNull().cast("long")).alias("null_count"),
-                F.count(F.lit(1)).alias("row_count"),
-            ).select("file", "col", "min_v", "max_v", "null_count",
-                     "row_count"))
-        add = parts[0]
-        for p in parts[1:]:
-            add = add.unionByName(p)
-        kept = kept.unionByName(add)
+        kept = kept.unionByName(_file_stats(src, cols))
     if new or stale:
         # the old generation is an input to this write — materialize first
         out = kept.localCheckpoint(eager=True)
@@ -297,4 +307,7 @@ def pruned_read(spark: SparkSession, path: str, col: str,
     # from every file's footer (measured 7 s of listing overhead at 250
     # files where the pinned read plans in milliseconds)
     schema = spark.read.parquet(path).schema
-    return spark.read.schema(schema).parquet(*files)
+    # basePath: partition-column values must resolve from the leaf paths —
+    # without it a pinned schema fills them with NULLs (silently wrong)
+    return (spark.read.schema(schema).option("basePath", path)
+            .parquet(*files))

@@ -164,3 +164,38 @@ def test_update_manifest_incremental_append_and_compaction(spark, tmp_path):
     got = (pruned_read(spark, p, "ts", TS_LO, TS_LO + 100)
            .filter(F.col("ts") <= TS_LO + 100).count())
     assert got == 101
+
+
+def test_partition_columns_survive_pruned_and_incremental_reads(
+        spark, tmp_path):
+    """Regression (s13 review): on a PARTITIONED table (the clean/ layout
+    streaming curation writes), pruned_read must resolve partition-column
+    values from the leaf paths (not NULL them via the pinned schema), and
+    update_manifest must stat partition columns for appended files (not
+    emit NULL min/max that pruned_files then silently prunes)."""
+    from logport_spark.plans.manifest import update_manifest
+
+    p = str(tmp_path / "ptbl")
+    (_rows(spark).limit(4000)
+     .withColumn("batch_id", (F.col("ts") % 2).cast("long"))
+     .write.partitionBy("batch_id").parquet(p))
+    write_manifest(spark, p, ["batch_id"])
+
+    got = pruned_read(spark, p, "batch_id", 1, 1)
+    assert got.filter(F.col("batch_id").isNull()).count() == 0
+    assert got.filter(F.col("batch_id") == 1).count() == 2000
+
+    # append a new generation under a new partition; update incrementally
+    (_rows(spark).limit(100).withColumn("batch_id", F.lit(7).cast("long"))
+     .write.mode("append").partitionBy("batch_id").parquet(p))
+    res = update_manifest(spark, p)
+    assert res["added"] >= 1
+    files7 = pruned_files(spark, p, "batch_id", 7, 7)
+    assert files7, "appended partition silently pruned (NULL stats)"
+    assert (pruned_read(spark, p, "batch_id", 7, 7)
+            .filter(F.col("batch_id") == 7).count()) == 100
+
+    # cols-mismatch guard: a partial update would leave statless files
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="manifest columns"):
+        update_manifest(spark, p, ["ts"])

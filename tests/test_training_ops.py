@@ -2507,6 +2507,7 @@ def test_unigram_train_learns_motif_and_encode_roundtrips(spark):
     for did, text in [(0, "abab abab abab cd"), (1, "abab cd cd xyz")]:
         seq = [p for _, p in sorted(by_doc[did])]
         assert "".join(seq) == text.replace(" ", "")
-        assert [p for p, _ in enumerate(seq)] == list(range(len(seq)))
+        assert [pos for pos, _ in sorted(by_doc[did])] == \
+            list(range(len(seq)))
     # the motif piece is actually USED by the encoder
     assert any(len(p) > 1 for _, p in sorted(by_doc[0]))

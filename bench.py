@@ -571,7 +571,12 @@ def main() -> None:
     datagen.ensure_pages(sf, spark=spark)
     datagen.ensure_lookups()
 
-    # flagship throughput (best of 2 — first run pays JIT + worker spin-up)
+    load_start = os.getloadavg()[0]
+    # flagship throughput, best of 3+ (each pipeline_throughput call is
+    # itself best-of-2; two calls => best of 4). The first evaluation pays
+    # JIT + Arrow worker spin-up; the extra repetitions ride out box noise —
+    # r4's driver artifact recorded an 11.8s flagship under ambient load 25+
+    # where the idle steady state is 2.1-3.4s (VERDICT r4 #1).
     dt, n_pages, n_records = pipeline_throughput(spark, sf)
     dt = min(dt, pipeline_throughput(spark, sf)[0])
     extras["pages_per_sec"] = round(n_pages / dt, 1)
@@ -581,13 +586,46 @@ def main() -> None:
     timings, _ = run_suite(spark, SF_DIR)
     timings["lp_pipeline"] = round(dt, 3)
     total = round(sum(timings.values()), 3)
+    load_end = os.getloadavg()[0]
 
-    result = {
+    # Full per-query detail goes to a FILE — the 92-entry dict overflowed
+    # the driver's tail-capture window in r4 (BENCH_r04.json parsed: null),
+    # so the printed line must stay compact.
+    full = {
         "metric": "parse_route_pipeline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "load_avg_start": round(load_start, 2),
+        "load_avg_end": round(load_end, 2),
+        **extras,
+    }
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH"), exist_ok=True)
+    last_run = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "last_run.json")
+    with open(last_run, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    # Compact final line (keep well under the driver's tail window):
+    # totals + flagship + load + a fixed headline subset of queries.
+    headline = [
+        "lp_pipeline", "lp_envelope", "lp_sink_metrics", "corpus_clean",
+        "web_curation", "cluster_retention", "filter_funnel", "bm25_topk",
+        "dedup_minhash_pairs", "training_export", "domain_pagerank",
+        "line_dedup_corpus",
+    ]
+    result = {
+        "metric": "parse_route_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in headline if k in timings},
+        "n_queries": len(timings),
+        "sf": float(sf),
+        "load_avg_start": round(load_start, 2),
+        "load_avg_end": round(load_end, 2),
+        "full_timings": "BENCH/last_run.json",
         **extras,
     }
     print(json.dumps(result))

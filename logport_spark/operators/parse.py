@@ -239,6 +239,36 @@ def html_policy(pages: DataFrame, html_col: str = "html",
     )
 
 
+def _nlohmann_dumps(o) -> str:
+    """Sorted-key compact serialization with reference-exact float bytes —
+    the float-bearing-doc slow path of json_mid_udf. Identical to
+    json.dumps(sort_keys=True, separators=(',',':'), ensure_ascii=False)
+    except floats render via dtoa.nlohmann_repr (Grisu2). Raises
+    ValueError on non-finite floats, matching both allow_nan=False and
+    nlohmann's parse-time out_of_range."""
+    from logport_spark.operators.dtoa import nlohmann_repr
+
+    if o is None:
+        return "null"
+    if o is True:
+        return "true"
+    if o is False:
+        return "false"
+    if isinstance(o, float):
+        if o != o or o in (float("inf"), float("-inf")):
+            raise ValueError("non-finite float")
+        return nlohmann_repr(o)
+    if isinstance(o, int):
+        return str(o)
+    if isinstance(o, str):
+        return json_quote(o)
+    if isinstance(o, list):
+        return "[" + ",".join(_nlohmann_dumps(v) for v in o) + "]"
+    # json.loads only yields the types above plus dict (str keys)
+    return "{" + ",".join(
+        json_quote(k) + ":" + _nlohmann_dumps(o[k]) for k in sorted(o)) + "}"
+
+
 @F.pandas_udf(MID_RESULT)
 def json_mid_udf(line: pd.Series) -> pd.DataFrame:
     """JSON-candidate fragment builder — the ONLY Python in the pipeline.
@@ -246,16 +276,48 @@ def json_mid_udf(line: pd.Series) -> pd.DataFrame:
     Receives the line for rows starting with '{'/'[' and NULL for all other
     rows (nulls cost one validity bit over Arrow, no string bytes). Emits the
     ',"log_obj":<sorted-compact json>' fragment, or the escaped ',"log":'
-    fallback when the candidate fails to parse (src/Watch.cc:413-414)."""
+    fallback when the candidate fails to parse (src/Watch.cc:413-414).
+
+    Differential-fuzz findings vs the vendored nlohmann 3.10.5
+    (tests/test_envelope_differential.py), both reproduced here:
+
+    * the reference's json::parse REJECTS NaN/Infinity literals and raises
+      out_of_range on overflow ('1e400'), falling back to the escaped
+      ',"log":' path — Python's json.loads would accept the literals and
+      silently overflow to inf, then emit 'Infinity' (not even valid
+      JSON). parse_constant + allow_nan=False match it byte-for-byte.
+    * floats re-serialize through Grisu2, not Python repr — the two differ
+      on the fixed↔scientific cutover (10^15 vs 10^16) and on ~0.05% of
+      digit strings (operators/dtoa.py). CPython's C encoder renders
+      floats via PyFloat_Type.tp_repr directly (no subclass hook), so the
+      parse_float hook flags float-BEARING docs and only those take the
+      pure-Python sorted-compact re-serialization; float-free docs — the
+      entire bench corpus — keep the C-speed encoder."""
     dumps, loads, jq = json.dumps, json.loads, json_quote
+
+    def _reject(_tok):
+        raise ValueError("non-finite JSON constant (nlohmann rejects)")
+
+    has_float = [False]
+
+    def _pf(tok):
+        has_float[0] = True
+        return float(tok)
+
     mids, objs, fails = [], [], []
     for ln in line.to_numpy():
         if ln is None:
             mids.append(None), objs.append(None), fails.append(None)
             continue
         try:
-            mids.append(',"log_obj":' + dumps(
-                loads(ln), sort_keys=True, separators=(",", ":"), ensure_ascii=False))
+            has_float[0] = False
+            obj = loads(ln, parse_constant=_reject, parse_float=_pf)
+            if has_float[0]:
+                body = _nlohmann_dumps(obj)
+            else:
+                body = dumps(obj, sort_keys=True, separators=(",", ":"),
+                             ensure_ascii=False, allow_nan=False)
+            mids.append(',"log_obj":' + body)
             objs.append(True), fails.append(False)
         except ValueError:
             mids.append(',"log":' + jq(ln))

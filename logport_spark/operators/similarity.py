@@ -1042,7 +1042,9 @@ def hybrid_near_pairs(vecs: DataFrame, threshold: float = 0.8,
     Decomposition (exact, no recall trade):
       head = dims with df > head_df_frac·n_docs (bounded by
       max_head_dims); tail = the rest. Per doc, the head sub-vector and
-      tail_norm = √(1−‖head‖²). A blocked GEMM over the broadcast head
+      tail_norm = √(Σ tail val²) — computed from the ACTUAL tail rows, not
+      1−‖head‖², so the bound holds for 6dp-rounded (not-exactly-unit)
+      inputs. A blocked GEMM over the broadcast head
       matrix emits (d1, d2, hot_dot) for every pair that could POSSIBLY
       reach t: hot_dot ≥ t − tailnorm_1·tailnorm_2 (Cauchy-Schwarz bounds
       the tail's contribution, so no qualifying pair is missed). The tail
@@ -1067,11 +1069,6 @@ def hybrid_near_pairs(vecs: DataFrame, threshold: float = 0.8,
     # lineage once so the Python tower runs once, not per reference
     vecs = vecs.localCheckpoint(eager=True)
     n_docs = vecs.select("doc_id").distinct().count()
-    if n_docs > max_dense_docs:
-        raise ValueError(
-            f"hybrid_near_pairs dense head capped at {max_dense_docs} docs "
-            f"(got {n_docs}); use embedding_lsh_pairs / semantic_dedup_pairs "
-            "at this scale")
     dfs = vecs.groupBy("dim_id").agg(F.count(F.lit(1)).alias("df"))
     cut = max(2.0, head_df_frac * n_docs)
     head_ids = sorted(r.dim_id for r in
@@ -1080,20 +1077,44 @@ def hybrid_near_pairs(vecs: DataFrame, threshold: float = 0.8,
         raise ValueError(
             f"{len(head_ids)} head dims exceed max_head_dims="
             f"{max_head_dims}; raise head_df_frac")
+    if n_docs > max_dense_docs:
+        # name the actual driver-memory object in the refusal: the dense
+        # head matrix is n_docs × n_head float64, built on the driver and
+        # task-broadcast for the GEMM
+        mat_bytes = n_docs * max(1, len(head_ids)) * 8
+        raise ValueError(
+            f"hybrid_near_pairs dense head capped at {max_dense_docs} docs "
+            f"(got {n_docs}: head matrix {n_docs}x{len(head_ids)} float64 "
+            f"= {mat_bytes:,} bytes of driver memory); use "
+            "embedding_lsh_pairs / semantic_dedup_pairs at this scale")
     if not head_ids:
         return sparse_near_pairs(vecs, threshold=threshold)
 
-    head_pdf = (vecs.filter(F.col("dim_id").isin(head_ids))
-                .toPandas())
+    # bounded Arrow collects (no pandas object overhead): the head
+    # sub-table is ≤ n_docs·n_head rows ≤ max_dense_docs·max_head_dims,
+    # and the doc-id / tail-norm tables are ≤ n_docs rows each — all
+    # within the cap enforced above.
+    head_arrow = (vecs.filter(F.col("dim_id").isin(head_ids))
+                  .select("doc_id", "dim_id", "val").toArrow())
     doc_ids = np.sort(vecs.select("doc_id").distinct()
-                      .toPandas()["doc_id"].to_numpy())
-    pos = {d: i for i, d in enumerate(doc_ids)}
-    col = {d: j for j, d in enumerate(head_ids)}
+                      .toArrow().column("doc_id").to_numpy())
+    head_arr = np.asarray(head_ids, dtype=np.int64)
     mat = np.zeros((len(doc_ids), len(head_ids)), dtype=np.float64)
-    mat[head_pdf["doc_id"].map(pos).to_numpy(),
-        head_pdf["dim_id"].map(col).to_numpy()] = \
-        head_pdf["val"].to_numpy()
-    tail_norm = np.sqrt(np.maximum(0.0, 1.0 - (mat * mat).sum(axis=1)))
+    mat[np.searchsorted(doc_ids, head_arrow.column("doc_id").to_numpy()),
+        np.searchsorted(head_arr, head_arrow.column("dim_id").to_numpy())] \
+        = head_arrow.column("val").to_numpy()
+    # tail norms EXACTLY from the stored tail rows — not √(1−‖head‖²),
+    # which assumes unit-norm inputs; embed_docs emits 6dp-rounded
+    # components (‖v‖² can sit ~8e-6 off 1), and the Cauchy-Schwarz
+    # candidate floor must hold for the ACTUAL values (r4 advice).
+    tail_sq = (vecs.filter(~F.col("dim_id").isin(head_ids))
+               .groupBy("doc_id")
+               .agg(F.sum(F.col("val") * F.col("val")).alias("sq"))
+               .toArrow())
+    tail_norm = np.zeros(len(doc_ids), dtype=np.float64)
+    tail_norm[np.searchsorted(doc_ids,
+                              tail_sq.column("doc_id").to_numpy())] = \
+        np.sqrt(np.maximum(0.0, tail_sq.column("sq").to_numpy()))
 
     n = len(doc_ids)
     block = max(256, min(4096, n // (spark.sparkContext.defaultParallelism

@@ -1637,7 +1637,15 @@ def unigram_encode(docs: DataFrame, pieces: DataFrame,
     under the piece log-probs — the apply step between unigram_train and
     pack_sequences, mirroring bpe_encode for the BPE family. Pieces ship
     as plan state (vocab-sized); one Arrow-batched pass over the corpus.
-    Output: (doc_id, pos, piece) — pos is the 0-based piece index."""
+    Output: (doc_id, pos, piece, oov) — pos is the 0-based piece index.
+
+    Words Viterbi cannot segment (a character absent from the trained
+    vocab — unigram_train's coverage floor makes this rare, but an apply
+    corpus can contain chars training never saw) are split into single
+    CHARACTERS, each flagged ``oov=true`` when the char is not a vocab
+    piece — never a silent whole-word pseudo-piece (r4 advice: consumers
+    joining on the vocab would mismatch without signal). Concatenating a
+    word's pieces still reproduces the word exactly."""
     import pandas as pd
 
     lp = {r.piece: r.logp for r in pieces.collect()}
@@ -1645,19 +1653,27 @@ def unigram_encode(docs: DataFrame, pieces: DataFrame,
 
     def run(batches):
         for pdf in batches:
-            ids, poss, outs = [], [], []
+            ids, poss, outs, oovs = [], [], [], []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 pos = 0
                 for w in (text or "").split(" "):
                     if not w:
                         continue
-                    for piece in _unigram_viterbi(w, lp, mpl) or [w]:
+                    seg = _unigram_viterbi(w, lp, mpl)
+                    if seg is None or not seg:
+                        seg, flags = list(w), [ch not in lp for ch in w]
+                    else:
+                        flags = [False] * len(seg)
+                    for piece, is_oov in zip(seg, flags):
                         ids.append(did)
                         poss.append(pos)
                         outs.append(piece)
+                        oovs.append(is_oov)
                         pos += 1
-            yield pd.DataFrame({"doc_id": ids, "pos": poss, "piece": outs})
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "piece": outs,
+                                "oov": oovs})
 
     return (docs.select(F.col(id_col).alias("doc_id"),
                         F.col(text_col).alias("text"))
-            .mapInPandas(run, "doc_id long, pos int, piece string"))
+            .mapInPandas(run, "doc_id long, pos int, piece string, "
+                              "oov boolean"))

@@ -84,9 +84,18 @@ def zorder_key(rank_a: Column, rank_b: Column) -> Column:
     each partition. Per-dimension selectivity of a k-way interleave decays
     as 2^(64/k) distinct prefixes anyway, so beyond 2-3 dims the curve
     stops buying locality; partition + 2-D z-order is what Delta/Iceberg
-    deployments converge on too."""
-    return _spread32(rank_a.cast("long")).bitwiseOR(
-        F.shiftleft(_spread32(rank_b.cast("long")), 1)).alias("zkey")
+    deployments converge on too.
+
+    The raw interleave is an UNSIGNED 64-bit value, but Spark longs sort
+    signed: bit 31 of ``rank_b`` lands at bit 63, so rows with
+    rank_b >= 2^31 would get negative keys and range-sort BEFORE all
+    others, splitting the curve at that boundary (selectivity loss, not
+    correctness — row filters re-apply). XOR-ing the sign bit maps
+    unsigned order onto signed order, so the key sorts as the curve
+    intends across the full rank domain."""
+    raw = _spread32(rank_a.cast("long")).bitwiseOR(
+        F.shiftleft(_spread32(rank_b.cast("long")), 1))
+    return raw.bitwiseXOR(F.lit(-(2 ** 63))).alias("zkey")
 
 
 def monotone_rank32(c: Column, lo, hi) -> Column:
@@ -274,11 +283,19 @@ def pruned_files(spark: SparkSession, path: str, col: str,
     """Files whose [min, max] for ``col`` overlaps [lo, hi] (None = open
     end; equality is lo == hi). Conservative: overlap keeps the file.
     Returns the FULL file list when no manifest exists — pruning degrades
-    to a normal scan, never to a wrong answer."""
+    to a normal scan, never to a wrong answer.
+
+    Conservative against STALENESS too: the table's current listing is
+    consulted every call (planning-time only, no scan) — files appended
+    after the manifest build carry no stats and are always kept, and
+    manifest rows for files compaction deleted are never returned. A stale
+    manifest therefore degrades toward the full listing, never to a wrong
+    answer (the r4 advice found post-manifest appends silently excluded)."""
     man = _read_manifest(spark, path)
+    listing = set(spark.read.parquet(path).inputFiles())
     if man is None:
         # planning-time listing only — no scan on the degraded path
-        return list(spark.read.parquet(path).inputFiles())
+        return sorted(listing)
     m = man.filter(F.col("col") == col)
     lo_c = F.col("min_v").cast("double") if numeric else F.col("min_v")
     hi_c = F.col("max_v").cast("double") if numeric else F.col("max_v")
@@ -290,7 +307,11 @@ def pruned_files(spark: SparkSession, path: str, col: str,
     # null stats rows (all-null file for this col) stay out only if the
     # predicate excludes nulls — range predicates do, so drop them.
     keep = keep & F.col("min_v").isNotNull()
-    return [r.file for r in m.filter(keep).select("file").collect()]
+    kept = {r.file for r in m.filter(keep).select("file").collect()}
+    known = {r.file for r in man.select("file").distinct().collect()}
+    # (kept ∩ listing): drop manifest rows whose files compaction deleted;
+    # (listing − known): keep files the manifest has never statted.
+    return sorted((kept & listing) | (listing - known))
 
 
 def pruned_read(spark: SparkSession, path: str, col: str,

@@ -62,10 +62,18 @@ def test_zorder_key_matches_python_reference(spark):
              (0x12345678, 0x9ABCDEF0), (7, 2**31), (2**31 + 3, 5)]
     df = spark.createDataFrame(cases, "a long, b long").select(
         "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z"))
-    for r in df.collect():
+    rows = df.collect()
+    for r in rows:
         want = _morton_ref(r.a, r.b)
-        # Spark longs are signed; compare as two's-complement 64-bit
-        assert r.z & (2**64 - 1) == want, (r.a, r.b)
+        # key = morton XOR sign bit (unsigned order mapped to signed order);
+        # compare as two's-complement 64-bit after undoing the flip
+        assert (r.z ^ (1 << 63)) & (2**64 - 1) == want, (r.a, r.b)
+    # the point of the sign-bit flip: signed (Spark long) order == unsigned
+    # Morton order, so rank_b >= 2^31 rows no longer sort before all others
+    got_order = [(r.a, r.b) for r in sorted(rows, key=lambda r: r.z)]
+    want_order = [(a, b) for a, b in
+                  sorted(cases, key=lambda ab: _morton_ref(*ab))]
+    assert got_order == want_order
 
 
 def test_pruned_read_is_exact_on_every_layout(spark, layouts):
@@ -164,6 +172,42 @@ def test_update_manifest_incremental_append_and_compaction(spark, tmp_path):
     got = (pruned_read(spark, p, "ts", TS_LO, TS_LO + 100)
            .filter(F.col("ts") <= TS_LO + 100).count())
     assert got == 101
+
+
+def test_stale_manifest_is_conservative(spark, tmp_path):
+    """r4 ADVICE (medium): files appended AFTER the manifest build carry no
+    stats and must still be read (kept unconditionally), and manifest rows
+    for files compaction deleted must never be returned — a stale manifest
+    degrades toward the full listing, never to a wrong answer."""
+    p = str(tmp_path / "stale")
+    df1 = _rows(spark).filter(F.col("ts") < TS_LO + 5000)
+    df1.repartition(2).write.parquet(p)
+    write_manifest(spark, p, ["ts"])
+
+    # append a generation WITHOUT updating the manifest
+    df2 = _rows(spark).filter((F.col("ts") >= TS_LO + 5000)
+                              & (F.col("ts") < TS_LO + 6000))
+    df2.repartition(1).write.mode("append").parquet(p)
+    total = spark.read.parquet(p).count()
+    assert pruned_read(spark, p, "ts", lo=TS_LO, hi=TS_HI).count() == total
+    # a range covering ONLY the unstatted generation still returns its rows
+    got = (pruned_read(spark, p, "ts", lo=TS_LO + 5000, hi=TS_LO + 5999)
+           .filter((F.col("ts") >= TS_LO + 5000)
+                   & (F.col("ts") < TS_LO + 6000)).count())
+    assert got == df2.count()
+
+    # delete a statted file (compaction without manifest maintenance):
+    # its manifest row must not surface in the pruned file list
+    import glob
+    import os
+    victim = sorted(glob.glob(p + "/part-*.parquet"))[0]
+    os.remove(victim)
+    after = pruned_files(spark, p, "ts")
+    assert not any(f.endswith(os.path.basename(victim)) for f in after)
+    # and the pruned read still plans cleanly over what remains
+    remaining = spark.read.parquet(p).count()
+    assert pruned_read(spark, p, "ts",
+                       lo=TS_LO, hi=TS_HI).count() == remaining
 
 
 def test_partition_columns_survive_pruned_and_incremental_reads(

@@ -441,11 +441,34 @@ def test_hybrid_near_pairs_equals_sparse_exact(spark):
         assert (5, 200, 1.0) in hybrid
         vecs.unpersist()
 
+    # non-unit-norm inputs (r4 advice): scale whole docs by ±5% so ‖v‖²
+    # sits far from 1 — the candidate floor must come from the ACTUAL
+    # tail norms, not √(1−‖head‖²) (which would clip negative to 0 and
+    # under-bound). hybrid must stay bit-equal to the unpruned join.
     vecs = embed_docs(df, dim=64)
+    skew = vecs.withColumn(
+        "val", F.when(F.col("doc_id") % 3 == 0, F.col("val") * 1.05)
+                .otherwise(F.col("val") * 0.95)).cache()
+    h = {(r.d1, r.d2): r.cos
+         for r in hybrid_near_pairs(skew, threshold=0.6,
+                                    head_df_frac=0.1).collect()}
+    s = {(r.d1, r.d2): r.cos
+         for r in sparse_near_pairs(skew, threshold=0.6).collect()}
+    # completeness both ways away from the 4dp rounding boundary (the two
+    # operators sum in different float orders, so a pair sitting EXACTLY
+    # on a .00005 boundary may round to either side — the old √(1−‖head‖²)
+    # bug dropped pairs far above threshold, which this still catches)
+    assert {p for p, c in s.items() if c >= 0.6001} <= set(h)
+    assert {p for p, c in h.items() if c >= 0.6001} <= set(s)
+    assert all(abs(h[p] - s[p]) <= 1e-4 + 1e-12 for p in set(h) & set(s))
+    skew.unpersist()
+
     with _pytest.raises(ValueError, match="max_head_dims"):
         hybrid_near_pairs(vecs, threshold=0.6, head_df_frac=0.1,
                           max_head_dims=2)
-    with _pytest.raises(ValueError, match="capped"):
+    # the over-bound refusal names the driver-memory object and its byte
+    # size (r4 verdict #4): 121 docs x 64 head dims x 8B = 61,952 bytes
+    with _pytest.raises(ValueError, match=r"bytes of driver memory"):
         hybrid_near_pairs(vecs, threshold=0.6, max_dense_docs=10)
     # head cut above every df: degrades to the plain sparse join
     none_hot = hybrid_near_pairs(vecs, threshold=0.6, head_df_frac=2.0)
@@ -2511,3 +2534,19 @@ def test_unigram_train_learns_motif_and_encode_roundtrips(spark):
             list(range(len(seq)))
     # the motif piece is actually USED by the encoder
     assert any(len(p) > 1 for _, p in sorted(by_doc[0]))
+    # in-vocab encodings carry no OOV flag
+    assert all(not r.oov for r in enc)
+
+    # apply-corpus chars training never saw (r4 advice): the word splits
+    # into CHARACTERS with unknown chars flagged oov — never a silent
+    # whole-word pseudo-piece outside the piece table
+    unseen = spark.createDataFrame([(9, "abab q?x cd")],
+                                   "doc_id long, text string")
+    enc2 = sorted(unigram_encode(unseen, pieces).collect(),
+                  key=lambda r: r.pos)
+    assert "".join(r.piece for r in enc2) == "ababq?xcd"
+    mid = [r for r in enc2 if r.piece in ("q", "?", "x")]
+    assert [r.piece for r in mid] == ["q", "?", "x"]
+    assert [r.oov for r in mid] == [True, True, False]    # x IS in vocab
+    assert all(len(r.piece) == 1 or not r.oov for r in enc2)
+    assert all(r.piece in vocab for r in enc2 if not r.oov)

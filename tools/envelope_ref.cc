@@ -1,0 +1,89 @@
+// Differential-fuzz oracle for the envelope kernel (SURVEY.md §1.4).
+//
+// Reproduces Watch::filterLogLine (/root/reference/src/Watch.cc:377-426)
+// against the reference's own vendored nlohmann json
+// (/root/reference/include/json.hpp, v3.10.5) — the EXACT serializer the
+// C++ engine ships — with the wall-clock timestamp injected (the reference
+// calls get_timestamp(), src/Common.cc:253-270; the Spark kernel derives
+// the same "%lld.%.9ld" string from warc_ts, so both sides receive it as
+// input here).
+//
+// Protocol: one ASCII-JSON test case per stdin line
+//   {"ts": "...", "host": "...", "source": "...", "prd": "...",
+//    "log_type": "...", "line": "..."}
+// → one envelope per stdout line (envelopes never contain raw newlines:
+// the input is a single LINE and both serializers escape \n).
+//
+// Build: g++ -std=c++11 -O1 -I /root/reference/include tools/envelope_ref.cc
+// (tests/test_envelope_differential.py compiles it on demand and skips
+// when the compiler or the reference header is absent).
+
+#include <iostream>
+#include <string>
+#include <cstring>
+#include <cstdint>
+
+#include "json.hpp"
+
+using json = nlohmann::json;
+using std::string;
+
+static string filter_log_line(const string& unfiltered_log_line,
+                              const string& ts, const string& hostname,
+                              const string& watched_filepath,
+                              const string& product_code,
+                              const string& log_type) {
+    string filtered_log_line = unfiltered_log_line;
+    if (filtered_log_line.size() == 0) {
+        return filtered_log_line;
+    }
+
+    json log_entry = json::object();
+    log_entry["@timestamp"] = ts;
+    if (hostname.size()) log_entry["host"] = hostname;
+    if (watched_filepath.size()) log_entry["source"] = watched_filepath;
+    if (product_code.size()) log_entry["prd"] = product_code;
+    if (log_type.size()) log_entry["log_type"] = log_type;
+
+    if (filtered_log_line[0] != '{' && filtered_log_line[0] != '[') {
+        log_entry["log"] = filtered_log_line;
+    } else {
+        try {
+            json payload = json::parse(filtered_log_line);
+            log_entry["log_obj"] = payload;
+        } catch (std::exception&) {
+            log_entry["log"] = filtered_log_line;
+        }
+    }
+
+    return log_entry.dump();
+}
+
+int main(int argc, char** argv) {
+    std::ios::sync_with_stdio(false);
+    string tc_line;
+    if (argc > 1 && string(argv[1]) == "--dtoa") {
+        // float-serialization fuzz mode: one hex-encoded IEEE-754 bit
+        // pattern per line → nlohmann's rendering of that double
+        while (std::getline(std::cin, tc_line)) {
+            if (tc_line.empty()) continue;
+            std::uint64_t bits = std::stoull(tc_line, nullptr, 16);
+            double d;
+            std::memcpy(&d, &bits, sizeof d);
+            std::cout << json(d).dump() << "\n";
+        }
+        return 0;
+    }
+    while (std::getline(std::cin, tc_line)) {
+        if (tc_line.empty()) continue;
+        json tc = json::parse(tc_line);
+        std::cout << filter_log_line(
+                         tc["line"].get<string>(), tc["ts"].get<string>(),
+                         tc["host"].get<string>(),
+                         tc["source"].get<string>(),
+                         tc["prd"].get<string>(),
+                         tc["log_type"].get<string>())
+                  << "\n";
+    }
+    return 0;
+}

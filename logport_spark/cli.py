@@ -8,8 +8,12 @@ Spark job lifecycle, so what remains is:
     python -m logport_spark.cli run     --pages <dir> --out <dir> [--run-id r1]
     python -m logport_spark.cli resume  --pages <dir> --out <dir> [--run-id r2]
     python -m logport_spark.cli status  --out <dir>       # ledger summary
-    python -m logport_spark.cli routes                    # `logport watches`
-    python -m logport_spark.cli settings [--set k=v ...]  # precedence demo
+    python -m logport_spark.cli routes [--out <dir>]      # `logport watches`
+    python -m logport_spark.cli watch   --out <dir> --key <cat> --sink <tbl>
+    python -m logport_spark.cli unwatch --out <dir> --key <cat>
+    python -m logport_spark.cli set     --out <dir> <key> <value>
+    python -m logport_spark.cli unset   --out <dir> <key>
+    python -m logport_spark.cli settings [--out <dir>] [--set k=v ...]
     python -m logport_spark.cli deliver --out <dir> --broker <dir>  # wire → mock broker
     python -m logport_spark.cli adopt   --command 'cmd' --out <dir> # `logport adopt`
     python -m logport_spark.cli bench [--scaling]
@@ -175,21 +179,84 @@ def cmd_status(args) -> int:
     return 0
 
 
-def cmd_routes(_args) -> int:
-    """`logport watches` analog: print the routing table."""
-    from .config import ROUTES
-
-    for r in ROUTES:
-        print(f"{r.id}\t{r.route_key}\t{r.sink}\t{r.producer_type}\t"
-              f"{r.brokers}\t{r.product_code or '-'}\t{r.log_type or '-'}\t{r.hostname}")
+def cmd_routes(args) -> int:
+    """`logport watches` analog: print the routing table — persisted
+    mutations under --out when given, the built-in seed otherwise."""
+    rows = _route_rows(getattr(args, "out", None))
+    for r in rows:
+        print(f"{r['id']}\t{r['route_key']}\t{r['sink']}\t"
+              f"{r['producer_type']}\t{r['brokers']}\t"
+              f"{r['product_code'] or '-'}\t{r['log_type'] or '-'}\t"
+              f"{r['hostname']}")
     return 0
 
 
+def _route_rows(out_dir: str | None) -> list[dict]:
+    if out_dir:
+        from .store import ConfigStore
+
+        return ConfigStore(out_dir).list_routes()
+    from .config import routes_rows
+
+    return routes_rows()
+
+
+def cmd_watch(args) -> int:
+    """`logport watch <file> <topic>` analog: persist a route upsert
+    (src/LogPort.cc:848-883 writes the watches table; store.py writes
+    <out>/config/routes.parquet)."""
+    from .store import ConfigStore
+
+    spec = ConfigStore(args.out).watch(
+        args.key, args.sink, brokers=args.brokers,
+        product_code=args.prd or "", log_type=args.log_type or "",
+        hostname=args.hostname or "")
+    print(json.dumps({"watched": spec.route_key, "sink": spec.sink,
+                      "producer_type": spec.producer_type, "id": spec.id}))
+    return 0
+
+
+def cmd_unwatch(args) -> int:
+    """`logport unwatch <file>` analog: persist a route delete."""
+    from .store import ConfigStore
+
+    removed = ConfigStore(args.out).unwatch(args.key)
+    print(json.dumps({"unwatched": args.key, "existed": removed}))
+    return 0 if removed else 1
+
+
+def cmd_set(args) -> int:
+    """`logport set <key> <value>`: persist a setting
+    (src/LogPort.cc:1221-1273)."""
+    from .store import ConfigStore
+
+    ConfigStore(args.out).set(args.key, args.value)
+    print(json.dumps({"set": args.key, "value": args.value}))
+    return 0
+
+
+def cmd_unset(args) -> int:
+    """`logport unset <key>`: remove a persisted setting — lookups fall
+    back to the hardcoded default, logport's unset semantics."""
+    from .store import ConfigStore
+
+    existed = ConfigStore(args.out).unset(args.key)
+    print(json.dumps({"unset": args.key, "existed": existed}))
+    return 0 if existed else 1
+
+
 def cmd_settings(args) -> int:
-    """Settings with env > set > default precedence (src/LogPort.cc:961-1048)."""
+    """Settings with env > stored/--set > default precedence
+    (src/LogPort.cc:961-1048). With --out, the persisted store feeds the
+    stored tier; --set k=v overlays for THIS invocation only (use the
+    `set` verb to persist)."""
     from .config import Settings
 
     s = Settings()
+    if getattr(args, "out", None):
+        from .store import ConfigStore
+
+        s.values.update(ConfigStore(args.out).settings_values())
     for kv in args.set or []:
         k, _, v = kv.partition("=")
         s.values[k] = v
@@ -308,10 +375,36 @@ def main(argv: list[str] | None = None) -> int:
     common(sp)
     sp.set_defaults(fn=cmd_status)
     sp = sub.add_parser("routes")
+    sp.add_argument("--out", default=None,
+                    help="out_dir whose persisted route mutations to show")
     sp.set_defaults(fn=cmd_routes)
     sp = sub.add_parser("settings")
     sp.add_argument("--set", action="append")
+    sp.add_argument("--out", default=None,
+                    help="out_dir whose persisted settings feed the stored tier")
     sp.set_defaults(fn=cmd_settings)
+    sp = sub.add_parser("watch")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--key", required=True, help="route_key (category)")
+    sp.add_argument("--sink", required=True)
+    sp.add_argument("--brokers", default="kafka://localhost:9092")
+    sp.add_argument("--prd", default="")
+    sp.add_argument("--log-type", dest="log_type", default="")
+    sp.add_argument("--hostname", default="")
+    sp.set_defaults(fn=cmd_watch)
+    sp = sub.add_parser("unwatch")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--key", required=True)
+    sp.set_defaults(fn=cmd_unwatch)
+    sp = sub.add_parser("set")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("key")
+    sp.add_argument("value")
+    sp.set_defaults(fn=cmd_set)
+    sp = sub.add_parser("unset")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("key")
+    sp.set_defaults(fn=cmd_unset)
     sp = sub.add_parser("adopt")
     sp.add_argument("--command", required=True)
     sp.add_argument("--out", required=True)

@@ -67,9 +67,32 @@ def url_blocklist(pages: DataFrame, blocklist: list[str],
     )
 
 
-def load_lookups(spark: SparkSession) -> dict[str, DataFrame]:
+def load_lookups(spark: SparkSession,
+                 config_dir: str | None = None) -> dict[str, DataFrame]:
+    """Lookup tables for the broadcast joins. When ``config_dir`` names an
+    out_dir whose ConfigStore holds persisted route mutations
+    (`watch`/`unwatch` CLI verbs, store.py), those routes REPLACE the
+    built-in seed — the run consumes the same bytes the CLI wrote, the
+    logport watches-table contract. Absent store (the common case): the
+    static defaults, zero extra cost."""
     paths = ensure_lookups()
-    return {name: spark.read.parquet(path) for name, path in paths.items()}
+    out = {name: spark.read.parquet(path) for name, path in paths.items()}
+    if config_dir is not None:
+        import os
+
+        from ..store import ConfigStore
+
+        store = ConfigStore(config_dir)
+        if os.path.exists(store.routes_path):
+            rows = store.list_routes()
+            out["routes"] = spark.createDataFrame(
+                [(r["id"], r["route_key"], r["sink"], r["producer_type"],
+                  r["brokers"], r["product_code"], r["log_type"],
+                  r["hostname"]) for r in rows],
+                "id long, route_key string, sink string, "
+                "producer_type string, brokers string, product_code string, "
+                "log_type string, hostname string")
+    return out
 
 
 def enrich(df: DataFrame, lookups: dict[str, DataFrame]) -> DataFrame:

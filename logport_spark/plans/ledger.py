@@ -228,7 +228,9 @@ def run_with_ledger(
     todo = remaining_pages(spark, pages, out_dir, n_buckets)
     if only_buckets is not None:
         todo = todo.filter(F.col("bucket").isin(only_buckets))
-    routed = parsed_routed(spark, todo.drop("bucket"))
+    # persisted watch/unwatch mutations under THIS out_dir (store.py) bind
+    # to its runs — the logport watches-table contract
+    routed = parsed_routed(spark, todo.drop("bucket"), config_dir=out_dir)
     routed = with_bucket(routed, n_buckets)
     _write_sinks(routed, out_dir)
     # Ledger rows: per-bucket aggregates computed from the JUST-WRITTEN sink

@@ -22,13 +22,16 @@ from ..operators import route as R
 
 
 def routed_from_lines(spark: SparkSession, lines: DataFrame,
-                      scrub_enabled: bool = False) -> DataFrame:
+                      scrub_enabled: bool = False,
+                      config_dir: str | None = None) -> DataFrame:
     """Enrich→route→envelope over an already line-framed DataFrame
     (url, warc_ts, lang, line_no, line) — the shared tail of the DAG, used
     by the page path (below), the dead-letter replay union
     (plans/ledger.replay_quarantine) and the adopt process-output source
-    (streaming/adopt.py), so every entry point ships IDENTICAL records."""
-    lookups = E.load_lookups(spark)
+    (streaming/adopt.py), so every entry point ships IDENTICAL records.
+    ``config_dir``: an out_dir whose persisted route mutations (store.py)
+    override the built-in routing table."""
+    lookups = E.load_lookups(spark, config_dir=config_dir)
     lines = P.scrub(lines, enabled=scrub_enabled)
     lines = E.with_domain(lines)
     lines = E.enrich(lines, lookups)
@@ -42,9 +45,12 @@ def routed_from_lines(spark: SparkSession, lines: DataFrame,
     )
 
 
-def parsed_routed(spark: SparkSession, pages: DataFrame, scrub_enabled: bool = False) -> DataFrame:
+def parsed_routed(spark: SparkSession, pages: DataFrame,
+                  scrub_enabled: bool = False,
+                  config_dir: str | None = None) -> DataFrame:
     """Full parse→enrich→route DataFrame (no write). Columns: ROUTED_COLS + line."""
-    return routed_from_lines(spark, P.explode_lines(pages), scrub_enabled)
+    return routed_from_lines(spark, P.explode_lines(pages), scrub_enabled,
+                             config_dir=config_dir)
 
 
 def sink_metrics(routed: DataFrame) -> DataFrame:

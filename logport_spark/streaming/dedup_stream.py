@@ -248,38 +248,98 @@ def _fs_swap(spark: SparkSession, tmp: str, dst: str) -> None:
         raise IOError(f"rename {tmp} -> {dst} failed")
 
 
+def last_committed_batch(checkpoint_dir: str) -> int:
+    """Highest micro-batch id the Structured Streaming checkpoint has
+    COMMITTED (the `commits/<id>` write-ahead markers), or -1 if none. A
+    batch whose outputs exist but whose commit marker doesn't will be
+    REPLAYED on restart — retention/compaction must leave its partitions
+    alone (fold them and the replay would self-match against its own
+    state, silently emptying the batch — the r4 crash-replay bug,
+    reintroducible through careless compaction)."""
+    import os
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return -1
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    return max(ids, default=-1)
+
+
+def _fold_partitions(spark: SparkSession, path: str, ddl: str,
+                     fold_max: int | None, repartition, parts: list[str],
+                     ) -> None:
+    """Rewrite a batch_id-partitioned state dir: batches <= fold_max (and
+    the prior -1 generation) merge into batch_id=-1; newer (possibly
+    uncommitted) batches are rewritten under their own batch_id. The swap
+    is crash-safe delete+rename (sibling .compact dir)."""
+    df = spark.read.schema(ddl + ", batch_id long").parquet(path)
+    if fold_max is None:
+        folded = df.drop("batch_id").withColumn(
+            "batch_id", F.lit(-1).cast("long"))
+    else:
+        folded = df.withColumn(
+            "batch_id",
+            F.when(F.col("batch_id") <= F.lit(fold_max),
+                   F.lit(-1).cast("long")).otherwise(F.col("batch_id")))
+    (repartition(folded)
+     .write.mode("overwrite").partitionBy("batch_id", *parts)
+     .parquet(path + ".compact"))
+    _fs_swap(spark, path + ".compact", path)
+
+
 def compact_dedup_state(spark: SparkSession, out_dir: str,
-                        sig_files: int = 8) -> None:
-    """Offline state maintenance: merge every batch_id partition into one
+                        sig_files: int = 8,
+                        checkpoint_dir: str | None = None) -> None:
+    """Offline state maintenance: merge batch_id partitions into one
     compacted batch_id=-1 generation, so state file count stays bounded
-    over a long-lived stream (thousands of micro-batches → thousands of
-    tiny partitions otherwise). Bands keep their kb sub-partitioning (one
-    file per key bucket — the pruning contract is unchanged); sigs coalesce
-    to `sig_files`. Run with the stream stopped.
+    over a long-lived stream (a month-deep stream is ~10^4-10^5
+    micro-batches → that many tiny partitions and a linearly growing
+    listing cost otherwise). Bands keep their kb sub-partitioning (one
+    file per key bucket — the pruning contract is unchanged); sigs
+    coalesce to `sig_files`. Run with the stream stopped.
+
+    Retention safety (r4 verdict #7): with ``checkpoint_dir`` given, only
+    batches the checkpoint has COMMITTED are folded — a crashed batch's
+    partitions survive under their own batch_id, so the restart replay
+    still excludes them via the batch_id != current filter instead of
+    self-matching against a folded copy. Without a checkpoint_dir the
+    caller asserts a CLEAN shutdown (everything folds, the original
+    behavior).
 
     Crash safety: the new generation is written to a sibling `.compact`
     dir and swapped in with delete+rename. If the swap itself dies between
     the two operations, state is rebuildable — it is a pure function of
     clean/ (signatures + band rows of the kept docs), no information lives
     only in state/."""
-    sigs_dir = out_dir.rstrip("/") + "/state/sigs"
-    bands_dir = out_dir.rstrip("/") + "/state/bands"
+    fold_max = (None if checkpoint_dir is None
+                else last_committed_batch(checkpoint_dir))
+    _fold_partitions(
+        spark, out_dir.rstrip("/") + "/state/bands",
+        "band int, key long, doc_id long, kb int", fold_max,
+        lambda df: df.repartition("batch_id", "kb"), ["kb"])
+    # round-robin repartition: ≤ sig_files files PER surviving batch_id
+    # dir — file count stays ≤ sig_files × generations
+    _fold_partitions(
+        spark, out_dir.rstrip("/") + "/state/sigs",
+        "doc_id long, sig array<long>", fold_max,
+        lambda df: df.repartition(sig_files), [])
 
-    bands = (spark.read
-             .schema("band int, key long, doc_id long, kb int, batch_id long")
-             .parquet(bands_dir)
-             .drop("batch_id").withColumn("batch_id", F.lit(-1).cast("long")))
-    (bands.repartition("kb")
-     .write.mode("overwrite").partitionBy("batch_id", "kb")
-     .parquet(bands_dir + ".compact"))
 
-    sigs = (spark.read
-            .schema("doc_id long, sig array<long>, batch_id long")
-            .parquet(sigs_dir)
-            .drop("batch_id").withColumn("batch_id", F.lit(-1).cast("long")))
-    (sigs.repartition(sig_files)
-     .write.mode("overwrite").partitionBy("batch_id")
-     .parquet(sigs_dir + ".compact"))
-
-    _fs_swap(spark, bands_dir + ".compact", bands_dir)
-    _fs_swap(spark, sigs_dir + ".compact", sigs_dir)
+def compact_clean(spark: SparkSession, out_dir: str,
+                  checkpoint_dir: str | None = None,
+                  files: int = 16) -> None:
+    """Retention for the OUTPUT view: fold committed clean/ batch
+    partitions into batch_id=-1 so downstream reads list O(generations)
+    files instead of O(micro-batches). Only committed batches fold (same
+    replay argument as compact_dedup_state: a replayed batch overwrites
+    its OWN batch_id partition idempotently — folding it first would leave
+    its rows duplicated in -1). Row content is untouched; every reader of
+    clean/ sees the identical document set."""
+    fold_max = (None if checkpoint_dir is None
+                else last_committed_batch(checkpoint_dir))
+    clean_dir = out_dir.rstrip("/") + "/clean"
+    schema = spark.read.parquet(clean_dir).drop("batch_id").schema
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in schema.fields)
+    _fold_partitions(spark, clean_dir, ddl, fold_max,
+                     lambda df: df.repartition(files), [])

@@ -172,29 +172,50 @@ def read_crawl_frontier(spark: SparkSession, out_dir: str,
 
 
 def compact_linkgraph_state(spark: SparkSession, out_dir: str,
-                            link_files: int = 8) -> None:
-    """Offline state maintenance: fold every batch_id partition into one
+                            link_files: int = 8,
+                            checkpoint_dir: str | None = None) -> None:
+    """Offline state maintenance: fold batch_id partitions into one
     batch_id=-1 generation, re-aggregating links at the partial grain (the
     merge is associative, so compaction never changes any view's answer).
     Same crash-safe delete+rename generation swap as compact_dedup_state;
-    run with the stream stopped."""
-    from .dedup_stream import _fs_swap
+    run with the stream stopped.
 
+    Retention safety (r4 verdict #7, same argument as compact_dedup_state):
+    with ``checkpoint_dir`` given, only COMMITTED batches fold — a crashed
+    batch's partitions stay under their own batch_id, so the restart's
+    idempotent re-write of that partition cannot double-count its links
+    against a folded copy in the -1 generation."""
+    from .dedup_stream import _fs_swap, last_committed_batch
+
+    fold_max = (None if checkpoint_dir is None
+                else last_committed_batch(checkpoint_dir))
     links_dir = out_dir.rstrip("/") + "/state/links"
     hosts_dir = out_dir.rstrip("/") + "/state/hosts"
 
-    links = (
-        _read_links(spark, out_dir)
-        .groupBy("src_domain", "dst_domain", "src_url", "anchor")
+    raw = (spark.read.schema(_LINKS_DDL + ", batch_id long")
+           .parquet(links_dir))
+    fold = raw if fold_max is None else raw.filter(
+        F.col("batch_id") <= fold_max)
+    folded = (
+        fold.groupBy("src_domain", "dst_domain", "src_url", "anchor")
         .agg(F.sum("n").alias("n"))
         .withColumn("batch_id", F.lit(-1).cast("long"))
     )
-    (links.repartition(link_files)
+    if fold_max is not None:
+        folded = folded.unionByName(
+            raw.filter(F.col("batch_id") > fold_max))
+    (folded.repartition(link_files)
      .write.mode("overwrite").partitionBy("batch_id")
      .parquet(links_dir + ".compact"))
 
-    hosts = (read_crawled_hosts(spark, out_dir)
+    raw_h = (spark.read.schema("domain string, batch_id long")
+             .parquet(hosts_dir))
+    fold_h = raw_h if fold_max is None else raw_h.filter(
+        F.col("batch_id") <= fold_max)
+    hosts = (fold_h.select("domain").distinct()
              .withColumn("batch_id", F.lit(-1).cast("long")))
+    if fold_max is not None:
+        hosts = hosts.unionByName(raw_h.filter(F.col("batch_id") > fold_max))
     (hosts.coalesce(1)
      .write.mode("overwrite").partitionBy("batch_id")
      .parquet(hosts_dir + ".compact"))

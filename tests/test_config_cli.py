@@ -42,6 +42,99 @@ def test_cli_settings(capsys):
     assert "default.sink=sink_default" in out
 
 
+def test_cli_watch_unwatch_set_unset_roundtrip(tmp_path, capsys):
+    """r4 verdict #6: watch/unwatch/set/unset PERSIST across separate CLI
+    invocations (src/LogPort.cc:848-883,1221-1273 persist to SQLite; here
+    <out>/config/*.parquet), and env > stored > default precedence holds."""
+    import json
+    import os
+
+    out = str(tmp_path / "out")
+
+    # add → list: the new route appears alongside the seed
+    assert cli.main(["watch", "--out", out, "--key", "video",
+                     "--sink", "sink_video",
+                     "--brokers", "https://collector:9/logs",
+                     "--prd", "prd9000"]) == 0
+    w = json.loads(capsys.readouterr().out)
+    assert w["producer_type"] == "HTTP" and w["id"] == 8
+    assert cli.main(["routes", "--out", out]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 8 and any("sink_video" in ln for ln in lines)
+    # a fresh invocation WITHOUT --out still shows the untouched seed
+    assert cli.main(["routes"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 7
+
+    # upsert: same key, new sink — id stable, no duplicate row
+    assert cli.main(["watch", "--out", out, "--key", "video",
+                     "--sink", "sink_video2"]) == 0
+    assert json.loads(capsys.readouterr().out)["id"] == 8
+    assert cli.main(["routes", "--out", out]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 8 and any("sink_video2" in ln for ln in lines)
+
+    # remove → list: gone; removing again reports missing (rc 1)
+    assert cli.main(["unwatch", "--out", out, "--key", "video"]) == 0
+    capsys.readouterr()
+    assert cli.main(["routes", "--out", out]) == 0
+    assert not any("sink_video" in ln
+                   for ln in capsys.readouterr().out.splitlines())
+    assert cli.main(["unwatch", "--out", out, "--key", "video"]) == 1
+    capsys.readouterr()
+    # the catch-all is protected
+    with pytest.raises(ValueError, match="__default__"):
+        from logport_spark.store import ConfigStore
+
+        ConfigStore(out).unwatch("__default__")
+
+    # settings: set persists, env still wins, unset falls back to default
+    assert cli.main(["set", "--out", out, "salt.buckets", "42"]) == 0
+    capsys.readouterr()
+    assert cli.main(["settings", "--out", out]) == 0
+    assert "salt.buckets=42" in capsys.readouterr().out
+    os.environ["LOGPORT_SPARK_SALT_BUCKETS"] = "77"
+    try:
+        assert cli.main(["settings", "--out", out]) == 0
+        assert "salt.buckets=77" in capsys.readouterr().out
+    finally:
+        del os.environ["LOGPORT_SPARK_SALT_BUCKETS"]
+    assert cli.main(["unset", "--out", out, "salt.buckets"]) == 0
+    capsys.readouterr()
+    assert cli.main(["settings", "--out", out]) == 0
+    assert "salt.buckets=16" in capsys.readouterr().out
+    assert cli.main(["unset", "--out", out, "salt.buckets"]) == 1
+
+
+def test_persisted_routes_bind_to_runs(spark, pages_small, tmp_path,
+                                       capsys, monkeypatch):
+    """A watch mutation persisted under an out_dir changes where THAT
+    out_dir's runs route records — load_lookups reads the store's parquet,
+    so the CLI and the pipeline consume the same bytes."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.store import ConfigStore
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    pages_small.write.parquet(pages_dir)
+    # redirect the 'news' category to a brand-new sink before the run
+    ConfigStore(out_dir).watch("news", "sink_news_v2",
+                               brokers="kafka://k9:9092",
+                               product_code="prd5000")
+    monkeypatch.setattr(cli, "_spark", lambda cpus=None: spark)
+    assert cli.main(["run", "--pages", pages_dir, "--out", out_dir,
+                     "--run-id", "cfg1", "--buckets", "8"]) == 0
+    capsys.readouterr()
+    sinks = {r.sink for r in spark.read.parquet(out_dir + "/sinks")
+             .select("sink").distinct().collect()}
+    assert "sink_news_v2" in sinks and "sink_news" not in sinks
+    # the rerouted records carry the mutated envelope constant too
+    rec = (spark.read.parquet(out_dir + "/sinks")
+           .filter(F.col("sink") == "sink_news_v2")
+           .select("record").first().record)
+    assert '"prd":"prd5000"' in rec
+
+
 def test_cli_run_and_status(spark, pages_small, tmp_path, capsys, monkeypatch):
     """End-to-end CLI: run over a parquet pages dir, then status."""
     import json

@@ -128,3 +128,41 @@ def test_linkgraph_compaction_preserves_answers(spark, lg_pages_dir,
     n_files = len([f for f in os.listdir(links_dir + "/batch_id=-1")
                    if f.endswith(".parquet")])
     assert n_files <= 2
+
+
+def test_linkgraph_compaction_spares_uncommitted_batch(spark, lg_pages_dir,
+                                                       tmp_path_factory):
+    """r4 verdict #7: with checkpoint_dir passed, a crashed (uncommitted)
+    batch's link/host partitions survive compaction under their own
+    batch_id, so the restart's idempotent partition overwrite cannot
+    double-count them against a folded copy — views unchanged after
+    compact → replay → full compact."""
+    out = str(tmp_path_factory.mktemp("lg_retain_out"))
+    ckpt = str(tmp_path_factory.mktemp("lg_retain_ckpt"))
+    run_stream_linkgraph(spark, lg_pages_dir, out, ckpt, max_files=1)
+    g_before = _canon_graph(read_host_graph(spark, out))
+    last = max(int(f) for f in os.listdir(ckpt + "/commits")
+               if f.isdigit())
+    assert last >= 1
+
+    os.remove(f"{ckpt}/commits/{last}")
+    crc = f"{ckpt}/commits/.{last}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    compact_linkgraph_state(spark, out, link_files=2, checkpoint_dir=ckpt)
+    parts = {p for p in os.listdir(out + "/state/links")
+             if p.startswith("batch_id=")}
+    assert parts == {"batch_id=-1", f"batch_id={last}"}, parts
+    # views already equal (fold is associative, kept batch still counted)
+    assert _canon_graph(read_host_graph(spark, out)) == g_before
+
+    # restart replays the crashed batch; views unchanged
+    run_stream_linkgraph(spark, lg_pages_dir, out, ckpt, max_files=1)
+    assert _canon_graph(read_host_graph(spark, out)) == g_before
+
+    # clean shutdown → full fold
+    compact_linkgraph_state(spark, out, link_files=2, checkpoint_dir=ckpt)
+    assert {p for p in os.listdir(out + "/state/links")
+            if p.startswith("batch_id=")} == {"batch_id=-1"}
+    assert _canon_graph(read_host_graph(spark, out)) == g_before

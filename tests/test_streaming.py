@@ -443,6 +443,75 @@ def test_compact_dedup_state_preserves_drops_and_bounds_files(
     assert clean == {0, 2, 5, 11}, clean
 
 
+def test_compaction_spares_uncommitted_batches_and_replay_stays_lossless(
+        spark, tmp_path_factory):
+    """r4 verdict #7 (retention follow-through): compaction run while the
+    checkpoint holds an UNCOMMITTED batch must not fold that batch's state
+    into the -1 generation — folding it would make the restart replay
+    self-match against its own signatures and silently empty the batch
+    (the r4 crash-replay bug, reintroduced through maintenance). With
+    checkpoint_dir passed, the crashed batch's partitions survive under
+    their own batch_id and the replay remains lossless; compact_clean
+    bounds the output listing the same way."""
+    import glob
+    import os
+
+    from logport_spark.streaming.dedup_stream import (
+        compact_clean,
+        compact_dedup_state,
+        run_stream_minhash_dedup,
+    )
+
+    d = str(tmp_path_factory.mktemp("docs_retain"))
+    out = str(tmp_path_factory.mktemp("dedup_retain_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_retain_ckpt"))
+    _write_docs(d, "b1", [(0, _DEDUP_BASE), (2, _DEDUP_UNIQ)])
+    _write_docs(d, "b2", [(5, " ".join(reversed(_DEDUP_UNIQ.split()))
+                           + " tail")])
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+
+    # crash: batch 1's outputs are on disk, its commit marker is not
+    os.remove(ckpt + "/commits/1")
+    crc = ckpt + "/commits/.1.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    compact_dedup_state(spark, out, sig_files=2, checkpoint_dir=ckpt)
+    compact_clean(spark, out, checkpoint_dir=ckpt, files=2)
+    for sub in ("state/sigs", "state/bands", "clean"):
+        parts = {p for p in os.listdir(f"{out}/{sub}")
+                 if p.startswith("batch_id=")}
+        assert parts == {"batch_id=-1", "batch_id=1"}, (sub, parts)
+
+    # restart: batch 1 replays against state that still EXCLUDES its own
+    # partition — no self-match, no lost docs
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+    clean = {r["doc_id"] for r in
+             spark.read.parquet(out + "/clean").select("doc_id").collect()}
+    assert clean == {0, 2, 5}, f"replay lost docs: {clean}"
+
+    # stream moves on: a near-dup of a folded (batch-0) doc still drops
+    _write_docs(d, "b3", [(10, _DEDUP_BASE + " extra"),
+                          (11, "totally different words " * 5)])
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+    clean = {r["doc_id"] for r in
+             spark.read.parquet(out + "/clean").select("doc_id").collect()}
+    assert clean == {0, 2, 5, 11}, clean
+
+    # clean shutdown → full fold: file count bounded by constant × 1 gen
+    compact_dedup_state(spark, out, sig_files=2, checkpoint_dir=ckpt)
+    compact_clean(spark, out, checkpoint_dir=ckpt, files=2)
+    for sub, cap in (("state/sigs", 2), ("clean", 2)):
+        parts = {p for p in os.listdir(f"{out}/{sub}")
+                 if p.startswith("batch_id=")}
+        assert parts == {"batch_id=-1"}, (sub, parts)
+        n = len(glob.glob(f"{out}/{sub}/batch_id=-1/*.parquet"))
+        assert n <= cap, (sub, n)
+    # post-retention content identical
+    assert {r["doc_id"] for r in spark.read.parquet(out + "/clean")
+            .select("doc_id").collect()} == {0, 2, 5, 11}
+
+
 def test_adopt_socket_source_ships_identical_records(spark, tmp_path_factory):
     """S5 adopt (streaming/adopt.py): lines piped over a socket must ship
     byte-identical to the same lines fed through the batch envelope path —

@@ -483,7 +483,8 @@ def repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def unigram_logprob(docs: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id") -> DataFrame:
+                    id_col: str = "doc_id",
+                    distinct_preagg: bool = True) -> DataFrame:
     """LM-based quality scoring (the CCNet/Gopher perplexity filter), with a
     deterministic self-trained stand-in: per-doc mean -log2 p(token) under
     the corpus's own unigram distribution. Documents full of corpus-typical
@@ -495,26 +496,41 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     pandas UDF; `bits_per_token` keeps its meaning and the downstream
     threshold just retunes.
 
-    Plan shape: explode → (doc_id, tok) count — the JOIN INPUT IS PER-DOC
-    DISTINCT TOKENS, not per occurrence: "the" reaches the token-keyed
-    shuffle once per document instead of once per use, cutting join input
-    ~3-10× and blunting the Zipf hot-key skew (the r3 plan audit's one
-    remaining agg nit). The vocab is the sum of those partial counts, the
-    per-doc score the count-weighted mean — bit-identical to the
-    per-occurrence avg. All linear; the vocabulary count table is
-    corpus-bounded, never collected."""
+    Plan shape — two bit-identical variants, chosen by ``distinct_preagg``:
+
+    * True (default): explode → (doc_id, tok) count — the join input is
+      PER-DOC DISTINCT TOKENS, not per occurrence: "the" reaches the
+      token-keyed shuffle once per document instead of once per use. On
+      real Zipf text this cuts join input ~3-10× and, more importantly,
+      BOUNDS any single token's join rows at n_docs — the hot-key skew
+      guard a 10^12-doc corpus needs (the r3 plan audit item).
+    * False: occurrences join directly (one less shuffle). On LOW-
+      repetition corpora the pre-agg shrinks nothing and is pure cost —
+      the r5 quiet-box 5M ladder measured 30.5s per-occurrence vs 44.8s
+      pre-agg (~1.5×) on the uniform synthetic fixture
+      (BENCH/BASELINE.md "lm_bits 5M re-measure"). Use when per-doc token
+      repetition is known to be low AND the token distribution is not
+      heavily skewed.
+
+    Either way the vocab is the sum of partial counts and the per-doc
+    score a (count-weighted) mean — outputs are bit-identical (pytest-
+    pinned). All linear; the vocabulary count table is corpus-bounded,
+    never collected."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    doc_toks = toks.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).alias("tc"))
-    vocab = doc_toks.groupBy("tok").agg(F.sum("tc").alias("c"))
+    if distinct_preagg:
+        units = toks.groupBy("doc_id", "tok").agg(
+            F.count(F.lit(1)).alias("tc"))
+    else:
+        units = toks.withColumn("tc", F.lit(1).cast("long"))
+    vocab = units.groupBy("tok").agg(F.sum("tc").alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
     logp = vocab.crossJoin(F.broadcast(total)).select(
         "tok", F.log2(F.col("c") / F.col("n")).alias("lp"))
     return (
-        doc_toks.join(logp, "tok")
+        units.join(logp, "tok")
         .groupBy("doc_id")
         .agg(
             F.sum("tc").alias("n_scored"),

@@ -1098,6 +1098,13 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[3]["bits_per_token"] == round(-lp_z, 4)
     assert got[2]["bits_per_token"] < got[3]["bits_per_token"]
     assert got[1]["n_scored"] == 3
+    # the per-occurrence plan variant (distinct_preagg=False — the r5
+    # quiet-ladder winner on low-repetition corpora) is bit-identical
+    alt = {r["doc_id"]: r for r in
+           unigram_logprob(docs, distinct_preagg=False).collect()}
+    assert {(k, v["n_scored"], v["bits_per_token"])
+            for k, v in alt.items()} == \
+        {(k, v["n_scored"], v["bits_per_token"]) for k, v in got.items()}
 
 
 def test_dedup_lines_corpus_semantics(spark):

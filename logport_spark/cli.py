@@ -306,6 +306,29 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_compact_state(args) -> int:
+    """Streaming-state retention (the maintenance twin of `compact` for
+    the cross-batch dedup stream): fold committed batch partitions into
+    the -1 generation — state listing cost stays O(generations) over a
+    month-deep stream. Pass --checkpoint so a crashed batch's partitions
+    survive for its replay (omit ONLY after a clean shutdown)."""
+    from .streaming.dedup_stream import (compact_clean, compact_dedup_state,
+                                         last_committed_batch)
+
+    spark = _spark(args.cpus)
+    kwargs = {"checkpoint_dir": args.checkpoint} if args.checkpoint else {}
+    compact_dedup_state(spark, args.out, sig_files=args.sig_files, **kwargs)
+    if args.clean:
+        compact_clean(spark, args.out, **kwargs)
+    print(json.dumps({
+        "out": args.out,
+        "folded_through_batch": (last_committed_batch(args.checkpoint)
+                                 if args.checkpoint else None),
+        "clean_folded": bool(args.clean),
+    }))
+    return 0
+
+
 def cmd_manifest(args) -> int:
     """Build or refresh the per-file min/max statistics table for a parquet
     directory (plans/manifest.write_manifest) and report per-column file
@@ -421,6 +444,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--target-mb", type=int, default=128)
     common(sp)
     sp.set_defaults(fn=cmd_compact)
+    sp = sub.add_parser("compact-state")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--checkpoint", default=None,
+                    help="stream checkpoint dir; folds only committed "
+                         "batches (omit only after a clean shutdown)")
+    sp.add_argument("--sig-files", dest="sig_files", type=int, default=8)
+    sp.add_argument("--clean", action="store_true",
+                    help="also fold the clean/ output view")
+    common(sp)
+    sp.set_defaults(fn=cmd_compact_state)
     sp = sub.add_parser("manifest")
     sp.add_argument("--path", required=True)
     sp.add_argument("--columns", default=None,

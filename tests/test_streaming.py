@@ -512,6 +512,36 @@ def test_compaction_spares_uncommitted_batches_and_replay_stays_lossless(
             .select("doc_id").collect()} == {0, 2, 5, 11}
 
 
+def test_cli_compact_state_verb(spark, tmp_path_factory, capsys, monkeypatch):
+    """The compact-state CLI verb drives checkpoint-aware retention end to
+    end: committed batches fold to -1, clean/ folds with --clean, and the
+    printed JSON names the fold boundary."""
+    import json as _json
+    import os
+
+    from logport_spark import cli
+    from logport_spark.streaming.dedup_stream import run_stream_minhash_dedup
+
+    d = str(tmp_path_factory.mktemp("docs_cliretain"))
+    out = str(tmp_path_factory.mktemp("cliretain_out"))
+    ckpt = str(tmp_path_factory.mktemp("cliretain_ckpt"))
+    _write_docs(d, "b1", [(0, _DEDUP_BASE), (2, _DEDUP_UNIQ)])
+    _write_docs(d, "b2", [(5, " ".join(reversed(_DEDUP_UNIQ.split()))
+                           + " tail")])
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+
+    monkeypatch.setattr(cli, "_spark", lambda cpus=None: spark)
+    assert cli.main(["compact-state", "--out", out, "--checkpoint", ckpt,
+                     "--sig-files", "2", "--clean"]) == 0
+    res = _json.loads(capsys.readouterr().out)
+    assert res["folded_through_batch"] == 1 and res["clean_folded"]
+    for sub in ("state/sigs", "state/bands", "clean"):
+        assert {p for p in os.listdir(f"{out}/{sub}")
+                if p.startswith("batch_id=")} == {"batch_id=-1"}, sub
+    assert {r["doc_id"] for r in spark.read.parquet(out + "/clean")
+            .select("doc_id").collect()} == {0, 2, 5}
+
+
 def test_adopt_socket_source_ships_identical_records(spark, tmp_path_factory):
     """S5 adopt (streaming/adopt.py): lines piped over a socket must ship
     byte-identical to the same lines fed through the batch envelope path —

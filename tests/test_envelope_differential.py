@@ -220,6 +220,61 @@ def test_dtoa_matches_reference_on_fuzzed_doubles(harness):
     assert not bad, f"{len(bad)} dtoa mismatches; first 5: {bad[:5]}"
 
 
+def test_observer_dialect_matches_reference(spark, harness):
+    """The SECOND envelope dialect (Observer::addLogEntry,
+    src/Observer.cc:128-149 + the 7-case escaper Common.cc:227-250):
+    three-way byte equality — Python observer_entry ≡ the JVM
+    observer_line_col column ≡ the reference semantics compiled into the
+    harness — over adversarial lines (raw control bytes pass UNescaped in
+    this dialect; '{' prefixes embed raw without validation)."""
+    from logport_spark.observability import observer_entry
+
+    rng = random.Random(424242)
+    lines = []
+    for _ in range(4000):
+        r = rng.random()
+        if r < 0.4:
+            lines.append(_weird_string(rng) or "x")
+        elif r < 0.7:
+            lines.append(_valid_json_line(rng))
+        elif r < 0.85:
+            lines.append(rng.choice(_MALFORMED))   # '{' garbage embeds RAW
+        else:
+            lines.append(_text(rng, rng.randint(1, 40),
+                               _string.printable.replace("\n", "")
+                               .replace("\r", "")))
+    cases = [{"id": i,
+              "log": ln.replace("\n", " ").replace("\r", " ") or "x",
+              "ts": f"160000{i:04d}.{i % 1000:09d}"}
+             for i, ln in enumerate(lines)]
+
+    py = [observer_entry(c["log"], ts_str=c["ts"]) for c in cases]
+
+    from pyspark.sql import functions as F
+
+    from logport_spark.observability import observer_line_col
+
+    df = spark.createDataFrame(
+        [(c["id"], c["log"], c["ts"]) for c in cases],
+        "id long, log string, ts string")
+    jvm = {r.id: r.line for r in df.select(
+        "id", observer_line_col(F.col("log"), F.col("ts")).alias("line"))
+        .collect()}
+
+    stdin = "\n".join(json.dumps({"ts": c["ts"], "log": c["log"]},
+                                 ensure_ascii=True) for c in cases)
+    proc = subprocess.run([harness, "--observer"],
+                          input=stdin.encode("utf-8"),
+                          capture_output=True, timeout=600, check=True)
+    ref = proc.stdout.decode("utf-8").split("\n")[:-1]
+    assert len(ref) == len(cases)
+
+    bad = [(c["log"], ref[i], py[i], jvm[c["id"]])
+           for i, c in enumerate(cases)
+           if not (ref[i] == py[i] == jvm[c["id"]])]
+    assert not bad, f"{len(bad)} observer-dialect mismatches: {bad[:3]}"
+
+
 def test_envelope_bytes_match_reference_serializer(spark, harness):
     from logport_spark.operators.parse import with_envelope
 

@@ -59,9 +59,54 @@ static string filter_log_line(const string& unfiltered_log_line,
     return log_entry.dump();
 }
 
+// Reproduces escape_to_json_string (/root/reference/src/Common.cc:227-250)
+// — the Observer dialect's 7-case escaper (no \u control escapes; other
+// control bytes pass through raw).
+static string escape_to_json_string(const string& unescaped_string) {
+    string escaped_string;
+    for (string::size_type x = 0; x < unescaped_string.size(); ++x) {
+        char current_character = unescaped_string[x];
+        switch (current_character) {
+            case 92: escaped_string += "\\\\"; break;
+            case 8:  escaped_string += "\\b"; break;
+            case 12: escaped_string += "\\f"; break;
+            case 10: escaped_string += "\\n"; break;
+            case 13: escaped_string += "\\r"; break;
+            case 9:  escaped_string += "\\t"; break;
+            case 34: escaped_string += "\\\""; break;
+            default: escaped_string += current_character;
+        }
+    }
+    return escaped_string;
+}
+
+// Reproduces Observer::addLogEntry (/root/reference/src/Observer.cc:128-149)
+// with the timestamp injected: unquoted generated_at literal, `{`-only
+// JSON detection WITHOUT validation (raw embedding).
+static string observer_entry(const string& log_line, const string& ts) {
+    if (log_line.size() == 0) return "";
+    string json_meta = "{\"generated_at\":" + ts;
+    if (log_line[0] != '{') {
+        return json_meta + ",\"log\":\"" + escape_to_json_string(log_line)
+               + "\"}";
+    }
+    return json_meta + ",\"log\":" + log_line + "}";
+}
+
 int main(int argc, char** argv) {
     std::ios::sync_with_stdio(false);
     string tc_line;
+    if (argc > 1 && string(argv[1]) == "--observer") {
+        // Observer-dialect fuzz mode: {"ts": "...", "log": "..."} per line
+        while (std::getline(std::cin, tc_line)) {
+            if (tc_line.empty()) continue;
+            json tc = json::parse(tc_line);
+            std::cout << observer_entry(tc["log"].get<string>(),
+                                        tc["ts"].get<string>())
+                      << "\n";
+        }
+        return 0;
+    }
     if (argc > 1 && string(argv[1]) == "--dtoa") {
         // float-serialization fuzz mode: one hex-encoded IEEE-754 bit
         // pattern per line → nlohmann's rendering of that double

@@ -38,6 +38,48 @@ def test_resume_equals_fresh(spark, pages_small, fresh_routed, tmp_path_factory)
     assert fresh_routed.exceptAll(resumed).count() == 0
 
 
+def test_resume_under_route_mutation_keeps_exactly_once(
+        spark, pages_small, fresh_routed, tmp_path_factory):
+    """Semantic pin (r5, persisted config): a `watch` mutation between a
+    crash and its resume affects ONLY the not-yet-committed buckets —
+    committed buckets keep the routing they shipped with, no row is
+    duplicated or lost. This matches the reference: editing a watch row
+    changes where the TAIL goes from that moment on
+    (/root/reference/src/LogPort.cc:848-883); already-produced messages
+    stay on their original topic. Resume-equals-fresh holds only under a
+    fixed config — under mutation, exactly-once on the ROW SET is the
+    contract (same urls/lines, sink may differ for post-mutation buckets)."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.store import ConfigStore
+
+    out = str(tmp_path_factory.mktemp("mutres"))
+    L.run_with_ledger(spark, pages_small, out, run_id="m1", n_buckets=16,
+                      only_buckets=list(range(6)))
+    pre = L.read_routed(spark, out)
+    pre_sinks = {r.sink for r in pre.select("sink").distinct().collect()}
+    n_pre = pre.count()
+
+    # mutate: 'news' now routes to a brand-new sink
+    ConfigStore(out).watch("news", "sink_news_r5",
+                           brokers="kafka://k9:9092", product_code="prd5")
+    L.run_with_ledger(spark, pages_small, out, run_id="m2", n_buckets=16)
+
+    allr = L.read_routed(spark, out)
+    # exactly-once on the row identity (url, line_no), config-independent
+    ids = allr.select("url", "line_no")
+    want = fresh_routed.select("url", "line_no")
+    assert ids.exceptAll(want).count() == 0
+    assert want.exceptAll(ids).count() == 0
+    # committed buckets untouched: their rows still carry the OLD sink
+    assert allr.filter(F.col("sink") == "sink_news").count() == \
+        pre.filter(F.col("sink") == "sink_news").count() > 0
+    assert "sink_news_r5" not in pre_sinks
+    # post-mutation buckets route to the new sink
+    assert allr.filter(F.col("sink") == "sink_news_r5").count() > 0
+    assert n_pre < allr.count()
+
+
 def test_rerun_is_idempotent(spark, pages_small, fresh_routed, tmp_path_factory):
     """A second full run over a fully-committed ledger adds nothing."""
     out = str(tmp_path_factory.mktemp("idem"))

@@ -2392,6 +2392,21 @@ _CONN_TEMPLATES_SQL = f"""
            CASE WHEN {_CONN_URL_SCHEME} IN ('http', 'https') THEN 'HTTP'
                 ELSE 'KAFKA' END AS producer_type,
            regexp_extract(brokers, '^[a-zA-Z]+://(?:[^@/]+@)?([^/:?#]+)', 1) AS host,
+           -- explicit :port, else the reference's scheme-default table
+           -- (/root/reference/src/Url.cc:52-74), else 0
+           CASE WHEN regexp_extract(brokers,
+                     '^[a-zA-Z+]+://(?:[^@/?#]+@)?[^/:?#]*:([0-9]+)([/?#].*)?$', 1) != ''
+                THEN CAST(regexp_extract(brokers,
+                     '^[a-zA-Z+]+://(?:[^@/?#]+@)?[^/:?#]*:([0-9]+)([/?#].*)?$', 1) AS INT)
+                ELSE CASE {_CONN_URL_SCHEME}
+                     WHEN 'https' THEN 443 WHEN 'http' THEN 80
+                     WHEN 'ssh' THEN 22 WHEN 'ftp' THEN 21
+                     WHEN 'mysql' THEN 3306 WHEN 'mongo' THEN 27017
+                     WHEN 'mongo+srv' THEN 27017 WHEN 'kafka' THEN 9092
+                     WHEN 'postgres' THEN 5432 WHEN 'postgresql' THEN 5432
+                     WHEN 'redis' THEN 6379 WHEN 'zookeeper' THEN 2181
+                     WHEN 'ldap' THEN 389 WHEN 'ldaps' THEN 636
+                     ELSE 0 END END AS port,
            regexp_extract(brokers, '^[a-zA-Z]+://[^/]*(/[^?#]*)', 1) AS path,
            CASE WHEN {_CONN_URL_SCHEME} IN ('http', 'https')
                      AND {_CONN_USERINFO} != ''

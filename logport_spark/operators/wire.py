@@ -75,12 +75,41 @@ def batch_messages(records: DataFrame, wire_format: str = "JSON",
                           F.size("msgs").alias("n_msgs"))
 
 
+# The reference's scheme→default-port table (homer::Url::getPort,
+# /root/reference/src/Url.cc:52-74) — the producers dial host:getPort(),
+# so the template must resolve it exactly (differentially tested against
+# the compiled Url.cc in tests/test_envelope_differential.py).
+DEFAULT_PORTS = {
+    "https": 443, "http": 80, "ssh": 22, "ftp": 21, "mysql": 3306,
+    "mongo": 27017, "mongo+srv": 27017, "kafka": 9092, "postgres": 5432,
+    "postgresql": 5432, "redis": 6379, "zookeeper": 2181, "ldap": 389,
+    "ldaps": 636,
+}
+
+# explicit :port in the authority (Spark's parse_url has no PORT part;
+# the oracle SQL uses the same regex, so both sides share one definition)
+URL_PORT_RE = r"^[a-zA-Z+]+://(?:[^@/?#]+@)?[^/:?#]*:([0-9]+)([/?#].*)?$"
+
+
+def resolved_port(url: Column) -> Column:
+    """Connection port: explicit :port if present, else the reference's
+    scheme default, else 0 (Url.cc:52-74 semantics)."""
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    dflt = F.lit(0)
+    for s, p in sorted(DEFAULT_PORTS.items()):
+        dflt = F.when(scheme == s, F.lit(p)).otherwise(dflt)
+    explicit = F.regexp_extract(url, URL_PORT_RE, 1)
+    return F.when(explicit != "", explicit.cast("int")).otherwise(dflt)
+
+
 def connection_templates(routes: DataFrame) -> DataFrame:
     """Pre-computed per-sink connection template from the routes table.
 
     scheme/host/port/path via parse_url; HTTP(S) targets get an
     Authorization header from userinfo via base64 (F.base64 — P10), exactly
-    the precomputation the reference hoists out of the per-message loop."""
+    the precomputation the reference hoists out of the per-message loop
+    (HttpProducer/KafkaProducer dial host:getPort(), so the port resolves
+    with the reference's scheme-default table)."""
     url = F.col("brokers")
     scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
     userinfo = F.parse_url(url, F.lit("USERINFO"))
@@ -96,6 +125,7 @@ def connection_templates(routes: DataFrame) -> DataFrame:
         scheme.alias("scheme"),
         F.when(is_http, F.lit("HTTP")).otherwise(F.lit("KAFKA")).alias("producer_type"),
         host.alias("host"),
+        resolved_port(url).alias("port"),
         F.coalesce(path, F.lit("")).alias("path"),
         auth.alias("auth_header"),
         is_http.alias("is_http"),

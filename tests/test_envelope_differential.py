@@ -53,8 +53,9 @@ pytestmark = pytest.mark.skipif(
 def harness(tmp_path_factory):
     exe = str(tmp_path_factory.mktemp("envref") / "envelope_ref")
     subprocess.run(
-        ["g++", "-std=c++11", "-O1", "-I", REF_INCLUDE,
-         os.path.abspath(HARNESS_SRC), "-o", exe],
+        ["g++", "-std=c++17", "-O1", "-I", REF_INCLUDE,
+         os.path.abspath(HARNESS_SRC), "/root/reference/src/Url.cc",
+         "-o", exe],
         check=True, capture_output=True, timeout=600)
     return exe
 
@@ -218,6 +219,136 @@ def test_dtoa_matches_reference_on_fuzzed_doubles(harness):
            if nlohmann_repr(struct.unpack("<d", struct.pack("<Q", b))[0])
            != e]
     assert not bad, f"{len(bad)} dtoa mismatches; first 5: {bad[:5]}"
+
+
+def test_broker_url_fields_match_reference_parser(spark, harness):
+    """The conn-template derivation (wire.connection_templates: scheme /
+    username / password / host / resolved port / path) vs the reference's
+    own URL parser compiled from source (homer::Url, src/Url.cc — the
+    object KafkaProducer/HttpProducer dial), over the well-formed broker
+    class `scheme://[user[:pass]@]host[:port][/path][?q][#f]`. The port
+    check covers both explicit :port and the full scheme-default table
+    (Url.cc:52-74). Documented out-of-class divergences, excluded here
+    (the last two FOUND by this fuzz's first run, verified by hand
+    against the sources):
+    * percent-escapes in paths — homer's getPath unescapes, the engine
+      keeps the wire path raw;
+    * schemeless strings — homer parses 'host:9092' as scheme='host';
+      UrlList-level handling treats them as kafka (our
+      validate_scheme_consistency contract);
+    * a reference-parser BUG: with '?' or '#' present but NO '/' path
+      ('kafka://h:1?x=y'), homer captures the AUTHORITY text as the path
+      (fromString starts the ?/# capture at the authority when
+      moveBefore('/') fails, src/Url.cc:237-262) — the engine's empty
+      path is correct, so the fuzz emits ?/# only after a real path
+      (recorded in SURVEY §2.8);
+    * java.net.URI strictness: Spark's parse_url returns NULL host when
+      the LAST host label starts with a digit (RFC 2396 toplabel) —
+      digit-leading TLDs route to the default sink; the generator keeps
+      TLD labels alpha-first."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.wire import resolved_port
+
+    rng = random.Random(99173)
+    schemes = ["http", "https", "kafka", "redis", "postgres", "postgresql",
+               "mysql", "zookeeper", "ldap", "ldaps", "ftp", "ssh",
+               "mongo+srv", "Kafka", "HTTPS"]          # case-folding too
+    urls = []
+    for _ in range(3000):
+        sch = rng.choice(schemes)
+        user = ""
+        if rng.random() < 0.4:
+            user = _text(rng, rng.randint(1, 8), _string.ascii_letters)
+            if rng.random() < 0.6:
+                user += ":" + _text(rng, rng.randint(1, 8),
+                                    _string.ascii_letters + _string.digits)
+            user += "@"
+        # labels alpha-first: java.net.URI NULLs the host on digit-leading
+        # toplabels (documented divergence above)
+        host = ".".join(
+            rng.choice(_string.ascii_lowercase)
+            + _text(rng, rng.randint(0, 7),
+                    _string.ascii_lowercase + _string.digits)
+            for _ in range(rng.randint(1, 3)))
+        port = f":{rng.randint(1, 65535)}" if rng.random() < 0.5 else ""
+        path = ("/" + "/".join(_text(rng, rng.randint(1, 6),
+                                     _string.ascii_letters + _string.digits
+                                     + "._-")
+                               for _ in range(rng.randint(1, 3)))
+                if rng.random() < 0.5 else "")
+        # ?/# only after a real path (the homer authority-as-path quirk)
+        q = (f"?k={rng.randint(0, 99)}&x=y"
+             if path and rng.random() < 0.4 else "")
+        frag = f"#f{rng.randint(0, 9)}" if path and rng.random() < 0.3 else ""
+        urls.append(f"{sch}://{user}{host}{port}{path}{q}{frag}")
+
+    u = F.col("u")
+    userinfo = F.coalesce(F.parse_url(u, F.lit("USERINFO")), F.lit(""))
+    got = {r.id: r for r in spark.createDataFrame(
+        [(i, x) for i, x in enumerate(urls)], "id long, u string").select(
+        "id",
+        F.lower(F.parse_url(u, F.lit("PROTOCOL"))).alias("scheme"),
+        F.substring_index(userinfo, ":", 1).alias("username"),
+        F.when(userinfo.contains(":"),
+               F.substring_index(userinfo, ":", -1)).otherwise(F.lit(""))
+        .alias("password"),
+        F.parse_url(u, F.lit("HOST")).alias("host"),
+        resolved_port(u).alias("port"),
+        F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")).alias("path"),
+    ).collect()}
+
+    stdin = "\n".join(json.dumps({"url": x}, ensure_ascii=True)
+                      for x in urls)
+    proc = subprocess.run([harness, "--url"], input=stdin.encode(),
+                          capture_output=True, timeout=600, check=True)
+    refs = [json.loads(ln) for ln in
+            proc.stdout.decode().split("\n")[:-1]]
+    assert len(refs) == len(urls)
+
+    bad = []
+    for i, (x, ref) in enumerate(zip(urls, refs)):
+        g = got[i]
+        mine = {"scheme": g.scheme, "username": g.username,
+                "password": g.password, "host": g.host, "port": g.port,
+                "path": g.path}
+        want = {k: ref[k] for k in mine}
+        if mine != want:
+            bad.append((x, want, mine))
+    assert not bad, f"{len(bad)} URL-field mismatches: {bad[:5]}"
+
+
+def test_ts_string_matches_reference_format(spark, harness):
+    """The one injected-not-verified link in the envelope differential:
+    both sides receive the SAME ts string there, so the '%lld.%.9ld'
+    rendering itself (Common.cc:253-270) needs its own oracle. Compare
+    ts_string's JVM rendering against the reference's snprintf over the
+    micros-representable domain (warc_ts is a microsecond timestamp, so
+    nanos are always micros*1000 — 9 digits, 000-suffixed)."""
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.parse import ts_string
+
+    rng = random.Random(7771)
+    micros = ([0, 1, 999_999, 1_000_000, 1_556_311_722_644_052,
+               4_102_444_800_000_000]            # 2100-01-01
+              + [rng.randint(0, 4_102_444_800_000_000)
+                 for _ in range(5000)])
+    df = spark.createDataFrame([(i, m) for i, m in enumerate(micros)],
+                               "id long, us long")
+    got = {r.id: r.ts for r in df.select(
+        "id", ts_string(F.timestamp_micros(F.col("us"))).alias("ts"))
+        .collect()}
+
+    stdin = "\n".join(f"{m // 1_000_000} {(m % 1_000_000) * 1000}"
+                      for m in micros)
+    proc = subprocess.run([harness, "--ts"], input=stdin.encode(),
+                          capture_output=True, timeout=600, check=True)
+    ref = proc.stdout.decode().split("\n")[:-1]
+    assert len(ref) == len(micros)
+    bad = [(m, ref[i], got[i]) for i, m in enumerate(micros)
+           if ref[i] != got[i]]
+    assert not bad, f"{len(bad)} ts mismatches: {bad[:5]}"
 
 
 def test_observer_dialect_matches_reference(spark, harness):

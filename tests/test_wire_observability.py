@@ -112,6 +112,19 @@ def test_conn_templates_auth(spark):
     assert rows["sink_forum"].producer_type == "HTTP"
     assert rows["sink_news"].producer_type == "KAFKA"
     assert rows["sink_news"].auth_header is None
+    # port resolution: explicit :port wins; scheme default otherwise
+    assert rows["sink_forum"].port == 8080     # explicit in the URL
+    assert rows["sink_news"].port == 9092      # explicit kafka port
+    from logport_spark.operators.wire import resolved_port
+
+    from pyspark.sql import functions as F
+
+    dflt = {r.u: r.p for r in spark.createDataFrame(
+        [("kafka://broker/x",), ("https://c/logs",), ("http://c/logs",),
+         ("redis://r",)], "u string").select(
+        "u", resolved_port(F.col("u")).alias("p")).collect()}
+    assert dflt == {"kafka://broker/x": 9092, "https://c/logs": 443,
+                    "http://c/logs": 80, "redis://r": 6379}
 
 
 def test_grok_match_and_fallthrough(spark):

@@ -24,6 +24,8 @@
 #include <cstdint>
 
 #include "json.hpp"
+#include "Url.h"   // homer::Url — the reference's broker-URL parser
+                   // (compile with /root/reference/src/Url.cc, -std=c++17)
 
 using json = nlohmann::json;
 using std::string;
@@ -104,6 +106,45 @@ int main(int argc, char** argv) {
             std::cout << observer_entry(tc["log"].get<string>(),
                                         tc["ts"].get<string>())
                       << "\n";
+        }
+        return 0;
+    }
+    if (argc > 1 && string(argv[1]) == "--url") {
+        // broker-URL fuzz mode: {"url": "..."} per line → the reference
+        // parser's fields (homer::Url, /root/reference/src/Url.cc:192-359;
+        // getPort resolves the scheme-default table at :52-74, which the
+        // engine's wire.connection_templates must reproduce)
+        while (std::getline(std::cin, tc_line)) {
+            if (tc_line.empty()) continue;
+            json tc = json::parse(tc_line);
+            json out = json::object();
+            try {
+                homer6::Url u(tc["url"].get<string>());
+                out["scheme"] = u.getScheme();
+                out["username"] = u.getUsername();
+                out["password"] = u.getPassword();
+                out["host"] = u.getHost();
+                out["port"] = static_cast<int>(u.getPort());
+                out["path"] = u.getPath();
+                out["query"] = u.getQuery();
+                out["fragment"] = u.getFragment();
+            } catch (std::exception& e) {
+                out["error"] = true;
+            }
+            std::cout << out.dump() << "\n";
+        }
+        return 0;
+    }
+    if (argc > 1 && string(argv[1]) == "--ts") {
+        // timestamp-format fuzz mode: "<sec> <nsec>" per line → the
+        // reference's "%lld.%.9ld" rendering (get_timestamp,
+        // /root/reference/src/Common.cc:253-270)
+        long long sec;
+        long nsec;
+        while (std::cin >> sec >> nsec) {
+            char buffer[50];
+            snprintf(buffer, 50, "%lld.%.9ld", sec, nsec);
+            std::cout << buffer << "\n";
         }
         return 0;
     }

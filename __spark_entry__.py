@@ -1530,21 +1530,17 @@ def _web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives) → min-surviving-lines gate. One DAG, one SQL oracle
     re-deriving every stage — the pages-table sibling of corpus_clean_v2.
 
-    Stage costs: the url stage is one keep-max agg; both line stages are
-    the skew-proof agg shapes documented on their operators; the only
-    joins are a left-semi on url and the broadcast boilerplate anti-join."""
-    from logport_spark.operators.dedup import (
-        dedup_lines_corpus,
-        strip_boilerplate_lines,
-        url_dedup,
-    )
+    Stage costs: the url stage is one keep-max agg; the line stages run
+    FUSED (r5: curate_lines_corpus — one explode + one (doc,line) pre-agg
+    feeds both the boilerplate df and the keep-first winner; 3 shuffles
+    where the sequential composition paid 5, output pytest-pinned
+    identical); the only join is the left-semi on url."""
+    from logport_spark.operators.dedup import curate_lines_corpus, url_dedup
 
     pages = _pages(spark, sf_dir).select("url", "warc_ts", "text")
     surv = url_dedup(pages).select("url")
     base = pages.join(surv, "url", "left_semi").select("url", "text")
-    nb = (strip_boilerplate_lines(base, min_docs=20, id_col="url")
-          .withColumnRenamed("doc_id", "url"))
-    dd = (dedup_lines_corpus(nb.select("url", "text"), id_col="url")
+    dd = (curate_lines_corpus(base, min_docs=20, id_col="url")
           .withColumnRenamed("doc_id", "url"))
     return dd.filter(F.col("n_kept") >= 2)
 

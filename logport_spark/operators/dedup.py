@@ -327,6 +327,61 @@ def strip_boilerplate_lines(docs: DataFrame, min_docs: int = 10,
     )
 
 
+def curate_lines_corpus(docs: DataFrame, min_docs: int = 10,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Fused boilerplate-strip + corpus line dedup — output IDENTICAL to
+    ``dedup_lines_corpus(strip_boilerplate_lines(docs, min_docs))``
+    (pytest-pinned row-for-row), at roughly half the cost.
+
+    The sequential composition explodes the corpus text twice and pays
+    five shuffles (strip: (doc,line) distinct, line df, doc rebuild;
+    dedup: line keep-first, doc rebuild) — the r5 sf1 dress rehearsal
+    measured the line-grain stages as 45% of the whole chain. Both
+    per-line decisions are functions of the SAME (doc, line) pre-agg:
+
+      1. posexplode once (narrow),
+      2. groupBy(doc_id, line).agg(min(line_no)) — within-doc repeats
+         collapse map-side, ONE shuffle on (doc, line),
+      3. groupBy(line).agg(count(*) AS df, min(struct(doc, first_ln)))
+         — doc-frequency (the boilerplate verdict, df ≥ min_docs drops
+         the line everywhere) and the keep-first winner in one partial-
+         aggregated shuffle; still never a window over the line key,
+      4. groupBy(doc_id) rebuild — original line order via the ORIGINAL
+         line_no (relative order equals the stripped-rebuilt order, so
+         the keep-first winner and the output text match the sequential
+         composition exactly).
+
+    3 shuffles + 1 explode vs 5 + 2; the line df table and kept set never
+    materialize corpus text beyond the surviving lines."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    ).filter(F.length("line") > 0).select(
+        "doc_id", (F.col("idx") + 1).alias("line_no"), "line")
+    per_doc = lines.groupBy("doc_id", "line").agg(
+        F.min("line_no").alias("first_ln"))
+    kept = (
+        per_doc.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"),
+             F.min(F.struct("doc_id", "first_ln")).alias("w"))
+        .filter(F.col("df") < min_docs)
+        .select(F.col("w.doc_id").alias("doc_id"),
+                F.col("w.first_ln").alias("line_no"), "line")
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda x: x["line"]),
+                "\n").alias("text"),
+        )
+    )
+
+
 CANON_TRACKING_PARAMS = "utm_[a-z]+|fbclid|gclid|msclkid|ref"
 
 

@@ -1107,6 +1107,51 @@ def test_unigram_logprob_hand_computed(spark):
         {(k, v["n_scored"], v["bits_per_token"]) for k, v in got.items()}
 
 
+def test_curate_lines_fused_equals_sequential_composition(spark):
+    """r5 fusion: curate_lines_corpus ≡ dedup_lines_corpus ∘
+    strip_boilerplate_lines row-for-row (doc_id, n_kept, text) on a
+    randomized corpus covering every interaction: within-doc duplicate
+    lines, cross-doc duplicates at and around the boilerplate threshold,
+    empty lines, docs losing every line, and single-line docs."""
+    import random
+
+    from logport_spark.operators.dedup import (curate_lines_corpus,
+                                               dedup_lines_corpus,
+                                               strip_boilerplate_lines)
+
+    rng = random.Random(515)
+    pool = ([f"unique line {i}" for i in range(300)]
+            + ["shared pair line"] * 2
+            + ["nav bar boilerplate", "cookie banner"])   # df >= threshold
+    docs = []
+    for d in range(120):
+        n = rng.randint(1, 12)
+        lines = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.25:
+                lines.append(rng.choice(
+                    ["nav bar boilerplate", "cookie banner"]))
+            elif r < 0.45:
+                lines.append(f"common {rng.randint(0, 8)}")   # mid-df lines
+            elif r < 0.55:
+                lines.append("")                              # dropped
+            else:
+                lines.append(rng.choice(pool))
+        if rng.random() < 0.3 and lines:
+            lines.append(lines[0])                            # within-doc dup
+        docs.append((d, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for min_docs in (3, 10, 50):
+        seq = dedup_lines_corpus(
+            strip_boilerplate_lines(df, min_docs=min_docs))
+        fused = curate_lines_corpus(df, min_docs=min_docs)
+        a = {(r.doc_id, r.n_kept, r.text) for r in seq.collect()}
+        b = {(r.doc_id, r.n_kept, r.text) for r in fused.collect()}
+        assert a == b, f"min_docs={min_docs}: {len(a ^ b)} differing rows"
+
+
 def test_dedup_lines_corpus_semantics(spark):
     """C4 corpus line dedup: a line survives once, in its first-occurrence
     document; docs rebuild in original line order; all-dup docs vanish."""

@@ -193,6 +193,83 @@ def process_batch_dedup(batch_df: DataFrame, batch_id: int, out_dir: str,
     docs.unpersist()
 
 
+def process_batch_line_dedup(batch_df: DataFrame, batch_id: int,
+                             out_dir: str,
+                             n_state_buckets: int = 32) -> None:
+    """One micro-batch of cross-batch C4 LINE dedup — the streaming twin
+    of operators.dedup.dedup_lines_corpus, on the exact protocol
+    process_batch_dedup uses (state under batch_id partitions, current
+    batch excluded at partition level, idempotent dynamic overwrites, so
+    crash-replay is lossless and the same compaction machinery applies).
+
+    Per batch: explode lines → xxhash64 → keep a line occurrence iff its
+    hash is absent from PRIOR state (anti-join, state scan pruned to the
+    batch's hash buckets hb = pmod(h, N)) and it is the first occurrence
+    within this batch (min (doc_id, line_no) per hash — a partial-agg
+    groupBy, never a window). Docs rebuild batch-locally (a doc lives in
+    one batch; only LINE HASHES cross batches — 8 B/line, never text).
+
+    First-occurrence semantics: ARRIVAL-first (the first batch that ships
+    a line keeps it) — what a rolling crawl wants; the batch operator's
+    global min-(doc_id, line_no) coincides when batches arrive in id
+    order (pytest pins that equality). State is O(distinct lines) exact —
+    honest 100 TB note: at 10^13 lines that is ~80 TB of 8-byte hashes
+    spread over the bucket partitions; past that, swap the anti-join for
+    the Bloom prefilter (dedup.bloom_build's bitmap, accepting its FP
+    drop rate) — the state LAYOUT and replay contract stay identical."""
+    lines_dir = out_dir.rstrip("/") + "/state/lines"
+    clean_dir = out_dir.rstrip("/") + "/clean"
+    sp = batch_df.sparkSession
+
+    lines = batch_df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"),
+    ).filter(F.length("line") > 0).select(
+        "doc_id", (F.col("idx") + 1).alias("line_no"), "line",
+        F.xxhash64("line").alias("h"))
+    # in-batch keep-first per hash (carries the line text for the rebuild)
+    firsts = (lines.groupBy("h")
+              .agg(F.min(F.struct("doc_id", "line_no", "line")).alias("w"))
+              .select("h", F.col("w.doc_id").alias("doc_id"),
+                      F.col("w.line_no").alias("line_no"),
+                      F.col("w.line").alias("line"))
+              .withColumn("hb", F.pmod(F.col("h"),
+                                       F.lit(n_state_buckets)).cast("int"))
+              .persist())
+    kbs = [r["hb"] for r in firsts.select("hb").distinct().collect()]
+    state = (_read_state(sp, lines_dir, "h long, hb int", batch_id)
+             .filter(F.col("hb").isin(kbs)))
+    fresh = firsts.join(state, "h", "left_anti").persist()
+
+    def _write(df: DataFrame, path: str, *parts: str) -> None:
+        (df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id", *parts).parquet(path))
+
+    rebuilt = (fresh.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("line_no", "line"))),
+                        lambda x: x["line"]), "\n").alias("text")))
+    _write(rebuilt, clean_dir)
+    _write(fresh.select("h", "hb"), lines_dir, "hb")
+    fresh.unpersist()
+    firsts.unpersist()
+
+
+def run_stream_line_dedup(spark: SparkSession, docs_dir: str, out_dir: str,
+                          checkpoint_dir: str, max_files: int = 1,
+                          n_state_buckets: int = 32) -> None:
+    """availableNow stream driving process_batch_line_dedup."""
+    run_docs_stream(
+        spark, docs_dir, checkpoint_dir,
+        lambda df, bid: process_batch_line_dedup(
+            df, bid, out_dir, n_state_buckets=n_state_buckets),
+        max_files=max_files)
+
+
 def run_docs_stream(spark: SparkSession, docs_dir: str, checkpoint_dir: str,
                     process, max_files: int = 1) -> None:
     """availableNow file-source stream over a parquet docs directory,
@@ -311,18 +388,28 @@ def compact_dedup_state(spark: SparkSession, out_dir: str,
     the two operations, state is rebuildable — it is a pure function of
     clean/ (signatures + band rows of the kept docs), no information lives
     only in state/."""
+    import os
+
     fold_max = (None if checkpoint_dir is None
                 else last_committed_batch(checkpoint_dir))
-    _fold_partitions(
-        spark, out_dir.rstrip("/") + "/state/bands",
-        "band int, key long, doc_id long, kb int", fold_max,
-        lambda df: df.repartition("batch_id", "kb"), ["kb"])
+    if os.path.isdir(out_dir.rstrip("/") + "/state/bands"):
+        _fold_partitions(
+            spark, out_dir.rstrip("/") + "/state/bands",
+            "band int, key long, doc_id long, kb int", fold_max,
+            lambda df: df.repartition("batch_id", "kb"), ["kb"])
     # round-robin repartition: ≤ sig_files files PER surviving batch_id
     # dir — file count stays ≤ sig_files × generations
-    _fold_partitions(
-        spark, out_dir.rstrip("/") + "/state/sigs",
-        "doc_id long, sig array<long>", fold_max,
-        lambda df: df.repartition(sig_files), [])
+    if os.path.isdir(out_dir.rstrip("/") + "/state/sigs"):
+        _fold_partitions(
+            spark, out_dir.rstrip("/") + "/state/sigs",
+            "doc_id long, sig array<long>", fold_max,
+            lambda df: df.repartition(sig_files), [])
+    if os.path.isdir(out_dir.rstrip("/") + "/state/lines"):
+        # the line-dedup stream's hash state — same fold, hb partitions
+        _fold_partitions(
+            spark, out_dir.rstrip("/") + "/state/lines",
+            "h long, hb int", fold_max,
+            lambda df: df.repartition("batch_id", "hb"), ["hb"])
 
 
 def compact_clean(spark: SparkSession, out_dir: str,

@@ -512,6 +512,64 @@ def test_compaction_spares_uncommitted_batches_and_replay_stays_lossless(
             .select("doc_id").collect()} == {0, 2, 5, 11}
 
 
+def test_stream_line_dedup_equals_batch_and_replays_lossless(
+        spark, tmp_path_factory):
+    """Cross-batch C4 line dedup (r5, process_batch_line_dedup): with
+    batches arriving in doc_id order, the merged clean/ view equals
+    operators.dedup.dedup_lines_corpus over the full corpus row-for-row;
+    a crash-replayed batch reproduces itself (state excludes its own
+    partitions); compaction folds the hash state; state carries only
+    8-byte hashes, never text."""
+    import os
+
+    from logport_spark.operators.dedup import dedup_lines_corpus
+    from logport_spark.streaming.dedup_stream import (compact_dedup_state,
+                                                      run_stream_line_dedup)
+
+    d = str(tmp_path_factory.mktemp("docs_lines"))
+    out = str(tmp_path_factory.mktemp("linededup_out"))
+    ckpt = str(tmp_path_factory.mktemp("linededup_ckpt"))
+    b1 = [(0, "alpha\nboiler\nbeta"), (1, "boiler\ngamma"),
+          (2, "boiler")]                      # doc 2 loses its only line
+    b2 = [(5, "gamma\nalpha\nzeta"),          # repeats dropped, zeta kept
+          (6, "delta\n\ndelta\nepsilon")]     # empty + in-doc dup
+    _write_docs(d, "b1", b1)
+    _write_docs(d, "b2", b2)
+    run_stream_line_dedup(spark, d, out, ckpt)
+
+    batch = {(r.doc_id, r.n_kept, r.text) for r in dedup_lines_corpus(
+        spark.createDataFrame(b1 + b2, "doc_id long, text string"))
+        .collect()}
+    streamed = {(r.doc_id, r.n_kept, r.text) for r in
+                spark.read.parquet(out + "/clean")
+                .select("doc_id", "n_kept", "text").collect()}
+    assert streamed == batch
+    assert 2 not in {r[0] for r in streamed}     # all-dup doc dropped out
+    # state schema: hashes only
+    st = spark.read.parquet(out + "/state/lines")
+    assert set(st.columns) == {"h", "hb", "batch_id"}
+
+    # crash-replay: drop batch 1's commit marker, re-run, identical view
+    os.remove(ckpt + "/commits/1")
+    if os.path.exists(ckpt + "/commits/.1.crc"):
+        os.remove(ckpt + "/commits/.1.crc")
+    run_stream_line_dedup(spark, d, out, ckpt)
+    assert {(r.doc_id, r.n_kept, r.text) for r in
+            spark.read.parquet(out + "/clean")
+            .select("doc_id", "n_kept", "text").collect()} == batch
+
+    # retention folds the hash state; a post-compaction batch still drops
+    # previously-seen lines
+    compact_dedup_state(spark, out, checkpoint_dir=ckpt)
+    assert {p for p in os.listdir(out + "/state/lines")
+            if p.startswith("batch_id=")} == {"batch_id=-1"}
+    _write_docs(d, "b3", [(9, "zeta\nbrand new line")])
+    run_stream_line_dedup(spark, d, out, ckpt)
+    got9 = [r for r in spark.read.parquet(out + "/clean").collect()
+            if r.doc_id == 9]
+    assert got9 and got9[0].text == "brand new line"
+
+
 def test_cli_compact_state_verb(spark, tmp_path_factory, capsys, monkeypatch):
     """The compact-state CLI verb drives checkpoint-aware retention end to
     end: committed batches fold to -1, clean/ folds with --clean, and the

@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup_stream import process_batch_dedup, run_docs_stream
+from .dedup_stream import (line_dedup_core, process_batch_dedup,
+                           run_docs_stream, write_batch_partition)
 
 
 def gate_docs(docs: DataFrame,
@@ -64,20 +65,44 @@ def run_stream_curation(
     est_threshold: float = 0.7,
     max_files: int = 1,
     n_state_buckets: int = 32,
+    line_dedup: bool = False,
 ) -> None:
     """Continuous curation: drain available raw-doc files, gate each
     micro-batch, and feed survivors through the cross-batch near-dup
     protocol. clean/ accrues the gated, deduplicated corpus exactly-once
     across restarts (batch_id dynamic overwrite; gates are deterministic,
-    so a replayed batch reproduces itself bit-for-bit)."""
+    so a replayed batch reproduces itself bit-for-bit).
+
+    ``line_dedup=True`` prepends the cross-batch C4 line stage
+    (dedup_stream.line_dedup_core) — the streaming analog of the batch
+    chain web_curation → corpus_clean_v2: boilerplate/duplicate lines are
+    removed against month-deep line-hash state BEFORE the gates see the
+    text (a page that is all seen-before lines vanishes instead of paying
+    gate evaluation or minting MinHash state), and the rebuilt docs flow
+    on. The line-hash state lives under the same out_dir
+    (state/lines, (batch_id, hb) partitions) and inherits the replay and
+    compaction contracts unchanged."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        gated = gate_docs(batch_df.select("doc_id", "text"),
-                          min_quality=min_quality)
+        docs = batch_df.select("doc_id", "text")
+        fresh = None
+        if line_dedup:
+            docs, fresh = line_dedup_core(docs, batch_id, out_dir,
+                                          n_state_buckets=n_state_buckets)
+            docs = docs.select("doc_id", "text")
+        gated = gate_docs(docs, min_quality=min_quality)
         process_batch_dedup(gated, batch_id, out_dir,
                             threshold=threshold,
                             est_threshold=est_threshold,
                             n_state_buckets=n_state_buckets)
+        if fresh is not None:
+            # line state commits AFTER the dedup writes, inside the same
+            # batch (all writes are batch_id dynamic overwrites — replay
+            # rewrites every one, so intra-batch order is free)
+            write_batch_partition(
+                fresh.select("h", "hb"), batch_id,
+                out_dir.rstrip("/") + "/state/lines", "hb")
+            fresh.unpersist()
 
     run_docs_stream(spark, docs_dir, checkpoint_dir, process,
                     max_files=max_files)

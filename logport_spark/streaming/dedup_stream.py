@@ -193,6 +193,43 @@ def process_batch_dedup(batch_df: DataFrame, batch_id: int, out_dir: str,
     docs.unpersist()
 
 
+def line_dedup_core(batch_df: DataFrame, batch_id: int, out_dir: str,
+                    n_state_buckets: int = 32
+                    ) -> tuple[DataFrame, DataFrame]:
+    """The stateful heart of cross-batch line dedup, factored so
+    composites (streaming/curation_stream.py) can chain it BEFORE their
+    gates: returns (rebuilt_docs, fresh_hashes) — rebuilt docs carry only
+    this batch's first-occurrence-of-unseen lines; fresh_hashes (h, hb)
+    is what the caller must persist under the batch's state partition.
+    Both are persisted DataFrames; the caller unpersists after writing."""
+    lines_dir = out_dir.rstrip("/") + "/state/lines"
+    sp = batch_df.sparkSession
+    lines = batch_df.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"),
+    ).filter(F.length("line") > 0).select(
+        "doc_id", (F.col("idx") + 1).alias("line_no"), "line",
+        F.xxhash64("line").alias("h"))
+    firsts = (lines.groupBy("h")
+              .agg(F.min(F.struct("doc_id", "line_no", "line")).alias("w"))
+              .select("h", F.col("w.doc_id").alias("doc_id"),
+                      F.col("w.line_no").alias("line_no"),
+                      F.col("w.line").alias("line"))
+              .withColumn("hb", F.pmod(F.col("h"),
+                                       F.lit(n_state_buckets)).cast("int")))
+    kbs = [r["hb"] for r in firsts.select("hb").distinct().collect()]
+    state = (_read_state(sp, lines_dir, "h long, hb int", batch_id)
+             .filter(F.col("hb").isin(kbs)))
+    fresh = firsts.join(state, "h", "left_anti").persist()
+    rebuilt = (fresh.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("line_no", "line"))),
+                        lambda x: x["line"]), "\n").alias("text")))
+    return rebuilt, fresh
+
+
 def process_batch_line_dedup(batch_df: DataFrame, batch_id: int,
                              out_dir: str,
                              n_state_buckets: int = 32) -> None:
@@ -217,46 +254,23 @@ def process_batch_line_dedup(batch_df: DataFrame, batch_id: int,
     spread over the bucket partitions; past that, swap the anti-join for
     the Bloom prefilter (dedup.bloom_build's bitmap, accepting its FP
     drop rate) — the state LAYOUT and replay contract stay identical."""
-    lines_dir = out_dir.rstrip("/") + "/state/lines"
-    clean_dir = out_dir.rstrip("/") + "/clean"
-    sp = batch_df.sparkSession
-
-    lines = batch_df.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"),
-    ).filter(F.length("line") > 0).select(
-        "doc_id", (F.col("idx") + 1).alias("line_no"), "line",
-        F.xxhash64("line").alias("h"))
-    # in-batch keep-first per hash (carries the line text for the rebuild)
-    firsts = (lines.groupBy("h")
-              .agg(F.min(F.struct("doc_id", "line_no", "line")).alias("w"))
-              .select("h", F.col("w.doc_id").alias("doc_id"),
-                      F.col("w.line_no").alias("line_no"),
-                      F.col("w.line").alias("line"))
-              .withColumn("hb", F.pmod(F.col("h"),
-                                       F.lit(n_state_buckets)).cast("int"))
-              .persist())
-    kbs = [r["hb"] for r in firsts.select("hb").distinct().collect()]
-    state = (_read_state(sp, lines_dir, "h long, hb int", batch_id)
-             .filter(F.col("hb").isin(kbs)))
-    fresh = firsts.join(state, "h", "left_anti").persist()
-
-    def _write(df: DataFrame, path: str, *parts: str) -> None:
-        (df.withColumn("batch_id", F.lit(batch_id).cast("long"))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id", *parts).parquet(path))
-
-    rebuilt = (fresh.groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_kept"),
-                    F.array_join(F.transform(
-                        F.array_sort(F.collect_list(
-                            F.struct("line_no", "line"))),
-                        lambda x: x["line"]), "\n").alias("text")))
-    _write(rebuilt, clean_dir)
-    _write(fresh.select("h", "hb"), lines_dir, "hb")
+    rebuilt, fresh = line_dedup_core(batch_df, batch_id, out_dir,
+                                     n_state_buckets=n_state_buckets)
+    write_batch_partition(rebuilt, batch_id,
+                          out_dir.rstrip("/") + "/clean")
+    write_batch_partition(fresh.select("h", "hb"), batch_id,
+                          out_dir.rstrip("/") + "/state/lines", "hb")
     fresh.unpersist()
-    firsts.unpersist()
+
+
+def write_batch_partition(df: DataFrame, batch_id: int, path: str,
+                          *parts: str) -> None:
+    """The protocol's one write shape: idempotent dynamic overwrite of the
+    micro-batch's own batch_id partition (replay rewrites itself)."""
+    (df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id", *parts).parquet(path))
 
 
 def run_stream_line_dedup(spark: SparkSession, docs_dir: str, out_dir: str,

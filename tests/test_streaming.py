@@ -512,6 +512,43 @@ def test_compaction_spares_uncommitted_batches_and_replay_stays_lossless(
             .select("doc_id").collect()} == {0, 2, 5, 11}
 
 
+def test_stream_curation_with_line_stage(spark, tmp_path_factory):
+    """run_stream_curation(line_dedup=True): the streaming analog of the
+    batch chain web_curation → corpus_clean_v2 — lines seen in an earlier
+    batch are stripped BEFORE the gates, so an all-boilerplate page
+    vanishes without minting MinHash state, while fresh content flows
+    through gates + cross-batch near-dup as before."""
+    from logport_spark.streaming.curation_stream import run_stream_curation
+
+    good = ("the quick brown fox jumps over the lazy dog and then the dog "
+            "sleeps near the quiet river bank every single day in summer")
+    other = ("a small boat drifts along the old canal while two birds "
+             "circle above the water and the town slowly wakes up again")
+
+    d = str(tmp_path_factory.mktemp("curline_docs"))
+    out = str(tmp_path_factory.mktemp("curline_out"))
+    ckpt = str(tmp_path_factory.mktemp("curline_ckpt"))
+    _write_docs(d, "b1", [(0, good + "\nshared footer line")])
+    # doc 10 repeats ONLY batch-1 lines → vanishes pre-gate;
+    # doc 11 carries the footer plus fresh text → footer stripped,
+    # fresh text survives the gates
+    _write_docs(d, "b2", [(10, good + "\nshared footer line"),
+                          (11, other + "\nshared footer line")])
+    run_stream_curation(spark, d, out, ckpt, line_dedup=True)
+
+    clean = {r.doc_id: r for r in
+             spark.read.parquet(out + "/clean").collect()}
+    assert set(clean) == {0, 11}, set(clean)
+    assert "shared footer line" not in clean[11].text   # stripped
+    assert clean[0].text.endswith("shared footer line")  # first keeper
+    # doc 10 never minted signature state
+    assert {r.doc_id for r in spark.read.parquet(out + "/state/sigs")
+            .select("doc_id").collect()} == {0, 11}
+    # line-hash state exists and carries no text
+    assert set(spark.read.parquet(out + "/state/lines").columns) == \
+        {"h", "hb", "batch_id"}
+
+
 def test_stream_line_dedup_equals_batch_and_replays_lossless(
         spark, tmp_path_factory):
     """Cross-batch C4 line dedup (r5, process_batch_line_dedup): with

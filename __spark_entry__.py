@@ -1485,6 +1485,26 @@ def _strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("doc_id", "url"))
 
 
+def _domain_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain site-chrome strip over the pages table
+    (dedup.py:domain_boilerplate_lines): at sf0.01 the host grain with
+    min_docs=5 flags 521 (domain, line) chrome pairs where the global
+    operator's safe threshold (min_docs=20) flags 10 lines — the site-local
+    boilerplate CCNet/RefinedWeb compute per shard/site for this reason.
+    Domain via the lp_enrich split_part equivalence (JVM split_part ≡
+    DuckDB split_part, both 1-based)."""
+    from logport_spark.operators.dedup import domain_boilerplate_lines
+
+    pages = _pages(spark, sf_dir).select(
+        "url",
+        F.split_part(F.split_part("url", F.lit("://"), F.lit(2)),
+                     F.lit("/"), F.lit(1)).alias("domain"),
+        "text")
+    return (domain_boilerplate_lines(pages, min_docs=5, group_col="domain",
+                                     text_col="text", id_col="url")
+            .withColumnRenamed("doc_id", "url"))
+
+
 def _domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logport_spark.operators.textstats import domain_stats
 
@@ -2062,6 +2082,7 @@ def _baseline_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_page_filters": _c4_page_filters,  # C4 line+doc cleaning pass
         "dsir_weights": _dsir_weights,  # DSIR importance weights
         "strip_boilerplate": _strip_boilerplate,  # high-df line removal
+        "domain_boilerplate": _domain_boilerplate,  # per-domain site chrome
         "domain_stats": _domain_stats,  # per-domain corpus statistics
         "corpus_datacard": _corpus_datacard,  # CUBE composition data card
         "domain_filter_docs": _domain_filter_docs,  # domain-level gate
@@ -4560,6 +4581,26 @@ def _baseline_oracle_registry() -> dict[str, str]:
             SELECT url, count(*) AS n_kept,
                    string_agg(line, chr(10) ORDER BY line_no) AS text
             FROM kept GROUP BY url
+        """,
+        "domain_boilerplate": _LINES_CTE + """
+            , l AS (
+              SELECT url, split_part(split_part(url, '://', 2), '/', 1)
+                         AS domain,
+                     line_no, line
+              FROM lines
+            ), df AS (
+              SELECT domain, line, count(DISTINCT url) AS df
+              FROM l GROUP BY domain, line
+            ), kept AS (
+              SELECT url, domain, line_no, line FROM l
+              WHERE NOT EXISTS (
+                SELECT 1 FROM df
+                WHERE df.domain = l.domain AND df.line = l.line
+                  AND df.df >= 5)
+            )
+            SELECT url, domain, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY line_no) AS text
+            FROM kept GROUP BY url, domain
         """,
         # data card: DuckDB's CUBE must produce the identical 4 grouping
         # sets + GROUPING()-labeled margins (count/sum cast to BIGINT —

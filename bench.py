@@ -64,6 +64,7 @@ def _headline_queries():
         "mm_features", "corpus_clean", "asof_purchase_click",
         "events_distinct_stats",
         "line_dedup_corpus", "url_dedup",          # r4 corpus-level dedup
+        "domain_boilerplate",                      # r5 host-grain site chrome
         "domain_filter_docs", "pack_sequences",    # r4 curation/packing
         "semantic_dedup_pairs",                    # r4 SemDeDup cells
         "web_curation",                            # r4 end-to-end composite

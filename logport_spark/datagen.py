@@ -44,7 +44,8 @@ BASE_TS = datetime(2024, 8, 1, 0, 0, 0)  # naive UTC; session TZ is UTC
 DATA_DIR = os.environ.get("LOGPORT_SPARK_DATA_DIR", "/root/repo/data")
 
 # docs per scale factor (sf0.1 ≈ 2M routed records at ~20 lines/doc)
-SF_DOCS = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000, "1": 1_000_000}
+SF_DOCS = {"0.001": 1_000, "0.01": 10_000, "0.1": 100_000, "1": 1_000_000,
+           "10": 10_000_000}
 
 WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "

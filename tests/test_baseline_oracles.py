@@ -144,6 +144,10 @@ def test_baselines_match_oracles(spark, duck):
         # r4 session-13: DoReMi-style mixture weights over the domain_kl
         # excess table (softmax replayed in SQL on identical 4dp inputs)
         "domain_reweight",
+        # r5 session-2: per-domain site-chrome strip — the host-grain
+        # boilerplate companion (global threshold sees 10 lines at sf0.01;
+        # the domain grain flags 521 (domain, line) chrome pairs)
+        "domain_boilerplate",
     }
     assert len(entrymod.queries()) == 50
     for name in ("contamination_scan", "corpus_clean_v2", "lm_bits",

@@ -1240,6 +1240,40 @@ def test_strip_boilerplate_lines_semantics(spark):
     }
 
 
+def test_domain_boilerplate_lines_is_site_local(spark):
+    """The domain grain strips a small site's chrome that the global
+    threshold misses, and NEVER strips the same line from a domain where
+    it is rare — the property that distinguishes it from
+    strip_boilerplate_lines (which is domain-blind both ways)."""
+    from logport_spark.operators.dedup import (domain_boilerplate_lines,
+                                               strip_boilerplate_lines)
+
+    docs = spark.createDataFrame(
+        [(1, "a.com", "nav bar\ncontent one"),
+         (2, "a.com", "nav bar\ncontent two"),
+         (3, "a.com", "nav bar\ncontent three"),
+         (4, "b.com", "nav bar\nother site content"),  # rare ON b.com
+         (5, "b.com", "b content only"),
+         (6, "a.com", "nav bar")],       # chrome-only page -> drops out
+        "doc_id long, domain string, text string")
+    got = {r.doc_id: (r.domain, r.n_kept, r.text)
+           for r in domain_boilerplate_lines(docs, min_docs=3).collect()}
+    assert got == {
+        1: ("a.com", 1, "content one"),
+        2: ("a.com", 1, "content two"),
+        3: ("a.com", 1, "content three"),
+        # df("nav bar") on b.com = 1 < 3: kept there even though a.com
+        # crossed the threshold with the SAME line
+        4: ("b.com", 2, "nav bar\nother site content"),
+        5: ("b.com", 1, "b content only"),
+    }
+    # the global operator at the same threshold is domain-blind: "nav bar"
+    # has corpus df=5 >= 3, so doc 4 loses it too
+    glob = {r.doc_id: r.text for r in
+            strip_boilerplate_lines(docs, min_docs=3).collect()}
+    assert glob[4] == "other site content"
+
+
 def test_domain_filter_drops_whole_domains(spark):
     """A failing domain loses every doc; healthy domains keep all."""
     from logport_spark.operators.textstats import domain_filter, domain_stats

@@ -106,6 +106,15 @@ ANNOTATED = {
         "stream — the doc stream never shuffles for the filter; only the "
         "rebuild agg exchanges on doc_id."
     ),
+    "domain_boilerplate": (
+        "Per-domain site chrome: (domain, doc, line) distinct agg → "
+        "(domain, line) doc-freq agg → the ≥min_docs set anti-joins the "
+        "line stream on (domain, line) — SHUFFLED, not broadcast, because "
+        "at web scale the set grows with domain count (millions of hosts "
+        "× chrome lines); AQE demotes it to broadcast when small. "
+        "Skew-safe: a hot domain's rows split across its distinct lines. "
+        "Rebuild agg exchanges on doc_id, as the whole line family does."
+    ),
     "semantic_dedup_pairs": (
         "SemDeDup: plan-literal centroid scoring (narrow map, no "
         "exchange) -> cell self-join on bare (cell, id) -> vectors "

@@ -864,8 +864,6 @@ def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     language identified → MinHash+LSH near-dup removal (drop the larger id
     of each pair ≥ 0.8 Jaccard). Every stage is an already-oracled operator;
     the composite is verified against the same logic in one SQL query."""
-    from pyspark.sql import Window
-
     from logport_spark.operators.dedup import minhash_lsh_pairs
     from logport_spark.operators.textstats import lang_id, quality
 
@@ -881,9 +879,15 @@ def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("text_md5"),
         "pred_lang", "quality_score", "q_tokens",
     )
-    w = Window.partitionBy("text_md5").orderBy("doc_id")
-    d1meta = (feats.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn", "text_md5")
+    # Keep-min-per-md5 as a hash aggregate, not a window: min(struct) gets
+    # map-side partial aggregation and needs no per-group sort, where
+    # row_number() forces a full sort over the content key — the difference
+    # between HashAggregate and Sort+Window on the 100 TB dedup shuffle.
+    # doc_id leads the struct, so min() picks the lowest doc_id's row.
+    d1meta = (feats.groupBy("text_md5")
+              .agg(F.min(F.struct("doc_id", "pred_lang", "quality_score",
+                                  "q_tokens")).alias("_keep"))
+              .select("_keep.*")
               .persist(StorageLevel.MEMORY_AND_DISK))
     # Near-dup miner re-reads the text for KEPT docs only (left-semi by id —
     # the one full-text shuffle in the whole plan); its drop set is
@@ -904,9 +908,7 @@ def _corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     known → NOT has_pii → dup_2gram_frac ≤ 0.5 → top_token_frac ≤ 0.3 →
     MinHash near-dup drop. Every per-text feature (md5, quality, lang,
     repetition folds, PII counts) is ONE narrow pre-shuffle pass; the
-    dedup window then carries ~60 B/doc of metadata, never the text."""
-    from pyspark.sql import Window
-
+    dedup shuffle then carries ~60 B/doc of metadata, never the text."""
     from pyspark import StorageLevel
 
     from logport_spark.operators.dedup import minhash_lsh_pairs
@@ -919,9 +921,13 @@ def _corpus_clean_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_lang", "quality_score",
         "top_token_frac", "dup_2gram_frac", "has_pii",
     )
-    w = Window.partitionBy("text_md5").orderBy("doc_id")
-    d1meta = (feats.withColumn("_rn", F.row_number().over(w))
-              .filter(F.col("_rn") == 1).drop("_rn", "text_md5")
+    # Hash-aggregate keep-min-per-md5 (see _corpus_clean): min(struct) over
+    # the content key instead of a sorted window — partial agg, no sort.
+    d1meta = (feats.groupBy("text_md5")
+              .agg(F.min(F.struct(
+                  "doc_id", "pred_lang", "quality_score",
+                  "top_token_frac", "dup_2gram_frac", "has_pii")).alias("_keep"))
+              .select("_keep.*")
               .persist(StorageLevel.MEMORY_AND_DISK))
     d1_docs = docs.join(d1meta.select("doc_id"), "doc_id", "left_semi")
     drops = minhash_lsh_pairs(d1_docs, n=3, threshold=0.8).select(

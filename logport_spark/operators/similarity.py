@@ -334,19 +334,29 @@ def kmeans_centroids(emb: DataFrame, nlist: int, seed: int = 42,
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
-def _centroid_scores(emb: DataFrame, cents: list[list[float]],
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
-    """(_id, _sc): per-vector array of normalized dot products against the
-    centroid set, embedded as plan LITERALS — cell assignment is a pure
-    narrow map, zero shuffle, no broadcast exchange. Sequential sums match
-    the oracle's left-fold list_sum exactly."""
-    cnorm = []
+def _centroid_norms(cents: list[list[float]]) -> list[float]:
+    """Sequential Σx² per centroid — the exact fold order both score paths
+    and the SQL oracle divide by."""
+    out = []
     for c in cents:
         s = 0.0
         for x in c:
             s += x * x
-        cnorm.append(s ** 0.5)
+        out.append(s ** 0.5)
+    return out
+
+
+def _centroid_scores_sql(emb: DataFrame, cents: list[list[float]],
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Interpreted-HOF reference form of _centroid_scores (centroids as plan
+    literals, one aggregate(zip_with(...)) fold per cell). Kept as the
+    bit-equality witness for the Arrow kernel — pytest pins kernel == this
+    row-for-row — and as the no-Arrow fallback. Not the hot path: nlist
+    interpreted lambda folds per row is the same pathology pq_encode's
+    kernel replaced (2-32s swings on identical plans, BENCH/BASELINE.md
+    session-9 note)."""
+    cnorm = _centroid_norms(cents)
     vd = f"transform({vec_col}, x -> cast(x as double))"
     per = []
     for c, nm in zip(cents, cnorm):
@@ -359,6 +369,56 @@ def _centroid_scores(emb: DataFrame, cents: list[list[float]],
         F.col(id_col).alias("_id"),
         F.expr(f"array({', '.join(per)})").alias("_sc"),
     )
+
+
+def _centroid_scores(emb: DataFrame, cents: list[list[float]],
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(_id, _sc): per-vector array of normalized dot products against the
+    centroid set — cell assignment stays a pure narrow map, zero shuffle,
+    no broadcast exchange (centroids ride the UDF closure instead of plan
+    literals; same distribution property).
+
+    Hot path is an Arrow kernel in the pq_encode mold: the dot is
+    accumulated DIMENSION-SEQUENTIALLY (acc += x_i·y_i, i ascending — a
+    loop over dim vectorized across batch×nlist), so every element sees
+    the identical IEEE-754 add chain as the oracle's left-fold list_sum
+    and as _centroid_scores_sql — cell assignment is bit-stable across
+    the three forms (pytest pins it). Replaces nlist interpreted lambda
+    folds per row (~nlist×dim interpreted steps) with nlist×dim fused
+    numpy ops per BATCH.
+
+    Shape: mapInPandas, NOT a scalar-UDF column. A scalar pandas UDF gets
+    substituted into whatever expression references it; join constraint
+    inference then plants an IsNotNull(score(...)) in an interpreted
+    Filter, which cannot evaluate a PythonUDF (Spark raises
+    INTERNAL_ERROR Cannot evaluate expression — hit live when
+    semantic_dedup_pairs consumed embed_docs' sparse→dense rebuild). A
+    MapInPandas node exposes plain output attributes, so downstream
+    predicates stay ordinary evaluable filters; it is still a zero-shuffle
+    narrow map. The one optimization a column UDF gave up for free —
+    pushing a query-id filter BELOW the scoring — callers do by hand
+    (ivf_topk scores emb.filter(isin) for the probe side)."""
+    cnorm = np.asarray(_centroid_norms(cents), dtype=np.float64)
+    cb = np.asarray(cents, dtype=np.float64)  # (nlist, dim)
+    dim = cb.shape[1]
+    id_type = emb.select(F.col(id_col).alias("_id")).schema["_id"].dataType.simpleString()
+    src = emb.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)  # (B, dim)
+            acc = np.zeros((len(mat), cb.shape[0]), dtype=np.float64)
+            for i in range(dim):  # dimension-sequential: oracle fold order
+                acc += mat[:, i:i + 1] * cb[:, i][None, :]
+            acc /= cnorm[None, :]
+            yield pd.DataFrame({"_id": pdf["_id"], "_sc": list(acc)})
+
+    return src.mapInPandas(score, f"_id {id_type}, _sc array<double>")
 
 
 def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
@@ -383,9 +443,13 @@ def ivf_topk(emb: DataFrame, query_ids: list[int], k: int = 10,
     scored = _centroid_scores(emb, cents, id_col, vec_col)
     cell = F.array_position(F.col("_sc"), F.array_max("_sc")).cast("int")
     corpus = scored.select("_id", cell.alias("cell"))
-    # query side: nprobe best cells each (tiny — broadcast)
+    # query side: nprobe best cells each (tiny — broadcast). Score ONLY the
+    # query rows: mapInPandas is a barrier, so the isin filter is pushed
+    # below the scoring by hand (see _centroid_scores docstring).
+    qscored = _centroid_scores(
+        emb.filter(F.col(id_col).isin(query_ids)), cents, id_col, vec_col)
     qcells = (
-        scored.filter(F.col("_id").isin(query_ids))
+        qscored
         .select(F.col("_id").alias("query_id"), F.posexplode("_sc").alias("c0", "s"))
         .withColumn("cell", (F.col("c0") + 1).cast("int")).drop("c0")
     )
@@ -435,8 +499,9 @@ def semantic_dedup_pairs(emb: DataFrame, threshold: float = 0.95,
     Scale contract: candidate volume is Σ cell_size²/2, so nlist must grow
     with the corpus — n/nlist ≈ a few thousand keeps per-cell joins
     bounded (the paper runs 50k clusters on 5B embeddings for the same
-    reason). Cell assignment is a zero-shuffle narrow map (centroids are
-    plan literals); the self-join shuffles bare (cell, id) pairs only;
+    reason). Cell assignment is a zero-shuffle narrow map (centroids ride
+    the Arrow kernel's closure — see _centroid_scores); the self-join
+    shuffles bare (cell, id) pairs only;
     vectors rejoin by id for the exact verify — the embedding_lsh_pairs
     tail. `max_cell` caps degenerate cells (cap_buckets guardrail)."""
     from .dedup import cap_buckets

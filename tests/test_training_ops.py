@@ -89,6 +89,35 @@ def test_embedding_lsh_pairs_recall_on_planted_dups(spark):
     assert lsh == brute
 
 
+def test_centroid_scores_kernel_bitmatches_sql_form(spark):
+    """The Arrow _centroid_scores kernel (dimension-sequential numpy
+    accumulation) must equal the interpreted-HOF plan-literal form
+    BIT-FOR-BIT — cell assignment downstream (ivf_topk, semantic_dedup,
+    ivfpq) ties on these doubles, so 'close' is not enough. Mixed-scale
+    float32 inputs stress the add-chain ordering."""
+    import numpy as np
+
+    from logport_spark.operators.similarity import (
+        _centroid_scores, _centroid_scores_sql, lowest_id_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(300):
+        v = rng.standard_normal(64) * (10.0 ** rng.integers(-3, 4))
+        rows.append((i, [float(np.float32(x)) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = lowest_id_centroids(emb, 16)
+
+    got = {r["_id"]: list(r["_sc"])
+           for r in _centroid_scores(emb, cents).collect()}
+    want = {r["_id"]: list(r["_sc"])
+            for r in _centroid_scores_sql(emb, cents).collect()}
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i] == want[i], f"vec {i}: kernel != sql form bitwise"
+
+
 def test_ivf_topk_recall_on_clustered_data(spark):
     """IVF-flat: on clustered data (queries near their cluster-mates) the
     probed-cell candidates must recover the brute top-k with high recall,

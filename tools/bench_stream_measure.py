@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Streaming-curation throughput ladder (round 5, session 3).
+
+The streaming stack's correctness is pytest-pinned (crash-replay lossless,
+merge-on-read == batch operators), but until now its THROUGHPUT was
+unmeasured — the one family in BENCH/BASELINE.md without a ladder. This
+tool times `run_stream_curation` (gates → cross-batch MinHash dedup,
+the shipped function — no bench-only variant) over the pages corpus:
+
+  * micro-batch tax: the SAME input drained as 1 batch vs 10 batches
+    (max_files=1 over 10 files) — the difference is pure protocol cost
+    (per-batch scheduling + state read/write + dynamic-overwrite commit),
+    the number a capacity plan multiplies by batches/day;
+  * size ladder: 100k → 1M docs at fixed batch count — does per-doc cost
+    hold as state deepens 10×?
+  * line_dedup=True variant at 100k: the added cost of the cross-batch
+    C4 line stage (line-hash state at line grain, ~18 lines/doc).
+
+Inputs derive from the deterministic pages tables (datagen.ensure_pages);
+doc_id = xxhash64(url) (unique in practice at these sizes — verified
+per run), text = the page text column. Output: one JSON line per leg on
+stdout (wall, docs/s, clean rows, state files/bytes) + a summary line;
+per-leg detail to stderr. Fresh out/ckpt dirs per leg; the input dir is
+written once per size with exactly n_batches parquet files so
+maxFilesPerTrigger=1 yields n_batches micro-batches.
+
+Usage: python tools/bench_stream_measure.py [--sizes 100000,1000000]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from logport_spark import datagen  # noqa: E402
+from logport_spark.session import get_spark  # noqa: E402
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WORK = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "data", "stream_bench")
+
+SF_FOR = {10_000: "0.01", 100_000: "0.1", 1_000_000: "1"}
+
+
+def prep_docs(spark, n: int, n_batches: int) -> str:
+    """Write (doc_id, text) as exactly n_batches files; cached per (n,k)."""
+    d = os.path.join(WORK, f"docs_{n}_{n_batches}")
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    pages = spark.read.parquet(datagen.ensure_pages(SF_FOR[n], spark=spark))
+    docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+    n_ids = docs.select("doc_id").distinct().count()
+    if n_ids != n:  # hash collision would conflate two docs in the dedup
+        print(f"  WARN doc_id collisions: {n - n_ids}", file=sys.stderr)
+    docs.repartition(n_batches).write.mode("overwrite").parquet(d)
+    return d
+
+
+def dir_stats(root: str) -> tuple[int, int]:
+    files = nbytes = 0
+    for base, _, names in os.walk(root):
+        for f in names:
+            if f.endswith(".parquet"):
+                files += 1
+                nbytes += os.path.getsize(os.path.join(base, f))
+    return files, nbytes
+
+
+def leg(spark, docs_dir: str, n: int, n_batches: int,
+        line_dedup: bool = False) -> dict:
+    from logport_spark.streaming.curation_stream import run_stream_curation
+
+    tag = f"n={n} batches={n_batches}" + (" line_dedup" if line_dedup else "")
+    out = os.path.join(WORK, "out")
+    ckpt = os.path.join(WORK, "ckpt")
+    for p in (out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    t0 = time.time()
+    run_stream_curation(spark, docs_dir, out, ckpt,
+                        max_files=1 if n_batches > 1 else 1_000_000,
+                        line_dedup=line_dedup)
+    dt = time.time() - t0
+    clean = spark.read.parquet(out + "/clean").count()
+    sfiles, sbytes = dir_stats(os.path.join(out, "state"))
+    row = {"n": n, "n_batches": n_batches, "line_dedup": line_dedup,
+           "sec": round(dt, 2), "docs_per_sec": round(n / dt, 1),
+           "clean_rows": clean, "state_files": sfiles,
+           "state_mb": round(sbytes / 2**20, 1),
+           "load_avg_1m": round(os.getloadavg()[0], 2)}
+    print(f"  {tag}: {dt:.1f}s ({n/dt:,.0f} docs/s) clean={clean} "
+          f"state={sfiles}f/{row['state_mb']}MB", file=sys.stderr)
+    return row
+
+
+def main() -> None:
+    sizes = [100_000, 1_000_000]
+    if "--sizes" in sys.argv:
+        sizes = [int(s) for s in
+                 sys.argv[sys.argv.index("--sizes") + 1].split(",")]
+    spark = get_spark("bench_stream", cpus=CPUS,
+                      shuffle_partitions=max(CPUS, 8))
+    datagen.ensure_lookups()
+    os.makedirs(WORK, exist_ok=True)
+    legs = []
+    # warm-up (untimed): tiny drain pays JIT + Arrow + streaming engine init
+    leg(spark, prep_docs(spark, 10_000, 2), 10_000, 2)
+    for n in sizes:
+        d10 = prep_docs(spark, n, 10)
+        legs.append(leg(spark, d10, n, 10))
+        if n == sizes[0]:
+            d1 = prep_docs(spark, n, 1)
+            legs.append(leg(spark, d1, n, 1))
+            legs.append(leg(spark, d10, n, 10, line_dedup=True))
+    for row in legs:
+        print(json.dumps(row))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -215,8 +215,20 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     beside MinHash's own probabilistic banding)."""
     sh = doc_shingles(docs, n).select(
         "doc_id", F.xxhash64(F.col("sh")).alias("h64")).cache()
-    cands = lsh_candidates(minhash_signatures_h64(sh, num_hashes), bands,
-                           num_hashes // bands, max_bucket)
+    return lsh_verified_pairs(sh, minhash_signatures_h64(sh, num_hashes),
+                              threshold=threshold, bands=bands,
+                              num_hashes=num_hashes, max_bucket=max_bucket)
+
+
+def lsh_verified_pairs(sh: DataFrame, sig: DataFrame, threshold: float = 0.8,
+                       bands: int = 16, num_hashes: int = 64,
+                       max_bucket: int | None = None) -> DataFrame:
+    """minhash_lsh_pairs' mining+verify core over PRECOMPUTED shingle
+    hashes (doc_id, h64) and signatures (doc_id, sig) — factored so a
+    caller that needs the signatures for something else too (the
+    streaming protocol persists them as cross-batch state) mints them
+    once instead of twice per batch. Same result, same plan shape."""
+    cands = lsh_candidates(sig, bands, num_hashes // bands, max_bucket)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # exact common-shingle counts, but only for LSH candidate pairs
     common = (

@@ -69,7 +69,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     doc_shingles,
-    minhash_lsh_pairs,
+    lsh_verified_pairs,
     minhash_signatures_h64,
 )
 
@@ -145,11 +145,18 @@ def process_batch_dedup(batch_df: DataFrame, batch_id: int, out_dir: str,
     clean_dir = out_dir.rstrip("/") + "/clean"
     sp = batch_df.sparkSession
     docs = batch_df.persist()
-    # 1. in-batch near-dups, exact verify (text available)
-    drops = minhash_lsh_pairs(docs, threshold=threshold).select(
+    # 1. in-batch near-dups, exact verify (text available). Shingle
+    # hashes + signatures are minted ONCE for the batch: the miner's
+    # verify core reuses them, and the kept rows of the same signature
+    # table become the cross-batch state (previously doc_signatures(kept)
+    # recomputed the whole shingle+sig pass a second time per batch).
+    sh = doc_shingles(docs, 3).select(
+        "doc_id", F.xxhash64(F.col("sh")).alias("h64")).persist()
+    sig_all = minhash_signatures_h64(sh, NUM_HASHES).persist()
+    drops = lsh_verified_pairs(sh, sig_all, threshold=threshold).select(
         F.col("d2").alias("doc_id")).distinct()
     kept = docs.join(drops, "doc_id", "left_anti")
-    sig = doc_signatures(kept).persist()
+    sig = sig_all.join(drops, "doc_id", "left_anti").persist()
     # 2. cross-batch candidates vs persisted bands, estimated-J verify
     batch_bands = band_rows(sig).withColumn(
         "kb", F.pmod(F.col("key"), F.lit(n_state_buckets)).cast("int"))
@@ -184,6 +191,8 @@ def process_batch_dedup(batch_df: DataFrame, batch_id: int, out_dir: str,
         "kb", F.pmod(F.col("key"), F.lit(n_state_buckets)).cast("int"))
     write_batch_partition(final_bands, batch_id, bands_dir, "kb")
     sig.unpersist()
+    sig_all.unpersist()
+    sh.unpersist()
     docs.unpersist()
 
 

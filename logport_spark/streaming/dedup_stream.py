@@ -14,8 +14,9 @@ design inside foreachBatch:
 
   per micro-batch:
     1. in-batch near-dup pairs with the batch-local EXACT-verify miner
-       (operators/dedup.minhash_lsh_pairs — text is at hand); drop the
-       larger id of each pair.
+       (operators/dedup.lsh_verified_pairs over the batch's shingle
+       hashes + signatures, minted ONCE and reused as the state rows —
+       text is at hand); drop the larger id of each pair.
     2. survivors' band keys join state/bands on (band, key) → cross-batch
        candidates; candidates join state/sigs and the batch sigs, and the
        SIGNATURE-ESTIMATED Jaccard (matching minhash fraction — the

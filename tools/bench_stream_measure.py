@@ -99,7 +99,65 @@ def leg(spark, docs_dir: str, n: int, n_batches: int,
     return row
 
 
+def state_depth_run(spark, n: int = 10_000, gens=(1, 10, 100)) -> list:
+    """Per-batch cost as a function of STREAM DEPTH (generations of state),
+    isolating what compaction actually buys. One batch of `n` docs seeds
+    the state; its partitions are replicated on disk to G generations
+    (same rows under batch_id=1..G-1 — real generations differ in content
+    but this holds row volume per generation constant by construction);
+    then a second real batch is timed against that state, raw and (at
+    max G) after compact_dedup_state folds it to one batch_id=-1
+    generation. Raw-vs-compacted at equal G holds SCANNED ROWS equal
+    (the fold concatenates, it does not dedup), so the delta is pure
+    file-count cost — listing + open + footer reads — exactly the claim
+    the compaction docstring makes for a month-deep stream."""
+    from logport_spark.streaming.curation_stream import run_stream_curation
+    from logport_spark.streaming.dedup_stream import compact_dedup_state
+
+    src = prep_docs(spark, n, 2)  # two files: seed batch + timed batch
+    parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    out = []
+    for gen, compacted in [(g, False) for g in gens] + [(max(gens), True)]:
+        d = os.path.join(WORK, "depth_in")
+        o = os.path.join(WORK, "depth_out")
+        ck = os.path.join(WORK, "depth_ck")
+        for p in (d, o, ck):
+            shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(d)
+        shutil.copy(os.path.join(src, parts[0]), os.path.join(d, "a.parquet"))
+        run_stream_curation(spark, d, o, ck)  # seed: batch 0 → state gen 0
+        for table in ("bands", "sigs"):
+            base = os.path.join(o, "state", table, "batch_id=0")
+            for g in range(1, gen):
+                shutil.copytree(base, os.path.join(
+                    o, "state", table, f"batch_id={g}"))
+        if compacted:
+            compact_dedup_state(spark, o)  # clean shutdown: fold all to -1
+        sfiles, _ = dir_stats(os.path.join(o, "state"))
+        shutil.copy(os.path.join(src, parts[1]), os.path.join(d, "b.parquet"))
+        t0 = time.time()
+        run_stream_curation(spark, d, o, ck)  # drains ONLY batch b
+        dt = time.time() - t0
+        row = {"generations": gen, "compacted": compacted,
+               "state_files_before": sfiles, "batch_sec": round(dt, 2),
+               "load_avg_1m": round(os.getloadavg()[0], 2)}
+        print(f"  depth G={gen}{' compacted' if compacted else ''}: "
+              f"{dt:.1f}s batch, {sfiles} state files", file=sys.stderr)
+        out.append(row)
+    return out
+
+
 def main() -> None:
+    if "--state-depth" in sys.argv:
+        spark = get_spark("bench_stream_depth", cpus=CPUS,
+                          shuffle_partitions=max(CPUS, 8))
+        datagen.ensure_lookups()
+        os.makedirs(WORK, exist_ok=True)
+        state_depth_run(spark, 10_000, (1, 10))  # warm-up (untimed legs)
+        for row in state_depth_run(spark, 10_000, (1, 10, 100)):
+            print(json.dumps(row))
+        spark.stop()
+        return
     sizes = [100_000, 1_000_000]
     if "--sizes" in sys.argv:
         sizes = [int(s) for s in

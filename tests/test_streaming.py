@@ -773,3 +773,30 @@ def test_stream_curation_gates_then_cross_batch_dedup(spark, tmp_path_factory):
     clean3 = {r.doc_id for r in
               spark.read.parquet(out + "/clean").select("doc_id").collect()}
     assert clean3 == clean2
+
+
+def test_stream_state_writes_one_file_per_bucket(spark, tmp_path_factory):
+    """Regression guard for the r5 state-write shape: bucket-partitioned
+    state (bands kb=, lines hb=) must land as ONE parquet file per bucket
+    dir per batch — without the pre-write repartition, every task wrote a
+    shard into every bucket dir (~tasks x buckets files per micro-batch,
+    measured 1,056 at 10k docs; the listing cost compounds over a
+    month-deep stream)."""
+    import glob
+    import os
+
+    from logport_spark.streaming.dedup_stream import run_stream_minhash_dedup
+
+    d = str(tmp_path_factory.mktemp("docs_fanout"))
+    out = str(tmp_path_factory.mktemp("dedup_fanout_out"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_fanout_ckpt"))
+    # enough docs that >1 task holds rows for the same bucket pre-shuffle
+    rows = [(i, f"{_DEDUP_BASE} {_DEDUP_UNIQ} doc{i} tok{i*7} tok{i*13}")
+            for i in range(200)]
+    _write_docs(d, "b1", rows)
+    run_stream_minhash_dedup(spark, d, out, ckpt)
+    kb_dirs = glob.glob(out + "/state/bands/batch_id=0/kb=*")
+    assert kb_dirs, "no band state written"
+    for kb in kb_dirs:
+        files = [f for f in os.listdir(kb) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{kb}: {len(files)} files (want 1)"

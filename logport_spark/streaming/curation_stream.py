@@ -22,6 +22,23 @@ curation as the routing decision — what the north_star's parse→enrich→
 route DAG looks like when the payload is training text instead of log
 lines (/root/reference/src/LogPort.cc select loop; re-expressed, not
 ported).
+
+Sizing runbook (every number measured — BENCH/BASELINE.md "Streaming
+ladder" / "State-depth scaling"):
+  * micro-batch size: the dominant cost term is PER-BATCH engine fixed
+    cost, so size batches as large as latency allows — the same 1M docs
+    cost 2.6× more as 10×100k batches than as one; ≥100k docs/batch is
+    where the protocol stops mattering on this box.
+  * state row depth: ~4% per-batch cost at 10× depth — not the knob to
+    worry about.
+  * generation count: +48% per batch at 100 raw generations (file
+    listing/opens, not rows). Run compact_dedup_state every ~50-100
+    micro-batches (stream stopped, checkpoint-aware); it returns the
+    batch below the 1-generation floor.
+  * n_state_buckets: state-write parallelism equals the bucket count
+    (one file per bucket per batch) and the per-batch state scan reads
+    only the batch's own buckets — size to the cluster's write slots,
+    not the data.
 """
 
 from __future__ import annotations

@@ -46,8 +46,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup_stream import (line_dedup_core, process_batch_dedup,
-                           run_docs_stream, write_batch_partition)
+from .dedup_stream import (ensure_parallelism, line_dedup_core,
+                           process_batch_dedup, run_docs_stream,
+                           write_batch_partition)
 
 
 def gate_docs(docs: DataFrame,
@@ -101,7 +102,10 @@ def run_stream_curation(
     compaction contracts unchanged."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select("doc_id", "text")
+        # widen an under-partitioned batch BEFORE the gates so the regex
+        # row functions parallelize too (no-op for many-file batches —
+        # dedup_stream.ensure_parallelism docstring has the measurement)
+        docs = ensure_parallelism(batch_df.select("doc_id", "text"))
         fresh = None
         if line_dedup:
             docs, fresh = line_dedup_core(docs, batch_id, out_dir,

@@ -106,6 +106,24 @@ def estimated_jaccard(s1: str, s2: str):
     )
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Widen an under-partitioned micro-batch to the session's cores.
+
+    A micro-batch's partition count is whatever the file source's split
+    math yields — a 100k-doc batch arriving as one ~26 MB parquet file is
+    ONE task, so every narrow stage before the first shuffle (gates,
+    shingling, signature mint — the drain's dominant compute) runs
+    single-threaded no matter how many cores the executor has. Measured:
+    the same 100k batch at local[32] drops 52→33s (first eval) / 90→24s
+    (steady) with this widen. Widen-ONLY: a batch that already has ≥
+    cores partitions (any real crawl drop of many shard files) is
+    untouched, so at scale this is a no-op and never adds a shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _read_state(spark: SparkSession, path: str, ddl: str,
                 exclude_batch: int) -> DataFrame:
     """Read a state table, pruning the excluded batch's partitions at scan
@@ -145,7 +163,7 @@ def process_batch_dedup(batch_df: DataFrame, batch_id: int, out_dir: str,
     bands_dir = out_dir.rstrip("/") + "/state/bands"
     clean_dir = out_dir.rstrip("/") + "/clean"
     sp = batch_df.sparkSession
-    docs = batch_df.persist()
+    docs = ensure_parallelism(batch_df).persist()
     # 1. in-batch near-dups, exact verify (text available). Shingle
     # hashes + signatures are minted ONCE for the batch: the miner's
     # verify core reuses them, and the kept rows of the same signature
@@ -208,6 +226,7 @@ def line_dedup_core(batch_df: DataFrame, batch_id: int, out_dir: str,
     Both are persisted DataFrames; the caller unpersists after writing."""
     lines_dir = out_dir.rstrip("/") + "/state/lines"
     sp = batch_df.sparkSession
+    batch_df = ensure_parallelism(batch_df)
     lines = batch_df.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"),

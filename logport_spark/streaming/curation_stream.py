@@ -46,9 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup_stream import (ensure_parallelism, line_dedup_core,
-                           process_batch_dedup, run_docs_stream,
-                           write_batch_partition)
+from .dedup_stream import (line_dedup_core, process_batch_dedup,
+                           run_docs_stream, write_batch_partition)
 
 
 def gate_docs(docs: DataFrame,
@@ -102,10 +101,14 @@ def run_stream_curation(
     compaction contracts unchanged."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # widen an under-partitioned batch BEFORE the gates so the regex
-        # row functions parallelize too (no-op for many-file batches —
-        # dedup_stream.ensure_parallelism docstring has the measurement)
-        docs = ensure_parallelism(batch_df.select("doc_id", "text"))
+        # NO widen here: repartitioning the raw batch text before the
+        # gates was measured 1.5× SLOWER end-to-end (1M/10 leg 506→754s)
+        # — the gates are cheap row functions that drop ~90% of rows, so
+        # the full-text shuffle buys nothing. The widen lives where the
+        # heavy narrow work is: line_dedup_core (line explode) and
+        # process_batch_dedup (shingle/signature mint) widen their OWN
+        # inputs (post-gate, 10× smaller here).
+        docs = batch_df.select("doc_id", "text")
         fresh = None
         if line_dedup:
             docs, fresh = line_dedup_core(docs, batch_id, out_dir,

@@ -147,7 +147,75 @@ def state_depth_run(spark, n: int = 10_000, gens=(1, 10, 100)) -> list:
     return out
 
 
+def _scaling_leg(cpus: int, n: int = 100_000) -> None:
+    """One fresh-JVM leg: single-batch n-doc drain at local[cpus].
+    Input must already be generated (the --scaling driver does that with
+    all cores before timing anything)."""
+    spark = get_spark(f"stream_leg_{cpus}", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    from logport_spark.streaming.curation_stream import run_stream_curation
+
+    d = os.path.join(WORK, f"docs_{n}_1")
+    out = os.path.join(WORK, "leg_out")
+    ck = os.path.join(WORK, "leg_ck")
+    for p in (out, ck):
+        shutil.rmtree(p, ignore_errors=True)
+    t0 = time.time()
+    run_stream_curation(spark, d, out, ck, max_files=1_000_000)
+    print(json.dumps({"cpus": cpus, "sec": round(time.time() - t0, 2)}))
+    spark.stop()
+
+
+def scaling_run(pair=(2, 8), rounds: int = 2, n: int = 100_000) -> None:
+    """North-rule evidence for the STREAMING path: the same single-batch
+    100k-doc curation drain at N and 4N cores, fresh subprocess JVM per
+    leg, levels interleaved, best kept per level (bench.py --scaling's
+    methodology; the one-batch shape keeps the measured work the DAG,
+    not per-batch engine fixed cost)."""
+    import subprocess
+
+    gen = get_spark("stream_scaling_gen", cpus=CPUS)
+    datagen.ensure_lookups()
+    os.makedirs(WORK, exist_ok=True)
+    prep_docs(gen, n, 1)
+    gen.stop()
+    best: dict = {}
+    for r in range(rounds):
+        for cpus in pair:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--_leg", str(cpus), "--_n", str(n)],
+                capture_output=True, text=True)
+            row = json.loads(p.stdout.strip().splitlines()[-1])
+            best[cpus] = min(best.get(cpus, 1e18), row["sec"])
+            print(f"  round {r} local[{cpus}]: {row['sec']:.1f}s",
+                  file=sys.stderr)
+    lo, hi = pair
+    eff = (best[lo] / best[hi]) / (hi / lo)
+    print(json.dumps({
+        "metric": "stream_scaling", "pair": list(pair), "rounds": rounds,
+        "n": n,
+        **{f"local[{c}]": {"sec": best[c],
+                           "docs_per_sec": round(n / best[c], 1)}
+           for c in pair},
+        "scaling_efficiency": round(eff, 3),
+        "load_avg_1m": round(os.getloadavg()[0], 2)}))
+
+
 def main() -> None:
+    if "--_leg" in sys.argv:
+        n = (int(sys.argv[sys.argv.index("--_n") + 1])
+             if "--_n" in sys.argv else 100_000)
+        _scaling_leg(int(sys.argv[sys.argv.index("--_leg") + 1]), n)
+        return
+    if "--scaling" in sys.argv:
+        pair = tuple(int(c) for c in (
+            sys.argv[sys.argv.index("--pair") + 1].split(",")
+            if "--pair" in sys.argv else ("2", "8")))
+        n = (int(sys.argv[sys.argv.index("--n") + 1])
+             if "--n" in sys.argv else 100_000)
+        scaling_run(pair, n=n)
+        return
     if "--state-depth" in sys.argv:
         spark = get_spark("bench_stream_depth", cpus=CPUS,
                           shuffle_partitions=max(CPUS, 8))

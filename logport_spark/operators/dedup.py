@@ -201,6 +201,11 @@ def lsh_candidates(sig: DataFrame, bands: int = 16, rows_per_band: int = 4,
     )
 
 
+# the one live cached shingle table across batch minhash_lsh_pairs calls
+# (see its docstring); module-level so the leak is bounded at one entry
+_last_sh_cache: DataFrame | None = None
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
                       num_hashes: int = 64, bands: int = 16,
                       max_bucket: int | None = None) -> DataFrame:
@@ -212,9 +217,23 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     shingle instead of the ~25-byte shingle string (a 3x cut in cached and
     joined bytes); Jaccard over distinct 64-bit shingle hashes equals
     Jaccard over shingle sets up to hash collisions (~n²/2^65 — immaterial
-    beside MinHash's own probabilistic banding)."""
+    beside MinHash's own probabilistic banding).
+
+    Cache lifetime (r6): each call releases the PREVIOUS call's cached
+    shingle table before minting its own, so repeated batch invocations in
+    one application hold at most one live cache entry instead of leaking
+    one per call (the streaming path manages its own persist/unpersist and
+    never enters here). Unpersist is safe even if the prior result is
+    still lazily held — Spark just recomputes it."""
+    global _last_sh_cache
+    if _last_sh_cache is not None:
+        try:
+            _last_sh_cache.unpersist()
+        except Exception:
+            pass
     sh = doc_shingles(docs, n).select(
         "doc_id", F.xxhash64(F.col("sh")).alias("h64")).cache()
+    _last_sh_cache = sh
     return lsh_verified_pairs(sh, minhash_signatures_h64(sh, num_hashes),
                               threshold=threshold, bands=bands,
                               num_hashes=num_hashes, max_bucket=max_bucket)
@@ -252,6 +271,51 @@ def lsh_verified_pairs(sh: DataFrame, sig: DataFrame, threshold: float = 0.8,
 # ---------------------------------------------------------- contamination ----
 
 
+def _doc_line_arrays(docs: DataFrame, text_col: str,
+                     id_col: str, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id[, extras], _arr): one row per doc with its split line array —
+    the shared base of the line-grain operators' two passes (metadata
+    decision pass + text rebuild pass). The split materializes as an
+    attribute so the rebuild's element_at lambda indexes a computed array
+    instead of re-splitting the doc per kept line."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
+        F.split(F.col(text_col), "\n").alias("_arr"))
+
+
+def _line_meta(d: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Exploded non-empty line METADATA (doc_id[, extras], line_no, h1, h2):
+    a 128-bit line fingerprint (two independently-seeded xxhash64's — joint
+    collision ~2^-128, the C4 convention of deciding on hashes) instead of
+    the ~80-byte line text, so every decision shuffle ships ~28 bytes/row.
+    The corpus text itself never enters a decision exchange (guide-§8
+    discipline: decide on a lightweight proxy, move heavy bytes once)."""
+    return d.select(
+        "doc_id", *[F.col(c) for c in extra_cols],
+        F.posexplode(F.col("_arr")).alias("idx", "line"),
+    ).filter(F.length("line") > 0).select(
+        "doc_id", *[F.col(c) for c in extra_cols],
+        (F.col("idx") + 1).alias("line_no"),
+        F.xxhash64(F.col("line")).alias("h1"),
+        F.xxhash64(F.lit(1), F.col("line")).alias("h2"))
+
+
+def _rebuild_docs(keep: DataFrame, d: DataFrame,
+                  out_cols: tuple = ()) -> DataFrame:
+    """Re-attach per-doc keep decisions (doc_id, n_kept, _lns sorted line
+    numbers) to the un-exploded doc arrays and rebuild surviving text in
+    original line order — the ONLY place text bytes can cross an exchange,
+    and they cross at most once (when `keep` is small enough Spark
+    broadcasts it and the rebuild is a fully narrow map over the doc scan).
+    Docs with no surviving line drop out via the inner join."""
+    rebuilt = F.array_join(
+        F.transform(F.col("_lns"), lambda ln: F.element_at(F.col("_arr"), ln)),
+        "\n").alias("text")
+    return (keep.join(d.select("doc_id", "_arr"), "doc_id")
+            .select("doc_id", *out_cols, "n_kept", rebuilt))
+
+
 def dedup_lines_corpus(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """C4-style CORPUS-level line dedup (Raffel et al. 2020 §2.2: any
@@ -263,41 +327,39 @@ def dedup_lines_corpus(docs: DataFrame, text_col: str = "text",
     lines in original order; documents losing every line drop out.
 
     Plan shape (the part that matters at 10^12 docs): NO window over the
-    line key and NO self-join —
-      1. posexplode lines (narrow),
-      2. groupBy(line).agg(min(struct(doc_id, line_no))) — ONE shuffle with
-         map-side partial aggregation, so a boilerplate line repeated on
-         10^9 pages combines to one row per map task before the exchange
-         (a row_number window over the same key would ship every copy to
-         one reducer — the classic hot-key cliff),
-      3. groupBy(doc_id) rebuild — second shuffle, doc-sized.
-    The aggregate's value IS the kept set; no join back against the corpus.
+    line key, NO self-join, and (r6) NO corpus text in any decision
+    exchange —
+      1. posexplode line metadata (narrow; 128-bit line fingerprint, no
+         text — see _line_meta),
+      2. groupBy(h1, h2).agg(min(struct(doc_id, line_no))) — ONE shuffle
+         with map-side partial aggregation over ~28-byte rows, so a
+         boilerplate line repeated on 10^9 pages combines to one row per
+         map task before the exchange (a row_number window over the same
+         key would ship every copy to one reducer — the classic hot-key
+         cliff),
+      3. winners groupBy(doc_id) → sorted keep-list — second metadata
+         shuffle, doc-sized,
+      4. one doc-keyed join back to the un-exploded docs rebuilds the
+         surviving text (text moves at most once; broadcast when small).
+    Versus the r5 form, which shuffled the full corpus TEXT through both
+    aggregations (~90 bytes/line twice), the decision exchanges now ship
+    ~28 bytes/line — the r5 sf1 rehearsal named exactly this term 45% of
+    the 100 TB chain cost.
 
     The reference never dedups (SURVEY §2.6) — this is the C4 half of the
     curation story, complementing minhash (near-dup docs) and
     ngram_contamination (train/test overlap)."""
-    lines = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
-    ).filter(F.length("line") > 0).select(
-        "doc_id", (F.col("idx") + 1).alias("line_no"), "line")
-    kept = (
-        lines.groupBy("line")
+    d = _doc_line_arrays(docs, text_col, id_col)
+    winners = (
+        _line_meta(d).groupBy("h1", "h2")
         .agg(F.min(F.struct("doc_id", "line_no")).alias("w"))
         .select(F.col("w.doc_id").alias("doc_id"),
-                F.col("w.line_no").alias("line_no"), "line")
+                F.col("w.line_no").alias("line_no"))
     )
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                    lambda x: x["line"]),
-                "\n").alias("text"),
-        )
-    )
+    keep = winners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_sort(F.collect_list("line_no")).alias("_lns"))
+    return _rebuild_docs(keep, d)
 
 
 def strip_boilerplate_lines(docs: DataFrame, min_docs: int = 10,
@@ -310,33 +372,27 @@ def strip_boilerplate_lines(docs: DataFrame, min_docs: int = 10,
     line dedup (keep-one) — then documents are rebuilt in original line
     order (docs losing every line drop out).
 
-    Plan shape: (doc, line) distinct-ified with a groupBy (map-side
-    combine), line doc-frequencies by a second partial agg, and the
-    boilerplate set — tiny by construction, it's the lines above a
-    high-frequency threshold — broadcast anti-joins the line stream. No
-    window over the line key, no O(corpus) set on the driver."""
-    lines = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
-    ).filter(F.length("line") > 0).select(
-        "doc_id", (F.col("idx") + 1).alias("line_no"), "line")
+    Plan shape: (doc, line-fingerprint) distinct-ified with a groupBy
+    (map-side combine), line doc-frequencies by a second partial agg, and
+    the boilerplate set — tiny by construction, it's the lines above a
+    high-frequency threshold — broadcast anti-joins the line METADATA
+    stream (r6: 128-bit fingerprints, never text — see _line_meta), after
+    which the per-doc keep-list re-attaches to the un-exploded docs and
+    the surviving text rebuilds in one doc-keyed join (text crosses at
+    most one exchange; zero when the keep-list broadcasts). No window over
+    the line key, no O(corpus) set on the driver."""
+    d = _doc_line_arrays(docs, text_col, id_col)
+    lines = _line_meta(d)
     doc_freq = (
-        lines.groupBy("doc_id", "line").agg(F.lit(1))
-        .groupBy("line").agg(F.count(F.lit(1)).alias("df"))
+        lines.groupBy("doc_id", "h1", "h2").agg(F.lit(1))
+        .groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df"))
     )
-    boiler = doc_freq.filter(F.col("df") >= min_docs).select("line")
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                    lambda x: x["line"]),
-                "\n").alias("text"),
-        )
-    )
+    boiler = doc_freq.filter(F.col("df") >= min_docs).select("h1", "h2")
+    kept = lines.join(F.broadcast(boiler), ["h1", "h2"], "left_anti")
+    keep = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_sort(F.collect_list("line_no")).alias("_lns"))
+    return _rebuild_docs(keep, d)
 
 
 def domain_boilerplate_lines(docs: DataFrame, min_docs: int = 5,
@@ -356,45 +412,40 @@ def domain_boilerplate_lines(docs: DataFrame, min_docs: int = 5,
     domain grain at min_docs=5 flags 521 (domain, line) chrome pairs where
     the global operator's safe threshold flags 10 lines.
 
-    Plan shape at 10^12 docs: (domain, doc, line) distinct-ified with a
-    groupBy (map-side combine — a footer on 10^9 pages of one host
-    collapses per map task before the exchange), per-(domain, line) doc
-    frequencies by a second partial agg, then a left_anti join of the line
-    stream on (domain, line). Unlike the global variant the boilerplate
-    set scales with the number of DOMAINS (millions of hosts × dozens of
-    chrome lines — too big to broadcast honestly), so the anti join is a
-    shuffled join on (domain, line): skew-safe because a hot domain's rows
-    split across its distinct lines, and AQE still broadcasts when the set
-    is small. No window over any content key; rebuild is one doc-keyed
-    shuffle, same as dedup_lines_corpus.
+    Plan shape at 10^12 docs: (domain, doc, line-fingerprint)
+    distinct-ified with a groupBy (map-side combine — a footer on 10^9
+    pages of one host collapses per map task before the exchange),
+    per-(domain, fingerprint) doc frequencies by a second partial agg,
+    then a left_anti join of the line METADATA stream on (domain, h1, h2)
+    (r6: 128-bit fingerprints, never text — see _line_meta). Unlike the
+    global variant the boilerplate set scales with the number of DOMAINS
+    (millions of hosts × dozens of chrome lines — too big to broadcast
+    honestly), so the anti join is a shuffled join on (domain, h1, h2):
+    skew-safe because a hot domain's rows split across its distinct lines,
+    and AQE still broadcasts when the set is small. No window over any
+    content key; the rebuild re-attaches the per-doc keep-list to the
+    un-exploded docs in one doc-keyed join, so text crosses at most one
+    exchange (zero when the keep-list broadcasts).
 
     The reference ships every line as-is (SURVEY §2.6); this extends the
     curation family's boilerplate story to the host grain."""
-    lines = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("_grp"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
-    ).filter(F.length("line") > 0).select(
-        "doc_id", "_grp", (F.col("idx") + 1).alias("line_no"), "line")
+    d = _doc_line_arrays(docs, text_col, id_col,
+                         extra_cols=(group_col,)).withColumnRenamed(
+        group_col, "_grp")
+    lines = _line_meta(d, extra_cols=("_grp",))
     doc_freq = (
-        lines.groupBy("_grp", "doc_id", "line").agg(F.lit(1))
-        .groupBy("_grp", "line").agg(F.count(F.lit(1)).alias("df"))
+        lines.groupBy("_grp", "doc_id", "h1", "h2").agg(F.lit(1))
+        .groupBy("_grp", "h1", "h2").agg(F.count(F.lit(1)).alias("df"))
     )
-    boiler = doc_freq.filter(F.col("df") >= min_docs).select("_grp", "line")
-    kept = lines.join(boiler, ["_grp", "line"], "left_anti")
-    return (
-        kept.groupBy("doc_id", "_grp")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                    lambda x: x["line"]),
-                "\n").alias("text"),
-        )
-        .withColumnRenamed("_grp", group_col)
-        .select("doc_id", group_col, "n_kept", "text")
-    )
+    boiler = doc_freq.filter(F.col("df") >= min_docs).select(
+        "_grp", "h1", "h2")
+    kept = lines.join(boiler, ["_grp", "h1", "h2"], "left_anti")
+    keep = kept.groupBy("doc_id", "_grp").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_sort(F.collect_list("line_no")).alias("_lns"))
+    return (_rebuild_docs(keep, d, out_cols=("_grp",))
+            .withColumnRenamed("_grp", group_col)
+            .select("doc_id", group_col, "n_kept", "text"))
 
 
 def curate_lines_corpus(docs: DataFrame, min_docs: int = 10,
@@ -410,46 +461,40 @@ def curate_lines_corpus(docs: DataFrame, min_docs: int = 10,
     measured the line-grain stages as 45% of the whole chain. Both
     per-line decisions are functions of the SAME (doc, line) pre-agg:
 
-      1. posexplode once (narrow),
-      2. groupBy(doc_id, line).agg(min(line_no)) — within-doc repeats
-         collapse map-side, ONE shuffle on (doc, line),
-      3. groupBy(line).agg(count(*) AS df, min(struct(doc, first_ln)))
+      1. posexplode line metadata once (narrow; 128-bit fingerprints, no
+         text — see _line_meta),
+      2. groupBy(doc_id, h1, h2).agg(min(line_no)) — within-doc repeats
+         collapse map-side, ONE metadata shuffle on (doc, fingerprint),
+      3. groupBy(h1, h2).agg(count(*) AS df, min(struct(doc, first_ln)))
          — doc-frequency (the boilerplate verdict, df ≥ min_docs drops
          the line everywhere) and the keep-first winner in one partial-
          aggregated shuffle; still never a window over the line key,
-      4. groupBy(doc_id) rebuild — original line order via the ORIGINAL
-         line_no (relative order equals the stripped-rebuilt order, so
-         the keep-first winner and the output text match the sequential
-         composition exactly).
+      4. winners groupBy(doc_id) → sorted keep-list, then one doc-keyed
+         join back to the un-exploded docs rebuilds the surviving text —
+         original line order via the ORIGINAL line_no (relative order
+         equals the stripped-rebuilt order, so the keep-first winner and
+         the output text match the sequential composition exactly).
 
-    3 shuffles + 1 explode vs 5 + 2; the line df table and kept set never
-    materialize corpus text beyond the surviving lines."""
-    lines = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
-    ).filter(F.length("line") > 0).select(
-        "doc_id", (F.col("idx") + 1).alias("line_no"), "line")
-    per_doc = lines.groupBy("doc_id", "line").agg(
+    3 decision shuffles + 1 explode vs 5 + 2 — and as of r6 the decision
+    shuffles carry ~28-byte fingerprint rows, never the ~90-byte line
+    text; text bytes cross at most the one rebuild join (zero exchanges
+    when the keep-list broadcasts)."""
+    d = _doc_line_arrays(docs, text_col, id_col)
+    per_doc = _line_meta(d).groupBy("doc_id", "h1", "h2").agg(
         F.min("line_no").alias("first_ln"))
-    kept = (
-        per_doc.groupBy("line")
+    winners = (
+        per_doc.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("df"),
-             F.min(F.struct("doc_id", "first_ln")).alias("w"))
+             F.min(F.struct(F.col("doc_id"),
+                            F.col("first_ln").alias("line_no"))).alias("w"))
         .filter(F.col("df") < min_docs)
         .select(F.col("w.doc_id").alias("doc_id"),
-                F.col("w.first_ln").alias("line_no"), "line")
+                F.col("w.line_no").alias("line_no"))
     )
-    return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                    lambda x: x["line"]),
-                "\n").alias("text"),
-        )
-    )
+    keep = winners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_sort(F.collect_list("line_no")).alias("_lns"))
+    return _rebuild_docs(keep, d)
 
 
 CANON_TRACKING_PARAMS = "utm_[a-z]+|fbclid|gclid|msclkid|ref"
@@ -1049,7 +1094,9 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
              "nodes_fp": str(input_fp(nodes, "doc_id"))})
         start = max(st.latest_round(), 0)
         if start > 0:
-            labels = st.load(start)
+            # r6 rounds persist (id, _old, lbl) — the fixpoint check reads
+            # _old off the committed round; resume needs only (id, lbl)
+            labels = st.load(start).select("id", "lbl")
         if st.is_done():
             return labels.select(F.col("id").alias("doc_id"),
                                  F.col("lbl").alias("cluster_id"))
@@ -1060,16 +1107,19 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
                .groupBy(F.col("dst").alias("id"))
                .agg(F.min("lbl").alias("nlbl")))
         prop = (labels.join(nbr, "id", "left")
-                .select("id", F.least("lbl", "nlbl").alias("lbl")))
+                .select("id", F.col("lbl").alias("_old"),
+                        F.least("lbl", "nlbl").alias("lbl")))
         # pointer jump: follow the label one hop (l(v) ← l(l(v)))
         hop = labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
-        new = prop.join(hop, "lbl", "left").select(
-            "id", F.least("lbl", "lbl2").alias("lbl"))
-        new = (st.save(_round, new) if st is not None
-               else new.localCheckpoint(eager=True))
-        changed = (new.alias("n").join(labels.alias("o"), "id")
-                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
-        labels = new
+        new3 = prop.join(hop, "lbl", "left").select(
+            "id", "_old", F.least("lbl", "lbl2").alias("lbl"))
+        # the previous round's label rides along, so the fixpoint check is
+        # a filter over the (already-materialized) round output — r5 paid a
+        # full (id)-keyed self-join + shuffle per round for the same count
+        new3 = (st.save(_round, new3) if st is not None
+                else new3.localCheckpoint(eager=True))
+        changed = new3.filter(F.col("lbl") != F.col("_old")).count()
+        labels = new3.select("id", "lbl")
         if changed == 0:
             if st is not None:
                 st.mark_done()

@@ -411,12 +411,29 @@ def _centroid_scores(emb: DataFrame, cents: list[list[float]],
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)  # (B, dim)
-            acc = np.zeros((len(mat), cb.shape[0]), dtype=np.float64)
-            for i in range(dim):  # dimension-sequential: oracle fold order
-                acc += mat[:, i:i + 1] * cb[:, i][None, :]
-            acc /= cnorm[None, :]
-            yield pd.DataFrame({"_id": pdf["_id"], "_sc": list(acc)})
+            vs = pdf["_v"].to_numpy()
+            # degenerate-row guard, consistent with _centroid_scores_sql:
+            # a NULL/empty embedding scores NULL (the row drops out of
+            # downstream joins instead of crashing np.stack); a non-empty
+            # vector of the WRONG width fails loudly — the SQL form's
+            # silent-null there would hide a corrupt embedding table.
+            ok = np.array([v is not None and len(v) == dim for v in vs])
+            bad = [v for v in vs
+                   if v is not None and len(v) not in (0, dim)]
+            if bad:
+                raise ValueError(
+                    f"_centroid_scores: embedding width {len(bad[0])} != "
+                    f"centroid dim {dim}")
+            out = np.empty(len(vs), dtype=object)
+            if ok.any():
+                mat = np.stack(vs[ok]).astype(np.float64)  # (B_ok, dim)
+                acc = np.zeros((len(mat), cb.shape[0]), dtype=np.float64)
+                for i in range(dim):  # dimension-sequential: oracle fold order
+                    acc += mat[:, i:i + 1] * cb[:, i][None, :]
+                acc /= cnorm[None, :]
+                for j, row in zip(np.flatnonzero(ok), acc):
+                    out[j] = row
+            yield pd.DataFrame({"_id": pdf["_id"], "_sc": out})
 
     return src.mapInPandas(score, f"_id {id_type}, _sc array<double>")
 

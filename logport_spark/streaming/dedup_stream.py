@@ -106,8 +106,10 @@ def estimated_jaccard(s1: str, s2: str):
     )
 
 
-def ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Widen an under-partitioned micro-batch to the session's cores.
+def ensure_parallelism(df: DataFrame,
+                       target_bytes_per_task: int = 512 * 1024) -> DataFrame:
+    """Widen an under-partitioned micro-batch toward the session's cores,
+    capped by input size.
 
     A micro-batch's partition count is whatever the file source's split
     math yields — a 100k-doc batch arriving as one ~26 MB parquet file is
@@ -117,10 +119,38 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     the same 100k batch at local[32] drops 52→33s (first eval) / 90→24s
     (steady) with this widen. Widen-ONLY: a batch that already has ≥
     cores partitions (any real crawl drop of many shard files) is
-    untouched, so at scale this is a no-op and never adds a shuffle."""
+    untouched, so at scale this is a no-op and never adds a shuffle.
+
+    The widen is CAPPED at ceil(input_bytes / target_bytes_per_task): on a
+    real cluster defaultParallelism is total executor cores, and widening
+    a small gated batch to it would mint hundreds of near-empty tasks.
+    512 KiB of zstd parquet ≈ a few MB of text ≈ one meaningful shingling
+    task, so a 26 MB local batch still widens to all 32 local cores while
+    the same batch on a 2000-core cluster gets ~52 tasks, not 2000. Input
+    bytes come from the batch's own file statuses (driver-cached listing;
+    both call sites pass the RAW file-source batch, where the partition
+    count read is known-cheap); an un-listable input falls back to the
+    uncapped widen."""
+    sc = df.sparkSession.sparkContext
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
+    cur = df.rdd.getNumPartitions()
+    if cur >= par:
+        return df
+    want = par
+    try:
+        files = df.inputFiles()
+        if files:
+            hconf = sc._jsc.hadoopConfiguration()
+            jpath = sc._jvm.org.apache.hadoop.fs.Path
+            total = 0
+            for f in files:
+                p = jpath(f)
+                total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+            want = min(par, max(cur, -(-total // target_bytes_per_task)))
+    except Exception:
+        pass
+    if cur < want:
+        return df.repartition(want)
     return df
 
 
@@ -172,7 +202,8 @@ def process_batch_dedup(batch_df: DataFrame, batch_id: int, out_dir: str,
     sh = doc_shingles(docs, 3).select(
         "doc_id", F.xxhash64(F.col("sh")).alias("h64")).persist()
     sig_all = minhash_signatures_h64(sh, NUM_HASHES).persist()
-    drops = lsh_verified_pairs(sh, sig_all, threshold=threshold).select(
+    drops = lsh_verified_pairs(sh, sig_all, threshold=threshold,
+                               bands=BANDS, num_hashes=NUM_HASHES).select(
         F.col("d2").alias("doc_id")).distinct()
     kept = docs.join(drops, "doc_id", "left_anti")
     sig = sig_all.join(drops, "doc_id", "left_anti").persist()

@@ -285,18 +285,31 @@ def _doc_line_arrays(docs: DataFrame, text_col: str,
 
 
 def _line_meta(d: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
-    """Exploded non-empty line METADATA (doc_id[, extras], line_no, h1, h2):
-    a 128-bit line fingerprint (two independently-seeded xxhash64's — joint
-    collision ~2^-128, the C4 convention of deciding on hashes) instead of
-    the ~80-byte line text, so every decision shuffle ships ~28 bytes/row.
-    The corpus text itself never enters a decision exchange (guide-§8
-    discipline: decide on a lightweight proxy, move heavy bytes once)."""
+    """Exploded non-empty line METADATA (doc_id[, extras], line_no, first,
+    h1, h2): a 128-bit line fingerprint (two independently-seeded
+    xxhash64's — joint collision ~2^-128, the C4 convention of deciding on
+    hashes) instead of the ~80-byte line text, so every decision shuffle
+    ships id-plus-fingerprint rows. The corpus text itself never enters a
+    decision exchange (guide-§8 discipline: decide on a lightweight proxy,
+    move heavy bytes once).
+
+    `first` marks the line's first occurrence WITHIN its document,
+    computed narrowly inside the doc row (array_position over the doc's
+    own line array — exact string equality, so no collision risk inside a
+    doc): the per-doc distinct set that r5 bought with a corpus-wide
+    (doc, line) exchange is now a zero-shuffle flag. The position scan is
+    O(lines²) string-prefix compares per doc — immaterial at web-page
+    line counts (fixture ~18, real pages tens); a corpus of pathological
+    10^4-line documents would want the old (doc, fingerprint) groupBy
+    back."""
+    first = (F.array_position(F.col("_arr"), F.col("line"))
+             == (F.col("idx") + 1).cast("long"))
     return d.select(
         "doc_id", *[F.col(c) for c in extra_cols],
-        F.posexplode(F.col("_arr")).alias("idx", "line"),
+        F.posexplode(F.col("_arr")).alias("idx", "line"), F.col("_arr"),
     ).filter(F.length("line") > 0).select(
         "doc_id", *[F.col(c) for c in extra_cols],
-        (F.col("idx") + 1).alias("line_no"),
+        (F.col("idx") + 1).alias("line_no"), first.alias("first"),
         F.xxhash64(F.col("line")).alias("h1"),
         F.xxhash64(F.lit(1), F.col("line")).alias("h2"))
 
@@ -329,14 +342,16 @@ def dedup_lines_corpus(docs: DataFrame, text_col: str = "text",
     Plan shape (the part that matters at 10^12 docs): NO window over the
     line key, NO self-join, and (r6) NO corpus text in any decision
     exchange —
-      1. posexplode line metadata (narrow; 128-bit line fingerprint, no
-         text — see _line_meta),
+      1. posexplode line metadata (narrow; 128-bit line fingerprint +
+         in-doc-first flag, no text — see _line_meta); in-doc repeats
+         can never beat their own first occurrence, so only first rows
+         continue,
       2. groupBy(h1, h2).agg(min(struct(doc_id, line_no))) — ONE shuffle
-         with map-side partial aggregation over ~28-byte rows, so a
-         boilerplate line repeated on 10^9 pages combines to one row per
-         map task before the exchange (a row_number window over the same
-         key would ship every copy to one reducer — the classic hot-key
-         cliff),
+         with map-side partial aggregation over (id, line_no,
+         fingerprint) rows, so a boilerplate line repeated on 10^9 pages
+         combines to one row per map task before the exchange (a
+         row_number window over the same key would ship every copy to
+         one reducer — the classic hot-key cliff),
       3. winners groupBy(doc_id) → sorted keep-list — second metadata
          shuffle, doc-sized,
       4. one doc-keyed join back to the un-exploded docs rebuilds the
@@ -350,8 +365,11 @@ def dedup_lines_corpus(docs: DataFrame, text_col: str = "text",
     curation story, complementing minhash (near-dup docs) and
     ngram_contamination (train/test overlap)."""
     d = _doc_line_arrays(docs, text_col, id_col)
+    # in-doc repeats can never win against their own first occurrence, so
+    # only `first` rows enter the corpus-wide argmin — same winner, fewer
+    # exchange rows
     winners = (
-        _line_meta(d).groupBy("h1", "h2")
+        _line_meta(d).filter("first").groupBy("h1", "h2")
         .agg(F.min(F.struct("doc_id", "line_no")).alias("w"))
         .select(F.col("w.doc_id").alias("doc_id"),
                 F.col("w.line_no").alias("line_no"))
@@ -372,21 +390,23 @@ def strip_boilerplate_lines(docs: DataFrame, min_docs: int = 10,
     line dedup (keep-one) — then documents are rebuilt in original line
     order (docs losing every line drop out).
 
-    Plan shape: (doc, line-fingerprint) distinct-ified with a groupBy
-    (map-side combine), line doc-frequencies by a second partial agg, and
-    the boilerplate set — tiny by construction, it's the lines above a
-    high-frequency threshold — broadcast anti-joins the line METADATA
-    stream (r6: 128-bit fingerprints, never text — see _line_meta), after
-    which the per-doc keep-list re-attaches to the un-exploded docs and
-    the surviving text rebuilds in one doc-keyed join (text crosses at
-    most one exchange; zero when the keep-list broadcasts). No window over
-    the line key, no O(corpus) set on the driver."""
+    Plan shape: the per-doc distinct set is the narrow in-doc-first flag
+    (zero shuffle — see _line_meta), line doc-frequencies are ONE partial
+    agg over bare 16-byte fingerprints, and the boilerplate set — tiny by
+    construction, it's the lines above a high-frequency threshold —
+    broadcast anti-joins the line METADATA stream (r6: 128-bit
+    fingerprints, never text), after which the per-doc keep-list
+    re-attaches to the un-exploded docs and the surviving text rebuilds
+    in one doc-keyed join (text crosses at most one exchange; zero when
+    the keep-list broadcasts). No window over the line key, no O(corpus)
+    set on the driver."""
     d = _doc_line_arrays(docs, text_col, id_col)
     lines = _line_meta(d)
-    doc_freq = (
-        lines.groupBy("doc_id", "h1", "h2").agg(F.lit(1))
-        .groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df"))
-    )
+    # doc frequency = count of in-doc-FIRST rows per fingerprint — the
+    # per-doc distinct set is the narrow `first` flag, so the df exchange
+    # ships bare 16-byte fingerprints (partial-agg collapsed)
+    doc_freq = (lines.filter("first").select("h1", "h2")
+                .groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df")))
     boiler = doc_freq.filter(F.col("df") >= min_docs).select("h1", "h2")
     kept = lines.join(F.broadcast(boiler), ["h1", "h2"], "left_anti")
     keep = kept.groupBy("doc_id").agg(
@@ -412,12 +432,13 @@ def domain_boilerplate_lines(docs: DataFrame, min_docs: int = 5,
     domain grain at min_docs=5 flags 521 (domain, line) chrome pairs where
     the global operator's safe threshold flags 10 lines.
 
-    Plan shape at 10^12 docs: (domain, doc, line-fingerprint)
-    distinct-ified with a groupBy (map-side combine — a footer on 10^9
-    pages of one host collapses per map task before the exchange),
-    per-(domain, fingerprint) doc frequencies by a second partial agg,
-    then a left_anti join of the line METADATA stream on (domain, h1, h2)
-    (r6: 128-bit fingerprints, never text — see _line_meta). Unlike the
+    Plan shape at 10^12 docs: the per-doc distinct set is the narrow
+    in-doc-first flag (zero shuffle — see _line_meta); per-(domain,
+    fingerprint) doc frequencies are ONE partial agg over (domain,
+    16-byte fingerprint) rows (a footer on 10^9 pages of one host
+    collapses per map task before the exchange), then a left_anti join of
+    the line METADATA stream on (domain, h1, h2) (r6: 128-bit
+    fingerprints, never text — see _line_meta). Unlike the
     global variant the boilerplate set scales with the number of DOMAINS
     (millions of hosts × dozens of chrome lines — too big to broadcast
     honestly), so the anti join is a shuffled join on (domain, h1, h2):
@@ -433,10 +454,11 @@ def domain_boilerplate_lines(docs: DataFrame, min_docs: int = 5,
                          extra_cols=(group_col,)).withColumnRenamed(
         group_col, "_grp")
     lines = _line_meta(d, extra_cols=("_grp",))
-    doc_freq = (
-        lines.groupBy("_grp", "doc_id", "h1", "h2").agg(F.lit(1))
-        .groupBy("_grp", "h1", "h2").agg(F.count(F.lit(1)).alias("df"))
-    )
+    # per-(domain, fingerprint) doc frequency over the narrow in-doc-FIRST
+    # rows: the exchange ships (domain, 16-byte fingerprint) only
+    doc_freq = (lines.filter("first").select("_grp", "h1", "h2")
+                .groupBy("_grp", "h1", "h2")
+                .agg(F.count(F.lit(1)).alias("df")))
     boiler = doc_freq.filter(F.col("df") >= min_docs).select(
         "_grp", "h1", "h2")
     kept = lines.join(boiler, ["_grp", "h1", "h2"], "left_anti")
@@ -461,32 +483,33 @@ def curate_lines_corpus(docs: DataFrame, min_docs: int = 10,
     measured the line-grain stages as 45% of the whole chain. Both
     per-line decisions are functions of the SAME (doc, line) pre-agg:
 
-      1. posexplode line metadata once (narrow; 128-bit fingerprints, no
-         text — see _line_meta),
-      2. groupBy(doc_id, h1, h2).agg(min(line_no)) — within-doc repeats
-         collapse map-side, ONE metadata shuffle on (doc, fingerprint),
-      3. groupBy(h1, h2).agg(count(*) AS df, min(struct(doc, first_ln)))
-         — doc-frequency (the boilerplate verdict, df ≥ min_docs drops
-         the line everywhere) and the keep-first winner in one partial-
-         aggregated shuffle; still never a window over the line key,
-      4. winners groupBy(doc_id) → sorted keep-list, then one doc-keyed
-         join back to the un-exploded docs rebuilds the surviving text —
-         original line order via the ORIGINAL line_no (relative order
-         equals the stripped-rebuilt order, so the keep-first winner and
-         the output text match the sequential composition exactly).
+      1. posexplode line metadata once (narrow; 128-bit fingerprints +
+         the in-doc-first flag, no text — see _line_meta). The flag IS
+         the (doc, line) pre-agg: r5 paid a corpus-wide exchange for it,
+      2. groupBy(h1, h2).agg(count(*) AS df, min(struct(doc, line_no)))
+         over in-doc-first rows — doc-frequency (the boilerplate verdict,
+         df ≥ min_docs drops the line everywhere) and the keep-first
+         winner in ONE partial-aggregated metadata shuffle; still never a
+         window over the line key,
+      3. winners groupBy(doc_id) → sorted keep-list (doc-sized metadata),
+      4. one doc-keyed join back to the un-exploded docs rebuilds the
+         surviving text — original line order via the ORIGINAL line_no
+         (relative order equals the stripped-rebuilt order, so the
+         keep-first winner and the output text match the sequential
+         composition exactly).
 
-    3 decision shuffles + 1 explode vs 5 + 2 — and as of r6 the decision
-    shuffles carry ~28-byte fingerprint rows, never the ~90-byte line
-    text; text bytes cross at most the one rebuild join (zero exchanges
-    when the keep-list broadcasts)."""
+    2 decision shuffles + 1 explode vs the sequential composition's 5 +
+    2 — and as of r6 the decision shuffles carry (id, line_no,
+    fingerprint) rows, never the line text; text bytes cross at most the
+    one rebuild join (zero exchanges when the keep-list broadcasts)."""
     d = _doc_line_arrays(docs, text_col, id_col)
-    per_doc = _line_meta(d).groupBy("doc_id", "h1", "h2").agg(
-        F.min("line_no").alias("first_ln"))
+    # the narrow `first` flag IS the (doc, line) pre-agg: one in-doc-first
+    # row per (doc, distinct line), no exchange paid for it
+    per_doc = _line_meta(d).filter("first")
     winners = (
         per_doc.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("df"),
-             F.min(F.struct(F.col("doc_id"),
-                            F.col("first_ln").alias("line_no"))).alias("w"))
+             F.min(F.struct("doc_id", "line_no")).alias("w"))
         .filter(F.col("df") < min_docs)
         .select(F.col("w.doc_id").alias("doc_id"),
                 F.col("w.line_no").alias("line_no"))
@@ -1109,10 +1132,17 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
         prop = (labels.join(nbr, "id", "left")
                 .select("id", F.col("lbl").alias("_old"),
                         F.least("lbl", "nlbl").alias("lbl")))
-        # pointer jump: follow the label one hop (l(v) ← l(l(v)))
-        hop = labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2"))
-        new3 = prop.join(hop, "lbl", "left").select(
-            "id", "_old", F.least("lbl", "lbl2").alias("lbl"))
+        if _round == 1:
+            # round 1 of a fresh run: labels are the identity map, so the
+            # pointer jump l(v) ← l(l(v)) cannot change anything — skip
+            # its join outright (resumed runs enter at _round > 1)
+            new3 = prop
+        else:
+            # pointer jump: follow the label one hop (l(v) ← l(l(v)))
+            hop = labels.select(F.col("id").alias("lbl"),
+                                F.col("lbl").alias("lbl2"))
+            new3 = prop.join(hop, "lbl", "left").select(
+                "id", "_old", F.least("lbl", "lbl2").alias("lbl"))
         # the previous round's label rides along, so the fixpoint check is
         # a filter over the (already-materialized) round output — r5 paid a
         # full (id)-keyed self-join + shuffle per round for the same count

@@ -107,7 +107,7 @@ def estimated_jaccard(s1: str, s2: str):
 
 
 def ensure_parallelism(df: DataFrame,
-                       target_bytes_per_task: int = 512 * 1024) -> DataFrame:
+                       target_bytes_per_task: int = 64 * 1024) -> DataFrame:
     """Widen an under-partitioned micro-batch toward the session's cores,
     capped by input size.
 
@@ -124,13 +124,18 @@ def ensure_parallelism(df: DataFrame,
     The widen is CAPPED at ceil(input_bytes / target_bytes_per_task): on a
     real cluster defaultParallelism is total executor cores, and widening
     a small gated batch to it would mint hundreds of near-empty tasks.
-    512 KiB of zstd parquet ≈ a few MB of text ≈ one meaningful shingling
-    task, so a 26 MB local batch still widens to all 32 local cores while
-    the same batch on a 2000-core cluster gets ~52 tasks, not 2000. Input
-    bytes come from the batch's own file statuses (driver-cached listing;
-    both call sites pass the RAW file-source batch, where the partition
-    count read is known-cheap); an un-listable input falls back to the
-    uncapped widen."""
+    64 KiB of zstd parquet ≈ ~0.25 MB of text ≈ a meaningful
+    shingling/minhash task (the drain is CPU-bound), so every local ladder
+    batch (2.6-26 MB) still widens to all 32 local cores exactly as
+    before the cap — the interleaved stream A/B showed the 1-batch
+    (uncapped either way) and 10-batch legs drifting identically with
+    ambient load, i.e. no local effect — while the same batches on a
+    2000-core cluster get ~41/~416 real tasks, not 2000 near-empty
+    ones. Input bytes come
+    from the batch's own file statuses (driver-cached listing; both call
+    sites pass the RAW file-source batch, where the partition count read
+    is known-cheap); an un-listable input falls back to the uncapped
+    widen."""
     sc = df.sparkSession.sparkContext
     par = df.sparkSession.sparkContext.defaultParallelism
     cur = df.rdd.getNumPartitions()

@@ -72,7 +72,10 @@ ANNOTATED = {
         "InMemoryTableScan — every propagation round materializes ONE label "
         "table (persist + fixpoint count) so lineage never stacks rounds; "
         "each round is two shuffles (edge join on id, pointer-jump join on "
-        "label), O(log diameter) rounds total."
+        "label), O(log diameter) rounds total. r6: the fixpoint count is a "
+        "filter over the materialized round (old label rides along) — the "
+        "per-round convergence self-join is gone — and round 1 skips the "
+        "identity pointer jump."
     ),
     "text_repetition": (
         "Gopher repetition signals: the whole operator is a single Project "
@@ -95,25 +98,32 @@ ANNOTATED = {
         "stays distributed; the only broadcast is the single-row total."
     ),
     "line_dedup_corpus": (
-        "C4 corpus line dedup: posexplode → HashAggregate min(struct) on "
-        "the line key (map-side combine — no window, so a boilerplate "
-        "line repeated corpus-wide combines before the exchange) → "
-        "doc-sized rebuild agg. Two exchanges total, both aggregating."
+        "C4 corpus line dedup (r6 shape): posexplode line METADATA "
+        "(128-bit fingerprint + in-doc-first flag, no text) → "
+        "min(struct) agg on (h1, h2) (map-side combine — no window, so "
+        "a boilerplate line repeated corpus-wide combines before the "
+        "exchange) → per-doc keep-list agg → doc-keyed join back to the "
+        "un-exploded docs rebuilds text (BroadcastHashJoin at this "
+        "scale). Corpus text appears in NO exchange."
     ),
     "strip_boilerplate": (
-        "Boilerplate removal: (doc, line) distinct agg → line doc-freq "
-        "agg → the ≥min_docs set (tiny) BROADCAST anti-joins the line "
-        "stream — the doc stream never shuffles for the filter; only the "
-        "rebuild agg exchanges on doc_id."
+        "Boilerplate removal (r6 shape): the per-doc distinct set is the "
+        "narrow in-doc-first flag (zero shuffle), line doc-freq is ONE "
+        "partial agg over bare 16-byte fingerprints, the ≥min_docs set "
+        "(tiny) BROADCAST anti-joins the line METADATA stream, and the "
+        "per-doc keep-list joins back to the un-exploded docs for the "
+        "text rebuild. No text in any exchange."
     ),
     "domain_boilerplate": (
-        "Per-domain site chrome: (domain, doc, line) distinct agg → "
-        "(domain, line) doc-freq agg → the ≥min_docs set anti-joins the "
-        "line stream on (domain, line) — SHUFFLED, not broadcast, because "
+        "Per-domain site chrome (r6 shape): per-doc distinct via the "
+        "narrow in-doc-first flag → (domain, fingerprint) doc-freq "
+        "partial agg → the ≥min_docs set anti-joins the line METADATA "
+        "stream on (domain, h1, h2) — SHUFFLED, not broadcast, because "
         "at web scale the set grows with domain count (millions of hosts "
         "× chrome lines); AQE demotes it to broadcast when small. "
         "Skew-safe: a hot domain's rows split across its distinct lines. "
-        "Rebuild agg exchanges on doc_id, as the whole line family does."
+        "Per-doc keep-list + doc-keyed join rebuild, no text in any "
+        "exchange — the whole line family's r6 shape."
     ),
     "semantic_dedup_pairs": (
         "SemDeDup: plan-literal centroid scoring (narrow map, no "
@@ -122,11 +132,12 @@ ANNOTATED = {
         "embedding_lsh_pairs tail with cells instead of bands."
     ),
     "web_curation": (
-        "End-to-end pages curation: url keep-max agg -> left-semi on url "
-        "-> boilerplate doc-freq aggs + BROADCAST anti-join -> line-key "
-        "min(struct) agg -> doc rebuild agg -> n_kept filter. Every wide "
-        "step is an aggregating exchange with map-side combine; no "
-        "window over a content key anywhere."
+        "End-to-end pages curation (r6 fused line shape): url keep-max "
+        "agg -> left-semi on url -> fingerprint-keyed fused df+keep-first "
+        "agg over in-doc-first line metadata -> per-doc keep-list -> "
+        "doc-keyed rebuild join -> n_kept filter. Every wide step is an "
+        "aggregating exchange with map-side combine over metadata; no "
+        "window over a content key and no text in any exchange."
     ),
     "pack_sequences": (
         "Sequence packing: hash shard (pure row function) → ONE exchange "

@@ -293,6 +293,13 @@ def _line_meta(d: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     decision exchange (guide-§8 discipline: decide on a lightweight proxy,
     move heavy bytes once).
 
+    Input contract (all four line operators): `id_col` values are UNIQUE
+    — the id is a URL or doc key by construction everywhere in the repo.
+    (With duplicate ids the r5 shapes would have merged the rows at the
+    rebuild groupBy; the r6 join rebuild would emit one row per
+    duplicate instead. No caller ships duplicates; stated so the
+    difference is a documented contract, not a surprise.)
+
     `first` marks the line's first occurrence WITHIN its document,
     computed narrowly inside the doc row (array_position over the doc's
     own line array — exact string equality, so no collision risk inside a

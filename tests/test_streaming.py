@@ -800,3 +800,36 @@ def test_stream_state_writes_one_file_per_bucket(spark, tmp_path_factory):
     for kb in kb_dirs:
         files = [f for f in os.listdir(kb) if f.endswith(".parquet")]
         assert len(files) == 1, f"{kb}: {len(files)} files (want 1)"
+
+
+def test_ensure_parallelism_cap_is_input_proportional(spark, tmp_path):
+    """r6: the micro-batch widen is capped by input bytes (ADVICE #4) —
+    a tiny batch no longer fans out to defaultParallelism (total executor
+    cores on a real cluster), while a batch big enough to feed every core
+    still widens all the way. Expectations derive from the session's own
+    defaultParallelism so the test is core-count independent."""
+    from logport_spark.streaming.dedup_stream import ensure_parallelism
+
+    par = spark.sparkContext.defaultParallelism
+
+    # ~1 KB single-file batch: cap = ceil(size / 64 KiB) = 1 -> untouched
+    tiny_dir = str(tmp_path / "tiny")
+    spark.range(10).selectExpr("id as doc_id", "repeat('x', 10) as text") \
+        .coalesce(1).write.mode("overwrite").parquet(tiny_dir)
+    tiny = spark.read.parquet(tiny_dir)
+    assert ensure_parallelism(tiny).rdd.getNumPartitions() == 1
+
+    # a single file comfortably over par * 64 KiB: cap exceeds cores ->
+    # widens to the full defaultParallelism, exactly the r5 behavior
+    big_dir = str(tmp_path / "big")
+    spark.range(3000).selectExpr(
+        "id as doc_id",
+        "concat_ws(' ', transform(sequence(1, 60), "
+        "i -> concat('tok', cast(id * i as string)))) as text"
+    ).coalesce(1).write.mode("overwrite").parquet(big_dir)
+    big = spark.read.parquet(big_dir)
+    import os
+    size = sum(os.path.getsize(os.path.join(big_dir, f))
+               for f in os.listdir(big_dir) if f.endswith(".parquet"))
+    want = min(par, max(1, -(-size // (64 * 1024))))
+    assert ensure_parallelism(big).rdd.getNumPartitions() == want

@@ -44,9 +44,14 @@ DEFAULT_QUERIES = [
 ]
 
 
+_UI_BASE = None  # set from sparkContext.uiWebUrl (NOT the requested port:
+#                  a port conflict silently rebinds the UI to port+1 and
+#                  a hardcoded URL would read some OTHER app's stages)
+
+
 def _rest(path: str):
     with urllib.request.urlopen(
-            f"http://localhost:{UI_PORT}/api/v1/{path}", timeout=10) as r:
+            f"{_UI_BASE}/api/v1/{path}", timeout=10) as r:
         return json.load(r)
 
 
@@ -64,6 +69,21 @@ def _stage_totals() -> dict:
     return tot
 
 
+def _settled_stage_totals() -> dict:
+    """_stage_totals once the async listener bus has drained: the status
+    store is fed asynchronously, so a snapshot taken right after .save()
+    returns can miss late stage-completion events. Poll until two
+    consecutive reads agree (bounded)."""
+    prev = _stage_totals()
+    for _ in range(25):
+        time.sleep(0.2)
+        cur = _stage_totals()
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def main(argv: list[str]) -> None:
     from logport_spark.session import get_spark
 
@@ -78,9 +98,15 @@ def main(argv: list[str]) -> None:
     spark = get_spark("bench_extra", cpus=CPUS, extra_conf={
         "spark.ui.enabled": "true",
         "spark.ui.port": str(UI_PORT),
-        "spark.appStatusStore.diskStoreDir": "",  # default in-memory store
+        # the ledger diffs CUMULATIVE stage totals; default retention
+        # (1000 stages) would silently evict early stages mid-run and
+        # corrupt the deltas on long query lists / higher REPS
+        "spark.ui.retainedStages": "100000",
+        "spark.ui.retainedJobs": "100000",
     })
     sc = spark.sparkContext
+    global _UI_BASE
+    _UI_BASE = sc.uiWebUrl
 
     # untimed warm-up: Python worker pool + codegen JIT (bench.py rationale)
     qs[names[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -96,10 +122,11 @@ def main(argv: list[str]) -> None:
                 "overwrite").save()
             best = min(best, time.time() - t0)
             spark.catalog.clearCache()
-        # bytes for ONE evaluation: run once more between two snapshots
-        before = _stage_totals()
+        # bytes for ONE evaluation: run once more between two SETTLED
+        # snapshots (listener bus is async — see _settled_stage_totals)
+        before = _settled_stage_totals()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        after = _stage_totals()
+        after = _settled_stage_totals()
         spark.catalog.clearCache()
         sc.setJobDescription(None)
         rec = {

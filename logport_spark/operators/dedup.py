@@ -224,7 +224,12 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.8,
     one application hold at most one live cache entry instead of leaking
     one per call (the streaming path manages its own persist/unpersist and
     never enters here). Unpersist is safe even if the prior result is
-    still lazily held — Spark just recomputes it."""
+    still lazily held — Spark just recomputes it — but note the contract:
+    EVALUATE one call's result before minting the next, or the earlier
+    plan silently forfeits its cache and re-runs the shingle pass once
+    per reference (~4x). Single-threaded mint-then-consume callers (every
+    caller in this repo) are unaffected; concurrent minting from driver
+    threads should manage its own persist lifecycle instead."""
     global _last_sh_cache
     if _last_sh_cache is not None:
         try:

@@ -413,10 +413,14 @@ def _centroid_scores(emb: DataFrame, cents: list[list[float]],
                 continue
             vs = pdf["_v"].to_numpy()
             # degenerate-row guard, consistent with _centroid_scores_sql:
-            # a NULL/empty embedding scores NULL (the row drops out of
-            # downstream joins instead of crashing np.stack); a non-empty
-            # vector of the WRONG width fails loudly — the SQL form's
-            # silent-null there would hide a corrupt embedding table.
+            # a NULL/empty embedding scores [NULL, ..., NULL] — the SAME
+            # value the SQL form's per-centroid aggregate folds produce
+            # (a non-null array of null doubles), so array_max /
+            # array_position / explode behave identically across the two
+            # forms and the row drops out of downstream joins instead of
+            # crashing np.stack. A non-empty vector of the WRONG width
+            # fails loudly — the SQL form's silent-null there would hide
+            # a corrupt embedding table.
             ok = np.array([v is not None and len(v) == dim for v in vs])
             bad = [v for v in vs
                    if v is not None and len(v) not in (0, dim)]
@@ -424,7 +428,10 @@ def _centroid_scores(emb: DataFrame, cents: list[list[float]],
                 raise ValueError(
                     f"_centroid_scores: embedding width {len(bad[0])} != "
                     f"centroid dim {dim}")
+            null_row = [None] * cb.shape[0]
             out = np.empty(len(vs), dtype=object)
+            for j in range(len(vs)):
+                out[j] = null_row
             if ok.any():
                 mat = np.stack(vs[ok]).astype(np.float64)  # (B_ok, dim)
                 acc = np.zeros((len(mat), cb.shape[0]), dtype=np.float64)

@@ -59,7 +59,15 @@ def ensure_min_parallelism(df, min_parts: int | None = None):
     every narrow map stage behind it onto a single core. Repartition up to
     the session's default parallelism only when the scan is under-partitioned
     — with production inputs (many files / 100 TB) the condition is false and
-    no extra shuffle enters the plan."""
+    no extra shuffle enters the plan.
+
+    Deliberately NOT input-size-capped, unlike the streaming twin
+    (streaming/dedup_stream.ensure_parallelism): this guard wraps one-shot
+    scans whose per-byte compute is enormous (the 580 KB sf0.1 documents
+    table feeds seconds of shingling/minhash on 32 cores), so bytes are
+    the wrong proxy for work — widening to the cores is correct. The
+    streaming widen runs once per micro-batch forever and over-widening
+    there mints near-empty tasks on every trigger, hence its cap."""
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -135,7 +135,13 @@ def ensure_parallelism(df: DataFrame,
     from the batch's own file statuses (driver-cached listing; both call
     sites pass the RAW file-source batch, where the partition count read
     is known-cheap); an un-listable input falls back to the uncapped
-    widen."""
+    widen.
+
+    The batch-side session.ensure_min_parallelism intentionally has NO
+    such cap: it wraps one-shot CPU-heavy scans (tiny parquet, seconds of
+    shingling) where bytes are the wrong proxy for work; this helper runs
+    per micro-batch forever, where over-widening mints near-empty tasks
+    on every trigger."""
     sc = df.sparkSession.sparkContext
     par = df.sparkSession.sparkContext.defaultParallelism
     cur = df.rdd.getNumPartitions()

@@ -118,6 +118,36 @@ def test_centroid_scores_kernel_bitmatches_sql_form(spark):
         assert got[i] == want[i], f"vec {i}: kernel != sql form bitwise"
 
 
+def test_centroid_scores_kernel_degenerate_rows_match_sql(spark):
+    """ADVICE r5: NULL/empty embeddings must not crash the Arrow kernel —
+    they score [NULL x nlist], the SAME value the SQL form's per-centroid
+    folds produce, so the two forms agree on corrupt rows too; a
+    non-empty wrong-width vector fails loudly naming the width."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from logport_spark.operators.similarity import (
+        _centroid_scores, _centroid_scores_sql,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, None), (3, [])],
+        "vec_id long, embedding array<double>")
+    got = {r["_id"]: r["_sc"] for r in _centroid_scores(emb, cents).collect()}
+    want = {r["_id"]: r["_sc"]
+            for r in _centroid_scores_sql(emb, cents).collect()}
+    assert list(got[1]) == list(want[1])          # healthy row identical
+    assert list(got[2]) == [None, None] == list(want[2])
+    assert list(got[3]) == [None, None] == list(want[3])
+
+    bad = spark.createDataFrame([(1, [1.0, 2.0, 3.0])],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="width 3"):
+        _centroid_scores(bad, cents).collect()
+
+
 def test_ivf_topk_recall_on_clustered_data(spark):
     """IVF-flat: on clustered data (queries near their cluster-mates) the
     probed-cell candidates must recover the brute top-k with high recall,

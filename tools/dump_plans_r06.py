@@ -22,6 +22,8 @@ QUERIES = [
 
 
 def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] not in ("before", "after"):
+        raise SystemExit(__doc__)
     label = sys.argv[1]
     names = sys.argv[2:] or QUERIES
     from logport_spark.session import get_spark
